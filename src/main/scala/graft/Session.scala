@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession builder for the engine.
+  *
+  * Config choices (all scale-motivated, see SURVEY.md §4/§7.4):
+  *  - `spark.sql.shuffle.partitions` defaults to the local core count; on a
+  *    real cluster AQE coalescing makes the initial number a ceiling, not a
+  *    tuning knob.
+  *  - AQE on: runtime shuffle coalescing + skew-join splitting, so the same
+  *    plans survive a 100× scale-up without re-tuning.
+  *  - ANSI off: the reference's coercion semantics are pandas
+  *    `errors="coerce"` → NULL (reference transformer.py:55-70,213-222); we
+  *    need `cast` / `to_date` to yield NULL on bad input, not throw.
+  *  - UTC session timezone for oracle (DuckDB) parity on timestamps.
+  */
+object Session {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

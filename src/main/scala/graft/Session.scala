@@ -25,6 +25,10 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // The events table carries INT64 TIMESTAMP(NANOS) which Spark 4 rejects
+      // by default; read as nanos-since-epoch longs and convert explicitly
+      // (Tables.events derives a microsecond timestamp column).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {

@@ -2,20 +2,30 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY.md §2 coverage) to DataFrame
+  * builders parameterized by the testdata scale-factor directory; `oracleSql`
+  * carries the DuckDB-equivalent SQL for the driver's correctness gate.
+  * Queries without an oracle entry are rows-only checked (non-SQL-expressible
+  * ops: LSH, simhash, approx sketches).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query; driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    entry(spark, "/root/testdata/sf0.001")
+
+  def entry(spark: SparkSession, sfDir: String): DataFrame =
+    Relational.q1Agg(spark, sfDir)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_agg_multikey" -> (Relational.q1Agg _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Analytics.queries ++ graft.streaming.Events.queries ++
+      TextOps.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q01_agg_multikey" -> Relational.q1Sql
-  )
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Analytics.oracle ++ graft.streaming.Events.oracle ++
+      TextOps.oracle ++ Similarity.oracle
 }

@@ -1,0 +1,443 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Relational.{dsum, dsumSql, davg, davgSql}
+
+/** The reference's notebook analytics surface (SURVEY.md §2.4 A7–A15, §2.5 W,
+  * §2.6 F, §2.7 U, §2.8 C) as named queries over the synthetic tables.
+  *
+  * Every query is a single declarative DataFrame chain — no driver-side
+  * collects; top-k always carries a unique tiebreaker so the LIMIT membership
+  * is deterministic and oracle-comparable.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** W1: top-k after group-count (reference EDA_premios.ipynb cell 35
+    * `value_counts().head(10)`). Tiebreak on the key so the limit set is
+    * deterministic. Physical plan: partial+final HashAggregate then
+    * TakeOrderedAndProject — no full sort at scale.
+    */
+  def qTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+      .limit(10)
+
+  val qTopkSql: String =
+    """SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+      |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 10""".stripMargin
+
+  /** A7: value_counts desc (reference EDA_premios.ipynb cells 35/37). */
+  def qValueCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+
+  val qValueCountsSql: String =
+    """SELECT event_type, COUNT(*) AS cnt FROM events
+      |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin
+
+  /** A8: group-count + HAVING post-filter (reference
+    * visualization_sorteos_premios.ipynb cell 9).
+    */
+  def qHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 600)
+
+  val qHavingSql: String =
+    """SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
+      |GROUP BY l_suppkey HAVING COUNT(*) > 600""".stripMargin
+
+  /** A9: countDistinct per group (reference EDA_premios.ipynb cell 44,
+    * sellers per departamento).
+    */
+  def qNuniquePerGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  val qNuniquePerGroupSql: String =
+    """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY l_suppkey""".stripMargin
+
+  /** A10 + U4: collect_set per group then explode back out (reference
+    * EDA_premios.ipynb cells 39-41: unique cities per vendor, then
+    * `.explode()`). The round-trip is semantically DISTINCT pairs.
+    */
+  def qCollectSetExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(collect_set(col("c_mktsegment")).as("segments"))
+      .select(col("c_nationkey"), explode(col("segments")).as("c_mktsegment"))
+
+  val qCollectSetExplodeSql: String =
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+  /** J3: semi-join against a derived top-k key set (reference
+    * EDA_premios.ipynb cell 39 `isin(top_10_sellers)`). The top-k side is
+    * tiny and broadcast; the fact side never shuffles for the semi-join.
+    */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val top = l.groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_suppkey").asc).limit(5)
+      .select(col("l_suppkey"))
+    l.join(broadcast(top), Seq("l_suppkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val qSemiJoinSql: String =
+    s"""WITH top AS (
+       |  SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+       |  ORDER BY COUNT(*) DESC, l_suppkey ASC LIMIT 5)
+       |SELECT l_returnflag, COUNT(*) AS n_rows,
+       |  ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem WHERE l_suppkey IN (SELECT l_suppkey FROM top)
+       |GROUP BY l_returnflag""".stripMargin
+
+  /** J2/U3: anti-join dataset diff (reference processed_vs_downloaded.ipynb
+    * cells 9-13: outer merge + right_only filter = rows in A missing from B).
+    */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers_without_f_orders"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers_without_f_orders
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** U3: EXCEPT set difference on projected keys (orders with no returned
+    * line item).
+    */
+  def qExcept(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey").as("okey")).distinct()
+      .except(t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("okey")))
+
+  val qExceptSql: String =
+    """SELECT DISTINCT o_orderkey AS okey FROM orders
+      |EXCEPT SELECT DISTINCT l_orderkey AS okey FROM lineitem
+      |WHERE l_returnflag = 'R'""".stripMargin
+
+  /** U1: UNION ALL of columns pooled into one series (reference
+    * EDA_sorteos.ipynb cell 12: three reintegro columns concatenated), then
+    * distribution count.
+    */
+  def qUnionCols(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    l.select((col("l_orderkey") % 10).as("digit"))
+      .unionAll(l.select((col("l_partkey") % 10).as("digit")))
+      .unionAll(l.select((col("l_suppkey") % 10).as("digit")))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+  }
+
+  val qUnionColsSql: String =
+    """SELECT digit, COUNT(*) AS cnt FROM (
+      |  SELECT l_orderkey % 10 AS digit FROM lineitem
+      |  UNION ALL SELECT l_partkey % 10 FROM lineitem
+      |  UNION ALL SELECT l_suppkey % 10 FROM lineitem)
+      |GROUP BY digit""".stripMargin
+
+  /** A12 + F3: exact quartiles and the IQR band (reference EDA_premios.ipynb
+    * cells 22/30: quantile(0.25/0.75) then a between filter). The quartile
+    * row is a 1-row broadcast crossed onto the fact scan — no collect.
+    */
+  def qQuantileIqr(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val q = l.agg(
+      expr("percentile(l_extendedprice, 0.25)").as("q1"),
+      expr("percentile(l_extendedprice, 0.75)").as("q3"))
+    l.crossJoin(broadcast(q))
+      .where(col("l_extendedprice").between(col("q1"), col("q3")))
+      .agg(count(lit(1)).as("n_in_band"), dsum(col("l_extendedprice")).as("sum_in_band"),
+        min(col("q1")).as("q1"), min(col("q3")).as("q3"))
+  }
+
+  val qQuantileIqrSql: String =
+    s"""WITH q AS (SELECT
+       |    percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1,
+       |    percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q3
+       |  FROM lineitem)
+       |SELECT COUNT(*) AS n_in_band, ${dsumSql("l_extendedprice")} AS sum_in_band,
+       |  MIN(q.q1) AS q1, MIN(q.q3) AS q3
+       |FROM lineitem, q
+       |WHERE l_extendedprice BETWEEN q.q1 AND q.q3""".stripMargin
+
+  /** A14: null-count per column (reference EDA_premios.ipynb cells 11/15).
+    * The testdata has no native nulls, so nullable columns are derived with
+    * NULLIF — the null-skipping path is genuinely exercised.
+    */
+  def qNullCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(
+        nullif(col("l_quantity"), lit(1.0)).as("a"),
+        nullif(col("l_returnflag"), lit("N")).as("b"),
+        nullif(col("l_linenumber"), lit(2)).as("c"))
+      .agg(
+        sum(when(col("a").isNull, 1).otherwise(0)).as("nulls_quantity"),
+        sum(when(col("b").isNull, 1).otherwise(0)).as("nulls_returnflag"),
+        sum(when(col("c").isNull, 1).otherwise(0)).as("nulls_linenumber"),
+        count(lit(1)).as("n_rows"))
+
+  val qNullCountSql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN NULLIF(l_quantity, 1.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_quantity,
+      |  CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_returnflag,
+      |  CAST(SUM(CASE WHEN NULLIF(l_linenumber, 2) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_linenumber,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem""".stripMargin
+
+  /** A15: duplicate detection — keys occurring more than once, with their
+    * multiplicity (reference EDA_premios.ipynb cells 9-10 `duplicated()`).
+    */
+  def qDupCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .where(col("multiplicity") > 1)
+
+  val qDupCountSql: String =
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS multiplicity
+      |FROM customer GROUP BY c_nationkey, c_mktsegment
+      |HAVING COUNT(*) > 1""".stripMargin
+
+  /** C8/C11: fixed-width binning histogram (reference EDA_premios.ipynb
+    * cell 52 `pd.cut(..., arange(0,105000,5000))`).
+    */
+  def qBinning(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy((floor(col("l_extendedprice") / 5000) * 5000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+
+  val qBinningSql: String =
+    s"""SELECT CAST(FLOOR(l_extendedprice / 5000) * 5000 AS BIGINT) AS bucket,
+       |  COUNT(*) AS cnt, ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** C9: piecewise when/otherwise scalar (reference
+    * visualization_sorteos_premios.ipynb cell 59 `ticket_price` 5-branch
+    * step function) — expression tree, no UDF.
+    */
+  def qPiecewise(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("tier",
+        when(col("o_totalprice") < 1000, "low")
+          .when(col("o_totalprice") < 5000, "mid")
+          .when(col("o_totalprice") < 20000, "high")
+          .otherwise("whale"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+
+  val qPiecewiseSql: String =
+    s"""SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+       |  WHEN o_totalprice < 5000 THEN 'mid'
+       |  WHEN o_totalprice < 20000 THEN 'high'
+       |  ELSE 'whale' END AS tier,
+       |  COUNT(*) AS cnt, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1""".stripMargin
+
+  /** A13: describe()-style column statistics (reference EDA_premios.ipynb
+    * cell 8). Mean is the order-insensitive decimal-sum / count.
+    */
+  def qColStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        count(col("l_quantity")).as("qty_count"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        davg(col("l_quantity")).as("qty_mean"),
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max"),
+        davg(col("l_extendedprice")).as("price_mean"))
+
+  val qColStatsSql: String =
+    s"""SELECT COUNT(l_quantity) AS qty_count,
+       |  MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+       |  ${davgSql("l_quantity")} AS qty_mean,
+       |  MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max,
+       |  ${davgSql("l_extendedprice")} AS price_mean
+       |FROM lineitem""".stripMargin
+
+  /** A11: multi-column mean per group (reference lottery_eda_sagemaker.ipynb
+    * cell 0: avg of the three prize columns per date).
+    */
+  def qMultiAvg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_discount"))
+
+  val qMultiAvgSql: String =
+    s"""SELECT l_returnflag,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  ${davgSql("l_extendedprice")} AS avg_price,
+       |  ${davgSql("l_discount")} AS avg_discount
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** F7: dedup on projected columns (reference
+    * visualization_sorteos_premios.ipynb cell 31
+    * `[['vendedor','ciudad']].drop_duplicates()`).
+    */
+  def qDistinctProj(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+
+  val qDistinctProjSql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  /** F3: compound range predicates (reference EDA_premios.ipynb cell 54). */
+  def qRangeFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_quantity").between(10, 20) && col("l_discount") <= 0.05)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+
+  val qRangeFilterSql: String =
+    s"""SELECT l_linestatus, COUNT(*) AS cnt,
+       |  ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount <= 0.05
+       |GROUP BY l_linestatus""".stripMargin
+
+  /** F4/F5: conjunctive multi-column != filter (reference EDA_premios.ipynb
+    * cell 32).
+    */
+  def qMulticolFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("event_type") =!= "error" && col("event_type") =!= "view" &&
+        col("value") > 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+
+  val qMulticolFilterSql: String =
+    s"""SELECT event_type, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+       |FROM events
+       |WHERE event_type <> 'error' AND event_type <> 'view' AND value > 0
+       |GROUP BY event_type""".stripMargin
+
+  /** W1/W2: ordered top-N slice with deterministic tiebreak — physical plan
+    * is TakeOrderedAndProject (no cluster-wide full sort materialized).
+    */
+  def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  val qSortLimitSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  /** Beyond-reference window op: rank-within-group top-N (the "leaderboard
+    * with rank" extension SURVEY §2.5 anticipates).
+    */
+  def qWindowTopn(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val qWindowTopnSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank,
+      |  o_orderkey, o_totalprice
+      |FROM orders QUALIFY rank <= 3""".stripMargin
+
+  /** C-json: JSON field extraction from a string column (events.props). */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val qJsonExtractSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** P2-analog as a per-row op: regex field extraction + group (the
+    * header-regex pattern of reference parser.py:43-52 applied relationally).
+    */
+  def qRegexExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_num"))
+      .groupBy((col("src_num") % 5).as("src_mod"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val qRegexExtractSql: String =
+    """SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) % 5 AS src_mod,
+      |  COUNT(*) AS cnt
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09_topk" -> (qTopk _),
+    "q10_value_counts" -> (qValueCounts _),
+    "q11_having" -> (qHaving _),
+    "q12_nunique_per_group" -> (qNuniquePerGroup _),
+    "q13_collect_set_explode" -> (qCollectSetExplode _),
+    "q14_semi_join" -> (qSemiJoin _),
+    "q15_anti_join" -> (qAntiJoin _),
+    "q16_except" -> (qExcept _),
+    "q17_union_cols" -> (qUnionCols _),
+    "q18_quantile_iqr" -> (qQuantileIqr _),
+    "q19_null_count" -> (qNullCount _),
+    "q20_dup_count" -> (qDupCount _),
+    "q21_binning" -> (qBinning _),
+    "q22_piecewise" -> (qPiecewise _),
+    "q23_colstats" -> (qColStats _),
+    "q24_multi_avg" -> (qMultiAvg _),
+    "q25_distinct_proj" -> (qDistinctProj _),
+    "q26_range_filter" -> (qRangeFilter _),
+    "q27_multicol_filter" -> (qMulticolFilter _),
+    "q28_sort_limit" -> (qSortLimit _),
+    "q29_window_topn" -> (qWindowTopn _),
+    "q30_json_extract" -> (qJsonExtract _),
+    "q31_regex_extract" -> (qRegexExtract _))
+
+  val oracle: Map[String, String] = Map(
+    "q09_topk" -> qTopkSql,
+    "q10_value_counts" -> qValueCountsSql,
+    "q11_having" -> qHavingSql,
+    "q12_nunique_per_group" -> qNuniquePerGroupSql,
+    "q13_collect_set_explode" -> qCollectSetExplodeSql,
+    "q14_semi_join" -> qSemiJoinSql,
+    "q15_anti_join" -> qAntiJoinSql,
+    "q16_except" -> qExceptSql,
+    "q17_union_cols" -> qUnionColsSql,
+    "q18_quantile_iqr" -> qQuantileIqrSql,
+    "q19_null_count" -> qNullCountSql,
+    "q20_dup_count" -> qDupCountSql,
+    "q21_binning" -> qBinningSql,
+    "q22_piecewise" -> qPiecewiseSql,
+    "q23_colstats" -> qColStatsSql,
+    "q24_multi_avg" -> qMultiAvgSql,
+    "q25_distinct_proj" -> qDistinctProjSql,
+    "q26_range_filter" -> qRangeFilterSql,
+    "q27_multicol_filter" -> qMulticolFilterSql,
+    "q28_sort_limit" -> qSortLimitSql,
+    "q29_window_topn" -> qWindowTopnSql,
+    "q30_json_extract" -> qJsonExtractSql,
+    "q31_regex_extract" -> qRegexExtractSql)
+}

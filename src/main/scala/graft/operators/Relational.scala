@@ -6,14 +6,24 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
-/** Core relational aggregation operators (SURVEY.md §2.4 A1–A5) expressed
-  * over the synthetic TPC-H-ish tables.
+/** Core relational operators: the reference's seven Gold aggregation queries
+  * (reference sql/gold/01..07_*.sql) re-expressed over the synthetic star
+  * schema. Mapping: `premios` (fact) → `lineitem`, `sorteos` (draw dim) →
+  * `orders`, `vendedor` sentinel `'NO VENDIDO'` → `l_returnflag = 'N'`,
+  * geo dims → `supplier`/`nation`.
   *
-  * Determinism note: double summation order varies across partitions, so
-  * every SUM/AVG over a double column goes through an exact decimal
-  * accumulation and is cast back to double ([[Relational.dsum]]). Results are
-  * bit-identical run-to-run and hash-comparable against the DuckDB oracle at
-  * any partition count — the property survives a 1000-executor scale-up.
+  * Scale notes (the plans these produce at 100 TB):
+  *  - fact⋈draw joins shuffle on the natural key (orderkey) — co-partitioned
+  *    aggregation follows the join with no extra exchange.
+  *  - genuinely-small dims (supplier, nation) are broadcast explicitly; the
+  *    big join never broadcasts.
+  *  - every aggregate is a partial+final HashAggregate (map-side combine) —
+  *    verified via .explain in the plan audit.
+  *
+  * Determinism: double summation order varies across partitions, so every
+  * SUM over a double column accumulates as decimal(28,6) and casts back to
+  * double ([[Relational.dsum]]). Results are bit-identical run-to-run and
+  * hash-comparable against the DuckDB oracle at any partition count.
   */
 object Relational {
 
@@ -22,6 +32,14 @@ object Relational {
     * `CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`.
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  /** Oracle-side SQL spelling of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Order-insensitive exact mean: decimal-sum / count, both deterministic. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+  def davgSql(expr: String): String = s"${dsumSql(expr)} / COUNT($expr)"
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
@@ -49,4 +67,211 @@ object Relational {
       |  MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Gold 01 (draw summary, reference 01_gold_draw_summary.sql:33-50): join
+    * fact⋈draw, per-draw COUNT / FILTERed COUNT / NULLIF-guarded ROUND ratio
+    * / SUM / FILTERed SUM / MAX. Covers J1, A2 (null-skipping COUNT(col) via
+    * a NULLIF-derived nullable column), A3, A4, A5, C3, C4, F2.
+    *
+    * The `<>` sentinel predicate is null-rejecting exactly like the
+    * reference's `vendedor <> 'NO VENDIDO'` (01:38-39).
+    */
+  def qDrawSummary(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+      // nullable "prize number": NULL when linenumber = 1 — exercises the
+      // COUNT(col)-skips-nulls half of A2 (the testdata has no native nulls).
+      .withColumn("item_id", nullif(col("l_linenumber"), lit(1)))
+    val flagged = col("l_returnflag") =!= "N"
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(col("item_id")).as("total_items"),
+        count(lit(1)).as("total_rows"),
+        count(when(flagged, col("item_id"))).as("items_flagged"),
+        round(lit(100.0) * count(when(flagged, col("item_id"))) /
+          nullif(count(col("item_id")), lit(0)), 2).as("pct_flagged"),
+        dsum(col("l_extendedprice")).as("total_price"),
+        dsum(when(flagged, col("l_extendedprice"))).as("price_flagged"),
+        max(col("l_extendedprice")).as("top_price"))
+  }
+
+  val qDrawSummarySql: String =
+    s"""WITH l AS (SELECT *, NULLIF(l_linenumber, 1) AS item_id FROM lineitem)
+       |SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority,
+       |  COUNT(l.item_id) AS total_items,
+       |  COUNT(*) AS total_rows,
+       |  COUNT(l.item_id) FILTER (WHERE l.l_returnflag <> 'N') AS items_flagged,
+       |  ROUND(CAST(100.0 AS DOUBLE) * COUNT(l.item_id) FILTER (WHERE l.l_returnflag <> 'N')
+       |        / NULLIF(COUNT(l.item_id), 0), 2) AS pct_flagged,
+       |  ${dsumSql("l.l_extendedprice")} AS total_price,
+       |  ${dsumSql("CASE WHEN l.l_returnflag <> 'N' THEN l.l_extendedprice END")} AS price_flagged,
+       |  MAX(l.l_extendedprice) AS top_price
+       |FROM orders o JOIN l ON l.l_orderkey = o.o_orderkey
+       |GROUP BY o.o_orderkey, o.o_orderstatus, o.o_orderpriority""".stripMargin
+
+  /** Gold 02 (winning-number frequency, reference
+    * 02_gold_winning_number_frequency.sql:22-29): single-key group with
+    * IS-NOT-NULL pre-filter, COUNT(*) / SUM / MAX. Covers A1, A4, F1.
+    */
+  def qNumberFrequency(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_partkey").isNotNull)
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("veces_ganador"),
+        dsum(col("l_extendedprice")).as("total_monto"),
+        max(col("l_extendedprice")).as("max_monto"))
+
+  val qNumberFrequencySql: String =
+    s"""SELECT l_partkey,
+       |  COUNT(*) AS veces_ganador,
+       |  ${dsumSql("l_extendedprice")} AS total_monto,
+       |  MAX(l_extendedprice) AS max_monto
+       |FROM lineitem WHERE l_partkey IS NOT NULL
+       |GROUP BY l_partkey""".stripMargin
+
+  /** Gold 03 (terminations, reference 03_gold_terminations.sql:27-33):
+    * group by the computed key `LPAD(CAST(x % 100 AS STRING), 2, '0')` —
+    * length-robust last-2-digits. Covers C1 and expression group keys.
+    */
+  def qTerminations(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_partkey").isNotNull)
+      .groupBy(lpad((col("l_partkey") % 100).cast("string"), 2, "0").as("terminacion"))
+      .agg(
+        count(lit(1)).as("veces_ganador"),
+        dsum(col("l_extendedprice")).as("total_monto"))
+
+  val qTerminationsSql: String =
+    s"""SELECT LPAD(CAST(l_partkey % 100 AS VARCHAR), 2, '0') AS terminacion,
+       |  COUNT(*) AS veces_ganador,
+       |  ${dsumSql("l_extendedprice")} AS total_monto
+       |FROM lineitem WHERE l_partkey IS NOT NULL
+       |GROUP BY LPAD(CAST(l_partkey % 100 AS VARCHAR), 2, '0')""".stripMargin
+
+  /** Gold 04 (letters distribution, reference
+    * 04_gold_letters_distribution.sql:22-28): low-cardinality categorical
+    * group with IS-NOT-NULL filter.
+    */
+  def qLettersDistribution(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_returnflag").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("veces_ganador"),
+        dsum(col("l_extendedprice")).as("total_monto"))
+
+  val qLettersDistributionSql: String =
+    s"""SELECT l_returnflag,
+       |  COUNT(*) AS veces_ganador,
+       |  ${dsumSql("l_extendedprice")} AS total_monto
+       |FROM lineitem WHERE l_returnflag IS NOT NULL
+       |GROUP BY l_returnflag""".stripMargin
+
+  /** Gold 05 (geo winnings, reference 05_gold_geo_winnings.sql:26-37):
+    * fact ⋈ two small dims (broadcast), sentinel + not-null filters, group
+    * by (geo, YEAR). Covers J1-broadcast, C2, F1, F2.
+    *
+    * supplier and nation are genuinely small (100 / 25 rows; bounded in any
+    * real deployment) — broadcast both so the fact table never shuffles.
+    */
+  def qGeoWinnings(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .where(col("l_returnflag") =!= "N" && col("l_shipdate").isNotNull)
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("year"))
+      .agg(
+        count(lit(1)).as("num_ganadores"),
+        dsum(col("l_extendedprice")).as("total_monto"))
+  }
+
+  val qGeoWinningsSql: String =
+    s"""SELECT n.n_name, YEAR(l.l_shipdate) AS year,
+       |  COUNT(*) AS num_ganadores,
+       |  ${dsumSql("l.l_extendedprice")} AS total_monto
+       |FROM lineitem l
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |WHERE l.l_returnflag <> 'N' AND l.l_shipdate IS NOT NULL
+       |GROUP BY n.n_name, YEAR(l.l_shipdate)""".stripMargin
+
+  /** Gold 06 (vendor leaderboard, reference
+    * 06_gold_vendor_leaderboard.sql:27-38): per-vendor per-year totals with
+    * both null and sentinel exclusion (the two are distinct states —
+    * reference 06:35-36 filters both explicitly).
+    */
+  def qVendorLeaderboard(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val sup = t(s, dir, "supplier")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .where(col("s_name").isNotNull && col("l_returnflag") =!= "N" &&
+        col("o_orderdate").isNotNull)
+      .groupBy(col("s_name"), year(col("o_orderdate")).as("year"))
+      .agg(
+        count(lit(1)).as("num_premios"),
+        dsum(col("l_extendedprice")).as("total_monto"))
+  }
+
+  val qVendorLeaderboardSql: String =
+    s"""SELECT s.s_name, YEAR(o.o_orderdate) AS year,
+       |  COUNT(*) AS num_premios,
+       |  ${dsumSql("l.l_extendedprice")} AS total_monto
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |WHERE s.s_name IS NOT NULL AND l.l_returnflag <> 'N'
+       |  AND o.o_orderdate IS NOT NULL
+       |GROUP BY s.s_name, YEAR(o.o_orderdate)""".stripMargin
+
+  /** Gold 07 (time series, reference 07_gold_time_series.sql:27-37):
+    * per (YEAR, MONTH): COUNT(DISTINCT draw), COUNT(item), SUM. Covers A6
+    * (exact distinct inside group), C2.
+    */
+  def qTimeSeries(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .where(col("o_orderdate").isNotNull)
+      .groupBy(year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("num_sorteos"),
+        count(col("l_partkey")).as("num_premios"),
+        dsum(col("l_extendedprice")).as("total_monto"))
+  }
+
+  val qTimeSeriesSql: String =
+    s"""SELECT YEAR(o.o_orderdate) AS year, MONTH(o.o_orderdate) AS month,
+       |  COUNT(DISTINCT o.o_orderkey) AS num_sorteos,
+       |  COUNT(l.l_partkey) AS num_premios,
+       |  ${dsumSql("l.l_extendedprice")} AS total_monto
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE o.o_orderdate IS NOT NULL
+       |GROUP BY YEAR(o.o_orderdate), MONTH(o.o_orderdate)""".stripMargin
+
+  /** All gold-query entries, keyed for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_multikey" -> (q1Agg _),
+    "q02_draw_summary" -> (qDrawSummary _),
+    "q03_number_frequency" -> (qNumberFrequency _),
+    "q04_terminations" -> (qTerminations _),
+    "q05_letters_distribution" -> (qLettersDistribution _),
+    "q06_geo_winnings" -> (qGeoWinnings _),
+    "q07_vendor_leaderboard" -> (qVendorLeaderboard _),
+    "q08_time_series" -> (qTimeSeries _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_multikey" -> q1Sql,
+    "q02_draw_summary" -> qDrawSummarySql,
+    "q03_number_frequency" -> qNumberFrequencySql,
+    "q04_terminations" -> qTerminationsSql,
+    "q05_letters_distribution" -> qLettersDistributionSql,
+    "q06_geo_winnings" -> qGeoWinningsSql,
+    "q07_vendor_leaderboard" -> qVendorLeaderboardSql,
+    "q08_time_series" -> qTimeSeriesSql)
 }

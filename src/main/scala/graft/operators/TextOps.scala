@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Relational.{dsum, dsumSql}
+
+/** Large-scale training-data text operators over the `documents` table:
+  * exact dedup, token analysis, quality scoring, fingerprinting, shingling,
+  * simhash, minhash/LSH, and a naive-Bayes language identifier.
+  *
+  * Scale design: every op is expressed as explode → hash-aggregate (or
+  * higher-order array functions evaluated row-local), so the only shuffles
+  * are on (doc, token/shingle) keys; nothing collects to the driver and no
+  * all-pairs products exist — near-dup candidate generation goes through
+  * banded LSH buckets ([[TextOps.minhashCandidates]]).
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Exact content dedup via hash group-by (the 100 TB shape: shuffle on the
+    * 128-bit content hash, never a driver-side set). Emits one row per
+    * distinct content with the surviving doc id and multiplicity.
+    */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Token counting + global term frequency: whitespace tokenize, explode,
+    * hash-aggregate; top-50 with token tiebreak (deterministic LIMIT set).
+    */
+  def qTokenFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(50)
+
+  val qTokenFreqSql: String =
+    """SELECT token, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin
+
+  /** Per-document quality scoring: token count, distinct-token count,
+    * mean token length, stopword ratio, and a piecewise quality label.
+    * All array math is row-local higher-order functions — no shuffle at all
+    * until the (absent) aggregation; scales embarrassingly.
+    */
+  def qDocQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        (expr("CAST(aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x) AS DOUBLE)")
+          / size(col("toks"))).as("mean_token_len"),
+        (expr("CAST(size(filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)")
+          / size(col("toks"))).as("stopword_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("stopword_ratio") > 0.2, "boilerplate")
+          .otherwise("ok"))
+
+  val qDocQualitySql: String =
+    """WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  length(text) AS n_chars_calc,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+      |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |    / len(toks) AS mean_token_len,
+      |  CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+      |    / len(toks) AS stopword_ratio,
+      |  CASE WHEN len(toks) < 20 THEN 'too_short'
+      |       WHEN CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+      |            / len(toks) > 0.2 THEN 'boilerplate'
+      |       ELSE 'ok' END AS quality
+      |FROM d""".stripMargin
+
+  /** Per-language corpus stats (A1 over text metadata + A6 + exact mean). */
+  def qLangStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (dsum(col("n_chars").cast("double")) / count(col("n_chars"))).as("mean_chars"),
+        countDistinct(col("source")).as("n_sources"))
+
+  val qLangStatsSql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  ${dsumSql("n_chars")} / COUNT(n_chars) AS mean_chars,
+       |  COUNT(DISTINCT source) AS n_sources
+       |FROM documents GROUP BY lang""".stripMargin
+
+  /** Document fingerprinting: stable 64-bit-equivalent content fingerprint
+    * (md5 prefix) per doc, plus the fingerprint-space distribution (first
+    * hex byte) proving uniformity.
+    */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(substring(md5(col("text").cast("binary")), 1, 16).as("fingerprint"))
+      .groupBy(substring(col("fingerprint"), 1, 2).as("fp_prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val qFingerprintSql: String =
+    """SELECT substring(md5(text), 1, 2) AS fp_prefix, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Word-3-gram shingling stats per document (the dedup building block). */
+  def qShingleStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct_shingles"))
+
+  val qShingleStatsSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, toks,
+      |         unnest(generate_series(1, len(toks) - 2)) AS i FROM d)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  COUNT(DISTINCT array_to_string(toks[i:i+2], ' ')) AS n_distinct_shingles
+      |FROM sh GROUP BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Non-SQL-expressible ops (rows-only driver check + ScalaTest oracles)
+  // --------------------------------------------------------------------
+
+  /** 64-bit simhash per document: per-token xxhash64, each bit votes ±1,
+    * sign of the vote sum becomes the bit. Entirely explode + one
+    * hash-aggregate of 64 codegen'd SUMs — shuffle key is doc_id only.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .withColumn("h", xxhash64(col("token")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val assembled = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _) // distinct powers of two: addition == bitwise OR
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    simhash(t(s, dir, "documents"))
+
+  /** SimHash near-dup pairs: block on 4×16-bit sub-bands (a pair within
+    * hamming ≤ 4 of 64 bits must agree exactly on ≥1 of the 4 bands —
+    * pigeonhole), then verify hamming via bit_count(xor). Banded blocking,
+    * never all-pairs.
+    */
+  def simhashNearDups(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'key', (simhash >> (b * 16)) & 65535))"))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  private val MinhashK = 32
+  private val MinhashBands = 8 // 8 bands x 4 rows
+
+  /** MinHash signatures (k=32) over word-3-gram shingles, plus the 8 banded
+    * LSH keys. One explode + one hash-aggregate of 32 codegen'd MINs.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("toks", toks(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .as("shingle"))
+      .distinct()
+    val mins = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until MinhashBands).map { b =>
+      xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as(s"band$b")
+    }
+    sig.select(col("doc_id") +: array((0 until MinhashK).map(i => col(s"m$i")): _*).as("signature") +: bandCols: _*)
+  }
+
+  def qMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(t(s, dir, "documents"))
+
+  /** LSH candidate pairs: docs agreeing on ≥1 of the 8 band keys. */
+  def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until MinhashBands).map(b =>
+        struct(lit(b).as("band"), col(s"band$b").as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard via an inverted shingle index (join on shingle →
+    * common counts → |A∪B| = |A|+|B|-common). Bucketed by shingle; the skew
+    * guard drops ubiquitous shingles (df > maxDf) like a stopword filter —
+    * at 100 TB those buckets would otherwise quadratically dominate.
+    */
+  def jaccardPairs(docs: DataFrame, maxDf: Long = 1000): DataFrame = {
+    val sh = docs
+      .withColumn("toks", toks(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val keep = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= maxDf),
+      Seq("shingle"))
+    val a = keep.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = keep.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+  }
+
+  /** Top-20 most-similar document pairs by exact 3-gram Jaccard. */
+  def qJaccardTopPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(t(s, dir, "documents"))
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+
+  /** Naive-Bayes language ID (n-gram/token heuristic): train token
+    * likelihoods on even doc_ids, classify odd doc_ids, report per-language
+    * accuracy. All joins are broadcast (vocab/profiles are small by
+    * construction); the corpus side only explodes and aggregates.
+    */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val tok = docs.select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val train = tok.where(col("doc_id") % 2 === 0)
+    val test = tok.where(col("doc_id") % 2 === 1)
+
+    val langTotals = train.groupBy("lang").agg(count(lit(1)).as("lang_n"))
+    val vocab = train.agg(countDistinct(col("token")).as("v"))
+    // log P(token|lang) with add-one smoothing, pivoted to one row per token
+    val profile = train.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(langTotals), "lang")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp", log((col("tf") + 1).cast("double") / (col("lang_n") + col("v"))))
+      .groupBy("token").pivot("lang", langs).agg(first("logp"))
+    // unseen-token default per lang: log(1 / (lang_n + V))
+    val defaults = langTotals.crossJoin(vocab)
+      .withColumn("logp0", log(lit(1.0) / (col("lang_n") + col("v"))))
+      .groupBy().pivot("lang", langs).agg(first("logp0"))
+    val defCols = langs.map(l => col(l).as(s"def_$l"))
+    val scored = test
+      .join(broadcast(profile.withColumnRenamed("token", "ptoken")),
+        col("token") === col("ptoken"), "left")
+      .crossJoin(broadcast(defaults.select(defCols: _*)))
+      .select(col("doc_id") +: col("lang").as("true_lang") +:
+        langs.map(l => coalesce(col(l), col(s"def_$l")).as(s"s_$l")): _*)
+      .groupBy(col("doc_id"), col("true_lang"))
+      .agg(langs.map(l => sum(col(s"s_$l")).as(s"sc_$l")).head,
+        langs.map(l => sum(col(s"s_$l")).as(s"sc_$l")).tail: _*)
+    val best = langs.map(l => struct(col(s"sc_$l").as("score"), lit(l).as("lang")))
+    val pred = scored.withColumn("pred_lang", greatest(best: _*).getField("lang"))
+    pred.groupBy(col("true_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_lang") === col("true_lang"), 1).otherwise(0)).as("n_correct"))
+  }
+
+  /** approx_count_distinct (HLL sketch) vs exact, side by side — the sketch
+    * is what survives 100 TB; the exact column is the local ground truth.
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val d = t(s, dir, "documents")
+    l.agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+      .crossJoin(d.agg(
+        approx_count_distinct(col("text")).as("approx_texts"),
+        countDistinct(col("text")).as("exact_texts")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> (qDedupExact _),
+    "q41_token_freq" -> (qTokenFreq _),
+    "q42_doc_quality" -> (qDocQuality _),
+    "q43_lang_stats" -> (qLangStats _),
+    "q44_fingerprint" -> (qFingerprint _),
+    "q45_shingle_stats" -> (qShingleStats _),
+    "q46_langid" -> (qLangId _),
+    "q47_simhash" -> (qSimhash _),
+    "q48_minhash" -> (qMinhash _),
+    "q49_jaccard_top_pairs" -> (qJaccardTopPairs _),
+    "q50_approx_distinct" -> (qApproxDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" -> qDedupExactSql,
+    "q41_token_freq" -> qTokenFreqSql,
+    "q42_doc_quality" -> qDocQualitySql,
+    "q43_lang_stats" -> qLangStatsSql,
+    "q44_fingerprint" -> qFingerprintSql,
+    "q45_shingle_stats" -> qShingleStatsSql)
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Relational.{dsum, dsumSql}
+
+/** Event-stream analytics over the `events` table (batch forms; the
+  * streaming execution of the same logic is exercised in StreamingSpec with
+  * readStream + Trigger.AvailableNow).
+  *
+  * Timestamps: events.ts is nanos-since-epoch (read as long, see
+  * Session nanosAsLong); all oracle-compared boundaries are epoch
+  * milliseconds so engine-specific timestamp precision never leaks into the
+  * comparison.
+  */
+object Events {
+
+  private val NsPerHour = 3600L * 1000 * 1000 * 1000
+
+  /** Hourly tumbling-window rollup per event type — the batch shape of a
+    * windowed streaming aggregation. Bucket key = epoch-ms of the hour start.
+    */
+  def qEventHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(
+        (expr(s"ts DIV $NsPerHour") * 3600000L).as("hour_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  val qEventHourlySql: String =
+    s"""SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+       |  event_type, COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization: per-user sessions with a 30-minute inactivity gap,
+    * via `session_window` (the streaming-native session operator, usable
+    * identically under readStream with a watermark). Session identity is
+    * reported as epoch-ms of the first event so the oracle (a
+    * gaps-and-islands rewrite) compares exactly.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        (unix_micros(max(col("ts_utc"))) - unix_micros(min(col("ts_utc")))).as("dur_us"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"), col("dur_us"))
+
+  val qSessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, value,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+       |      (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM events),
+       |s AS (
+       |  SELECT *, SUM(new_session) OVER
+       |    (PARTITION BY user_id ORDER BY us
+       |     ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM e)
+       |SELECT user_id, MIN(us) AS session_start_us,
+       |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value,
+       |  MAX(us) - MIN(us) AS dur_us
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_event_hourly" -> (qEventHourly _),
+    "q33_sessionize" -> (qSessionize _))
+
+  val oracle: Map[String, String] = Map(
+    "q32_event_hourly" -> qEventHourlySql,
+    "q33_sessionize" -> qSessionizeSql)
+}

@@ -18,10 +18,28 @@ object SparkEntry {
   def entry(spark: SparkSession, sfDir: String): DataFrame =
     Relational.q1Agg(spark, sfDir)
 
+  /** Fixture draws for the parser-pipeline queries (path-independent of the
+    * testdata sfDir; rows-only correctness, deep-checked in ScalaTest).
+    */
+  private val fixtureGlob =
+    s"${sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo")}/data/fixtures/raw/year=*/sorteo=*/*.txt"
+
+  private def fixtureSilver(s: SparkSession) = {
+    val draws = graft.parse.Silver.parseDraws(graft.parse.Silver.rawDraws(s, fixtureGlob))
+    (graft.parse.Silver.sorteos(draws).toDF(), graft.parse.Silver.premios(draws).toDF())
+  }
+
+  private val parseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_parse_silver_premios" -> ((s, _) => fixtureSilver(s)._2),
+    "q61_parse_silver_sorteos" -> ((s, _) => fixtureSilver(s)._1),
+    "q62_gold_draw_summary" -> ((s, _) => {
+      val (so, pr) = fixtureSilver(s); graft.gold.Gold.drawSummary(so, pr)
+    }))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ graft.streaming.Events.queries ++
-      TextOps.queries ++ Similarity.queries
+      TextOps.queries ++ Similarity.queries ++ parseQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sinks and scans (SURVEY §2.1): Hive-partitioned and flat parquet silver
+  * sinks, the overwrite gold sink (which subsumes the reference's whole
+  * purge-Lambda + CTAS dance, purge_and_load.py:65-114 — S13/S14), CSV
+  * scan/sink, and catalog registration.
+  */
+object Writers {
+
+  /** S5: silver sink, Hive-partitioned by (year, sorteo)
+    * (reference transformer.py:253-258 layout
+    * `silver/{ds}/year=Y/sorteo=N/`). Append: each weekly run adds new
+    * partitions; idempotency comes from the incremental scan upstream
+    * ([[graft.parse.Silver.skipProcessed]]).
+    */
+  def writeSilverPartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("append").partitionBy("year", "sorteo").parquet(path)
+
+  /** S6: flat parquet sink (notebook convenience copies,
+    * transformer.py:244-248).
+    */
+  def writeFlat(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S13/S14: gold sink — full idempotent rebuild. `mode("overwrite")`
+    * replaces the reference's DROP TABLE + empty-the-prefix + CTAS
+    * choreography in one atomic writer call.
+    */
+  def writeGold(df: DataFrame, path: String, partitionByYear: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionByYear) w.partitionBy("year") else w).parquet(path)
+  }
+
+  /** S8: CSV scan (header + schema inference at the notebook boundary only —
+    * SURVEY §1.2: inference is allowed at Bronze/notebook edges, never for
+    * the silver contract).
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S9: CSV sink. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S11: catalog registration — temp views over silver, replacing the
+    * reference's Glue crawler (schemas are already enforced upstream).
+    */
+  def registerSilver(sorteos: DataFrame, premios: DataFrame): Unit = {
+    sorteos.createOrReplaceTempView("sorteos")
+    premios.createOrReplaceTempView("premios")
+  }
+}

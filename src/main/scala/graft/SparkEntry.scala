@@ -34,7 +34,9 @@ object SparkEntry {
     "q61_parse_silver_sorteos" -> ((s, _) => fixtureSilver(s)._1),
     "q62_gold_draw_summary" -> ((s, _) => {
       val (so, pr) = fixtureSilver(s); graft.gold.Gold.drawSummary(so, pr)
-    }))
+    }),
+    "q63_multimodal_features" ->
+      ((s, dir) => graft.multimodal.Multimodal.qMultimodalFeatures(s, dir)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

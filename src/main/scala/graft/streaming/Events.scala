@@ -20,14 +20,18 @@ object Events {
   private val NsPerHour = 3600L * 1000 * 1000 * 1000
 
   /** Hourly tumbling-window rollup per event type — the batch shape of a
-    * windowed streaming aggregation. Bucket key = epoch-ms of the hour start.
+    * windowed streaming aggregation (StreamingSpec runs the same function
+    * under readStream). Bucket key = epoch-ms of the hour start.
     */
-  def qEventHourly(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(
         (expr(s"ts DIV $NsPerHour") * 3600000L).as("hour_ms"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  def qEventHourly(s: SparkSession, dir: String): DataFrame =
+    hourlyAgg(Tables.load(s, dir, "events"))
 
   val qEventHourlySql: String =
     s"""SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,

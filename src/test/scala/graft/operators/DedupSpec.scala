@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Near-dup mining oracles that SQL can't express: planted near-duplicates
+  * must be recovered by the MinHash/LSH and SimHash paths, with exact
+  * Jaccard as ground truth.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val vocab = Array("spark", "data", "join", "merge", "sort", "hash",
+    "table", "scan", "row", "column", "batch", "stream", "query", "filter",
+    "group", "agg", "window", "key", "value", "part", "order", "line",
+    "fast", "slow", "big", "small", "the", "a")
+
+  /** 40 base docs of 60 tokens + 10 near-dups (one token mutated →
+    * shingle-Jaccard ≈ 0.90) + 2 exact dups. Fixed seed.
+    */
+  private lazy val docs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val nearDups = (0 until 10).map { i =>
+      val toks = base(i)._2.split(" ")
+      toks(30) = "MUTATED"
+      (100L + i, toks.mkString(" "))
+    }
+    val exactDups = Seq((200L, base(20)._2), (201L, base(21)._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  private val plantedPairs = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+
+  test("exact Jaccard ground truth: planted pairs score ≈ 0.9, exact dups 1.0") {
+    val pairs = TextOps.jaccardPairs(docs)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    plantedPairs.foreach { p =>
+      assert(pairs.contains(p), s"planted pair $p not found by inverted index")
+      assert(pairs(p) > 0.8 && pairs(p) < 1.0, s"unexpected jaccard ${pairs(p)} for $p")
+    }
+    assert(pairs((20L, 200L)) == 1.0)
+    assert(pairs((21L, 201L)) == 1.0)
+  }
+
+  test("MinHash LSH candidates recover planted near-dups (recall ≥ 0.8)") {
+    val sigs = TextOps.minhashSignatures(docs)
+    val cands = TextOps.minhashCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = plantedPairs.count(cands.contains)
+    assert(recalled >= 8, s"LSH recalled only $recalled/10 planted pairs")
+    // exact dups are certain candidates (identical signatures)
+    assert(cands.contains((20L, 200L)) && cands.contains((21L, 201L)))
+  }
+
+  test("MinHash signature agreement estimates Jaccard for exact dups") {
+    val sigs = TextOps.minhashSignatures(docs)
+    val s20 = sigs.where(col("doc_id") === 20).select("signature").collect().head.getSeq[Long](0)
+    val s200 = sigs.where(col("doc_id") === 200).select("signature").collect().head.getSeq[Long](0)
+    assert(s20 == s200) // identical text → identical minhash signature
+  }
+
+  test("SimHash: identical text → identical hash; near-dup → small hamming; pairs mined via bands") {
+    val sims = TextOps.simhash(docs)
+    val byId = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(20L) == byId(200L))
+    val planted = plantedPairs.map { case (a, b) =>
+      java.lang.Long.bitCount(byId(a) ^ byId(b))
+    }
+    assert(planted.forall(_ <= 12), s"planted hamming distances too large: $planted")
+    val found = TextOps.simhashNearDups(sims, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plantedPairs.count(found.contains) >= 8)
+  }
+
+  test("exact dedup collapses identical content, keeps min doc_id") {
+    val deduped = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+    assert(deduped.count() == 50) // 52 docs, 2 exact dup pairs collapse
+    val dups = deduped.where(col("n") > 1).collect()
+    assert(dups.map(_.getAs[Long]("keep_id")).toSet == Set(20L, 21L))
+  }
+
+  test("langid query is deterministic and covers every language") {
+    val a = TextOps.qLangId(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = TextOps.qLangId(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    assert(a.map(_._1) == Set("de", "en", "es", "fr", "zh"))
+    assert(a.forall { case (_, n, correct) => correct >= 0 && correct <= n })
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** LSH ANN recall against brute-force ground truth on planted
+  * near-duplicate vectors, plus sketch-accuracy bounds.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dim = 64
+
+  /** 100 random unit-ish vectors + 10 near-dups (tiny perturbation →
+    * cosine ≈ 0.998). Fixed seed.
+    */
+  private lazy val vecs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 100).map(i => (i.toLong, unit(), i % 5))
+    val nearDups = (0 until 10).map { i =>
+      val v = base(i)._2.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (500L + i, v.map(_ / n), i % 5)
+    }
+    (base ++ nearDups).toDF("vec_id", "embedding", "label")
+  }
+
+  private val plantedPairs = (0 until 10).map(i => (i.toLong, 500L + i)).toSet
+
+  test("LSH candidate pairs recover planted near-identical vectors (recall ≥ 0.6)") {
+    val cands = Similarity.lshCandidatePairs(spark, vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = plantedPairs.count(cands.contains)
+    assert(recalled >= 6, s"LSH recalled only $recalled/10 planted near-dup pairs")
+    // and the bucketing actually prunes: far fewer candidates than all pairs
+    val allPairs = 110L * 109 / 2
+    assert(cands.size < allPairs / 2, s"LSH pruned nothing: ${cands.size} candidates")
+  }
+
+  test("brute-force cosine on the real table ranks self-cluster neighbors sanely") {
+    val top = Similarity.qAnnBruteForce(spark, "/root/testdata/sf0.001")
+    val rows = top.collect()
+    assert(rows.length == 50) // 10 queries x top-5
+    assert(rows.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-9))
+    // ranks are 1..5 per query
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.values.forall(_.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("centroids: one row per (label, pos); components finite") {
+    val c = Similarity.qCentroids(spark, "/root/testdata/sf0.001").collect()
+    assert(c.length == 10 * dim)
+    assert(c.forall(r => !r.getAs[Double]("centroid").isNaN))
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val r = TextOps.qApproxDistinct(spark, "/root/testdata/sf0.001").collect().head
+    val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+    val (at, et) = (r.getAs[Long]("approx_texts"), r.getAs[Long]("exact_texts"))
+    assert(math.abs(ap - ep).toDouble / ep < 0.10, s"parts sketch off: $ap vs $ep")
+    assert(math.abs(at - et).toDouble / et < 0.10, s"texts sketch off: $at vs $et")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The hourly windowed aggregation executed as a genuine Structured
+  * Streaming job (readStream file source → Trigger.AvailableNow → memory
+  * sink) must agree exactly with its batch execution — same function,
+  * two engines.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly agg (AvailableNow) matches batch exactly") {
+    val batchDf = Tables.load(spark, dir, "events")
+    val schema = batchDf.schema
+    // the file stream source wants a directory of arriving files
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    assert(stream.isStreaming)
+
+    val q = Events.hourlyAgg(stream).writeStream
+      .format("memory")
+      .queryName("hourly_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hourly_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Events.hourlyAgg(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("sessionize: per-user sessions split on >=30min gaps (spot-check invariants)") {
+    val sessions = Events.qSessionize(spark, dir).collect()
+    assert(sessions.nonEmpty)
+    // session durations never negative; event counts positive
+    assert(sessions.forall(r => r.getAs[Long]("dur_us") >= 0))
+    assert(sessions.forall(r => r.getAs[Long]("n_events") >= 1))
+    // total events across sessions == table rows
+    val total = sessions.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.load(spark, dir, "events").count())
+  }
+}

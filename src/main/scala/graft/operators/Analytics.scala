@@ -161,9 +161,10 @@ object Analytics {
     */
   def qQuantileIqr(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
-    val q = l.agg(
-      expr("percentile(l_extendedprice, 0.25)").as("q1"),
-      expr("percentile(l_extendedprice, 0.75)").as("q3"))
+    // one pass builds one value-count map for both quantiles (two separate
+    // percentile aggs would each accumulate the full column)
+    val q = l.agg(expr("percentile(l_extendedprice, array(0.25, 0.75))").as("qs"))
+      .select(expr("qs[0]").as("q1"), expr("qs[1]").as("q3"))
     l.crossJoin(broadcast(q))
       .where(col("l_extendedprice").between(col("q1"), col("q3")))
       .agg(count(lit(1)).as("n_in_band"), dsum(col("l_extendedprice")).as("sum_in_band"),

@@ -21,21 +21,24 @@ import graft.Tables
   *    verified via .explain in the plan audit.
   *
   * Determinism: double summation order varies across partitions, so every
-  * SUM over a double column accumulates as decimal(28,6) and casts back to
+  * SUM over a double column accumulates as decimal(18,6) and casts back to
   * double ([[Relational.dsum]]). Results are bit-identical run-to-run and
   * hash-comparable against the DuckDB oracle at any partition count.
   */
 object Relational {
 
-  /** Order-insensitive exact sum of a double column: accumulate as
-    * decimal(28,6), return double. Oracle side:
-    * `CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)`.
+  /** Order-insensitive exact sum of a double column: accumulate as decimal,
+    * return double. Precision 18 keeps every per-row cast inside Spark's
+    * compact long-backed Decimal fast path (precision ≤ 18 avoids
+    * per-row java.math.BigDecimal allocation; the sum's buffer gets +10
+    * digits of headroom per Spark's sum typing). Oracle side:
+    * `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`.
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
   /** Oracle-side SQL spelling of [[dsum]]. */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
 
   /** Order-insensitive exact mean: decimal-sum / count, both deterministic. */
   def davg(c: Column): Column = dsum(c) / count(c)
@@ -60,9 +63,9 @@ object Relational {
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS n_rows,
       |  MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag, l_linestatus

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{Session, SparkEntry}
+
+/** Dev-only plan/timing probe: runs named queries with warmup, prints
+  * steady-state time and the formatted physical plan.
+  * Usage: runMain graft.tools.Profile <sfDir> <query...> [--plan]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val wantPlan = args.contains("--plan")
+    val names = args.drop(1).filterNot(_.startsWith("--"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, sfDir).count() // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"== $name: best ${times.min}%.3fs of ${times.map(t => f"$t%.2f").mkString(",")}")
+      if (wantPlan) println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

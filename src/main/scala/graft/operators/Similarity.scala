@@ -24,12 +24,23 @@ object Similarity {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   /** Sequential-fold double dot product of two float-array columns —
-    * bit-reproducible at any parallelism (per-row computation).
+    * bit-reproducible at any parallelism (per-row computation). Interpreted
+    * (higher-order functions don't codegen); kept as the composable
+    * reference implementation that [[graft.functions.CosineSimilarity]]
+    * must match bit-for-bit (asserted in SimilaritySpec).
     */
-  private def dotExpr(a: String, b: String): Column = expr(
+  def dotExpr(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
 
-  private def normExpr(a: String): Column = sqrt(dotExpr(a, a))
+  def normExpr(a: String): Column = sqrt(dotExpr(a, a))
+
+  /** Fused codegen cosine (custom Catalyst Expression, registered
+    * per-session; identical numerics to dotExpr/normExpr composition).
+    */
+  private def cosineCol(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("cosine_similarity", col(a), col(b))
+  }
 
   /** Brute-force cosine top-k: query vectors (vec_id < 10) broadcast against
     * the full corpus; rank per query with deterministic tiebreak.
@@ -41,8 +52,7 @@ object Similarity {
     val pairs = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
       .crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dotExpr("qvec", "nvec") / (normExpr("qvec") * normExpr("nvec")))
+      .withColumn("cosine", cosineCol(s, "qvec", "nvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -151,7 +161,7 @@ object Similarity {
     lshCandidatePairs(s, e)
       .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
       .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
-      .withColumn("cosine", dotExpr("va", "vb") / (normExpr("va") * normExpr("vb")))
+      .withColumn("cosine", cosineCol(s, "va", "vb"))
       .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
       .limit(20)
       .select(col("id_a"), col("id_b"), col("cosine"))

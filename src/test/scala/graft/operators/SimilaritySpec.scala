@@ -60,6 +60,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c.forall(r => !r.getAs[Double]("centroid").isNaN))
   }
 
+  test("codegen cosine_similarity expression matches the interpreted HOF fold bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val a = vecs.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val sample = a.where(col("ida") < 20).crossJoin(b.where(col("idb") < 20))
+    val cmp = sample
+      .withColumn("c_native", call_function("cosine_similarity", col("va"), col("vb")))
+      .withColumn("c_hof",
+        Similarity.dotExpr("va", "vb") / (Similarity.normExpr("va") * Similarity.normExpr("vb")))
+      .collect()
+    assert(cmp.length == 400)
+    cmp.foreach { r =>
+      val n = r.getAs[Double]("c_native")
+      val h = r.getAs[Double]("c_hof")
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h),
+        s"bit mismatch: $n vs $h")
+    }
+    // SQL form works too (function registered in the session catalog)
+    val viaSql = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").collect().head.getDouble(0)
+    assert(viaSql == 1.0)
+    // null / mismatch semantics
+    val nulls = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))), " +
+        "cosine_similarity(array(CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT)))").collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val r = TextOps.qApproxDistinct(spark, "/root/testdata/sf0.001").collect().head
     val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))

@@ -366,6 +366,94 @@ object Analytics {
       |  o_orderkey, o_totalprice
       |FROM orders QUALIFY rank <= 3""".stripMargin
 
+  /** A13 full: describe()-style summary incl. exact sample stddev, computed
+    * from order-insensitive decimal sums: var = (Σx² − (Σx)²/n)/(n−1), with
+    * every Σ exact decimal and the final arithmetic plain doubles — so the
+    * result is bit-identical at any partition count and in the oracle.
+    */
+  def qSummaryStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val xd = x.cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val sum1 = sum(xd).cast("double")
+    // square AFTER the decimal cast (identical exact decimals in both
+    // engines), then DROP to scale 6 before the double cast: a scale-12
+    // int128 unscaled value exceeds 2^53 and DuckDB's decimal→double is
+    // not correctly rounded there
+    val sum2 = sum(xd * xd).cast(org.apache.spark.sql.types.DecimalType(28, 6)).cast("double")
+    t(s, dir, "lineitem").agg(
+      count(x).as("cnt"),
+      min(x).as("min_qty"),
+      max(x).as("max_qty"),
+      (sum1 / count(x)).as("mean_qty"),
+      sqrt((sum2 - sum1 * sum1 / count(x)) / (count(x) - 1)).as("stddev_qty"))
+  }
+
+  val qSummaryStatsSql: String =
+    """WITH a AS (SELECT COUNT(l_quantity) AS cnt,
+      |    MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS s2
+      |  FROM lineitem)
+      |SELECT cnt, min_qty, max_qty, s1 / cnt AS mean_qty,
+      |  sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) AS stddev_qty
+      |FROM a""".stripMargin
+
+  /** C10: odds / percentage scalar math (reference
+    * visualization_sorteos_premios.ipynb cells 45-49: winning percentage and
+    * "1 in N" odds from constants + countDistinct).
+    */
+  def qOdds(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val total = l.agg(count(lit(1)).as("total"))
+    l.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .withColumn("pct_of_total",
+        round(lit(100.0) * col("n_rows") / col("total"), 2))
+      .withColumn("odds_one_in",
+        round(col("total").cast("double") / col("n_rows"), 2))
+      .drop("total")
+  }
+
+  val qOddsSql: String =
+    """WITH tot AS (SELECT COUNT(*) AS total FROM lineitem)
+      |SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+      |  COUNT(*) AS n_rows,
+      |  ROUND(CAST(100.0 AS DOUBLE) * COUNT(*) / MIN(tot.total), 2) AS pct_of_total,
+      |  ROUND(CAST(MIN(tot.total) AS DOUBLE) / COUNT(*), 2) AS odds_one_in
+      |FROM lineitem, tot
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** J2 faithful shape: full-outer merge with indicator
+    * (processed_vs_downloaded.ipynb cells 9-13: `indicator=True`, then
+    * filter `_merge == "right_only"`) — here summarized per indicator state.
+    */
+  def qSymDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").select(col("o_orderkey").as("key")).distinct()
+      .withColumn("in_a", lit(1))
+    val b = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("key")).distinct().withColumn("in_b", lit(1))
+    a.join(b, Seq("key"), "full_outer")
+      .withColumn("merge_state",
+        when(col("in_a").isNotNull && col("in_b").isNotNull, "both")
+          .when(col("in_a").isNotNull, "left_only")
+          .otherwise("right_only"))
+      .groupBy(col("merge_state")).agg(count(lit(1)).as("n_keys"))
+  }
+
+  val qSymDiffSql: String =
+    """WITH a AS (SELECT DISTINCT o_orderkey AS key, 1 AS in_a FROM orders),
+      |b AS (SELECT DISTINCT l_orderkey AS key, 1 AS in_b FROM lineitem
+      |      WHERE l_returnflag = 'R')
+      |SELECT CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL THEN 'both'
+      |            WHEN in_a IS NOT NULL THEN 'left_only'
+      |            ELSE 'right_only' END AS merge_state,
+      |  COUNT(*) AS n_keys
+      |FROM a FULL OUTER JOIN b USING (key)
+      |GROUP BY 1""".stripMargin
+
   /** C-json: JSON field extraction from a string column (events.props). */
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -415,7 +503,10 @@ object Analytics {
     "q28_sort_limit" -> (qSortLimit _),
     "q29_window_topn" -> (qWindowTopn _),
     "q30_json_extract" -> (qJsonExtract _),
-    "q31_regex_extract" -> (qRegexExtract _))
+    "q31_regex_extract" -> (qRegexExtract _),
+    "q34_summary_stats" -> (qSummaryStats _),
+    "q35_odds" -> (qOdds _),
+    "q36_sym_diff" -> (qSymDiff _))
 
   val oracle: Map[String, String] = Map(
     "q09_topk" -> qTopkSql,
@@ -440,5 +531,8 @@ object Analytics {
     "q28_sort_limit" -> qSortLimitSql,
     "q29_window_topn" -> qWindowTopnSql,
     "q30_json_extract" -> qJsonExtractSql,
-    "q31_regex_extract" -> qRegexExtractSql)
+    "q31_regex_extract" -> qRegexExtractSql,
+    "q34_summary_stats" -> qSummaryStatsSql,
+    "q35_odds" -> qOddsSql,
+    "q36_sym_diff" -> qSymDiffSql)
 }

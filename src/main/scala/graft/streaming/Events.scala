@@ -73,6 +73,39 @@ object Events {
        |  MAX(us) - MIN(us) AS dur_us
        |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** Streaming exact dedup: drop re-delivered events by id across
+    * micro-batches (state-backed under readStream; plain dropDuplicates in
+    * batch). The streaming-pipeline half of the dedup story — at-least-once
+    * sources become exactly-once facts.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  final case class UserRunningTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom streaming state (flatMapGroupsWithState): per-user running
+    * totals carried across micro-batches — the arbitrary-state shape that
+    * windowed aggregation can't express (emits the running value every
+    * batch, keeps state forever until timeout policy says otherwise).
+    */
+  def runningUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserRunningTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunningTotals, UserRunningTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunningTotals]) =>
+          val prev = state.getOption.getOrElse(UserRunningTotals(uid, 0L, 0d))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { case (_, v) => n += 1; s += v }
+          val next = UserRunningTotals(uid, n, s)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_hourly" -> (qEventHourly _),
     "q33_sessionize" -> (qSessionize _))

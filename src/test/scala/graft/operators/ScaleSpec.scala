@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted join is row-identical to the plain join on skewed data") {
+    import spark.implicits._
+    // skew: 90% of the big side carries one hot key
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong))
+      .toDF("k", "uid")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (0L, "z")).toDF("k", "v")
+    val plain = big.join(small, Seq("k")).select("k", "uid", "v")
+      .collect().map(_.toSeq).toSet
+    val salted = Scale.saltedJoin(big, small, "k", "uid").select("k", "uid", "v")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("salted distinct-count equals plain countDistinct per key") {
+    val l = Tables.load(spark, dir, "lineitem")
+    val plain = l.groupBy(col("l_suppkey")).agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedDistinctCount(l, "l_suppkey", "l_partkey")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // default warehouse (spark.sql.warehouse.dir is static); DROP TABLE cleans up
+    val l = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Scale.writeBucketed(l, "bkt_lineitem", "l_orderkey", 8)
+    Scale.writeBucketed(o, "bkt_orders", "l_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = Scale.bucketedJoin(spark, "bkt_lineitem", "bkt_orders", "l_orderkey")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // control: the same join over the raw (unbucketed) parquet DOES shuffle
+      val control = l.join(o, Seq("l_orderkey"))
+      control.count()
+      assert(control.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    }
+  }
+}

@@ -36,7 +36,15 @@ object SparkEntry {
       val (so, pr) = fixtureSilver(s); graft.gold.Gold.drawSummary(so, pr)
     }),
     "q63_multimodal_features" ->
-      ((s, dir) => graft.multimodal.Multimodal.qMultimodalFeatures(s, dir)))
+      ((s, dir) => graft.multimodal.Multimodal.qMultimodalFeatures(s, dir)),
+    "q64_facade_top_vendors" -> ((s, _) => {
+      val (so, pr) = fixtureSilver(s)
+      new graft.analytics.LotteryAnalytics(so, pr).topVendors(10)
+    }),
+    "q65_facade_winning_odds" -> ((s, _) => {
+      val (so, pr) = fixtureSilver(s)
+      new graft.analytics.LotteryAnalytics(so, pr).winningOdds()
+    }))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -167,10 +167,55 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Coarse-quantizer centroids as reassembled float vectors, one per
+    * cluster id (here the `label` column; in a real corpus a clustering
+    * pass produces it — the IVF mechanics are identical).
+    */
+  def centroidVectors(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
+        .as("cvec"))
+
+  /** IVF-style ANN: queries rank the (tiny, broadcast) centroid table,
+    * probe the nProbe nearest inverted lists, and re-rank ONLY those
+    * lists' vectors exactly. Work = |queries| × (corpus/nClusters × nProbe)
+    * instead of |queries| × corpus — the standard coarse-quantization
+    * scale path next to LSH (q53).
+    */
+  def annIvf(s: SparkSession, e: DataFrame, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = centroidVectors(e)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("label").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cscore", call_function("cosine_similarity", col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("label"))
+    val cands = probes.join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nvec"), col("label")), Seq("label"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", call_function("cosine_similarity", col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    annIvf(s, t(s, dir, "embeddings"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_ann_brute_force" -> (qAnnBruteForce _),
     "q52_centroids" -> (qCentroids _),
-    "q53_ann_lsh" -> (qAnnLsh _))
+    "q53_ann_lsh" -> (qAnnLsh _),
+    "q54_ann_ivf" -> (qAnnIvf _))
 
   val oracle: Map[String, String] = Map(
     "q51_ann_brute_force" -> qAnnBruteForceSql,

@@ -89,6 +89,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  /** The testdata embeddings are unclustered random vectors (labels carry
+    * no cosine structure — measured intra≈inter≈0), so IVF recall there is
+    * the nProbe/nClusters baseline by construction. The mechanism is tested
+    * on data with real cluster structure.
+    */
+  test("IVF ANN recalls brute-force neighbors on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centroids = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val clustered = (0 until 200).map { i =>
+      val c = i % 10
+      val v = centroids(c).map(x => x + 0.3f * rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (i.toLong, v.map(_ / n), c)
+    }.toDF("vec_id", "embedding", "label")
+
+    def neighborSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+
+    // brute-force ground truth over the same frame
+    graft.functions.GraftFunctions.register(spark)
+    val q = clustered.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val brute = neighborSet(clustered
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", call_function("cosine_similarity", col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5))
+
+    val ivf = neighborSet(Similarity.annIvf(spark, clustered))
+    assert(ivf.keySet == brute.keySet)
+    // keys is a Set — map through a Seq or identical per-query recalls dedup
+    val recall = brute.keys.toSeq.map(k => (ivf(k) & brute(k)).size / 5.0).sum / brute.size
+    assert(recall >= 0.8, s"IVF mean recall@5 too low on clustered data: $recall")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val r = TextOps.qApproxDistinct(spark, "/root/testdata/sf0.001").collect().head
     val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))

@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Canonical SparkSession builder for the engine.
   *
   * Config choices (all scale-motivated, see SURVEY.md §4/§7.4):
-  *  - `spark.sql.shuffle.partitions` defaults to the local core count; on a
-  *    real cluster AQE coalescing makes the initial number a ceiling, not a
-  *    tuning knob.
+  *  - `spark.sql.shuffle.partitions` defaults to 32 (the harness's
+  *    local[32] executor-thread count); on a real cluster AQE coalescing
+  *    makes the initial number a ceiling, not a tuning knob.
   *  - AQE on: runtime shuffle coalescing + skew-join splitting, so the same
   *    plans survive a 100× scale-up without re-tuning.
   *  - ANSI off: the reference's coercion semantics are pandas

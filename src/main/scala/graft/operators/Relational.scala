@@ -33,6 +33,12 @@ object Relational {
     * per-row java.math.BigDecimal allocation; the sum's buffer gets +10
     * digits of headroom per Spark's sum typing). Oracle side:
     * `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`.
+    *
+    * Input contract: finite doubles. On NaN/Infinity Spark's non-ANSI cast
+    * yields NULL (silently dropped from the SUM) while the DuckDB oracle's
+    * CAST raises — engine and oracle would diverge in behavior, so dirty
+    * numeric feeds must be cleansed (nanvl/isnan) upstream. The testdata
+    * is verified NaN-free.
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 

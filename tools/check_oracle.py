@@ -5,9 +5,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the same parquet tables,
-sorts columns by name, sorts rows, and compares values cell-by-cell
-(exact for non-floats, tiny epsilon report for floats). This is a local
-development aid only; the real gate is driver-side.
+sorts columns by name, sorts rows, and compares values cell-by-cell.
+Comparison is EXACT by design, floats included (repr bit-match): engine
+results are made bit-reproducible via decimal-accumulated sums
+(graft.operators.Relational.dsum) rather than tolerated via epsilon.
+This is a local development aid only; the real gate is driver-side.
 """
 import json
 import math

@@ -27,6 +27,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         once(fn) // warmup: plan + codegen + IO caches
+        System.gc() // don't let the previous query's garbage bill this one
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           once(fn)

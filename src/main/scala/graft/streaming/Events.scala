@@ -73,6 +73,20 @@ object Events {
        |  MAX(us) - MIN(us) AS dur_us
        |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** Watermarked tumbling-window aggregation — the production streaming
+    * shape: with `withWatermark` + append mode, a window emits exactly once,
+    * after the watermark passes its end, and state for closed windows is
+    * dropped (bounded state at 100 TB/day event volumes). Requires the
+    * derived `ts_utc` event-time column (Tables.events).
+    */
+  def hourlyWithWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts_utc", delay)
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hour_start_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: drop re-delivered events by id across
     * micro-batches (state-backed under readStream; plain dropDuplicates in
     * batch). The streaming-pipeline half of the dedup story — at-least-once

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-regression guards: the scale properties PLANS.md documents must
+  * survive refactors. String-level checks on the executed physical plan —
+  * coarse, but they catch the failure modes that matter (a lost broadcast,
+  * a lost pushdown, a full sort sneaking in, the custom expression
+  * silently replaced).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.count() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q09_topk plans TakeOrderedAndProject, never a global sort") {
+    val p = executedPlan("q09_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalLimit"), p)
+  }
+
+  test("q06_geo_winnings broadcasts both dims and pushes the sentinel filter") {
+    val p = executedPlan("q06_geo_winnings")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(p.contains("PushedFilters") && p.contains("Not(EqualTo(l_returnflag,N))"), p)
+  }
+
+  test("q40_dedup_exact shuffles once, on the content hash only") {
+    val p = executedPlan("q40_dedup_exact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q51_ann_brute_force uses the codegen cosine expression and group-limit pushdown") {
+    val p = executedPlan("q51_ann_brute_force")
+    assert(p.contains("cosine_similarity"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q03_number_frequency prunes the scan to the referenced columns") {
+    val p = executedPlan("q03_number_frequency")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"), p)
+  }
+}

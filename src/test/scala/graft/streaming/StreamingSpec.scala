@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -39,6 +40,38 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed.nonEmpty)
     assert(streamed == batch)
+  }
+
+  test("watermark + append mode emits only closed windows, matching batch for them") {
+    val batchDf = Tables.events(spark, dir)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_wm_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val stream = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema).parquet(streamDir)
+      .withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val q = Events.hourlyWithWatermark(stream)
+      .writeStream.format("memory").queryName("wm_hourly")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("wm_hourly").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = Events.hourlyWithWatermark(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty)
+    // append mode withholds windows newer than max(event_time) - delay;
+    // every emitted window must match batch exactly, and the only missing
+    // ones must be within the final watermark hold-back
+    assert(streamed.keySet.subsetOf(batch.keySet))
+    streamed.foreach { case (k, v) => assert(batch(k) == v, s"window $k differs") }
+    val maxUs = batchDf.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.unix_micros(col("ts_utc")))).collect().head.getLong(0)
+    val held = batch.keySet -- streamed.keySet
+    assert(held.forall { case (startUs, _) => startUs + 3600000000L > maxUs - 3600000000L },
+      s"closed windows missing from append output: $held")
   }
 
   test("streaming dedup drops re-delivered events across micro-batches") {

@@ -22,6 +22,33 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Word-3-gram shingle array of a `toks` column — row-local, no shuffle. */
+  private def shingleArr: Column = expr(
+    "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")
+
+  /** Distinct (doc_id, shingle) pairs. The dedup is row-local
+    * (`array_distinct` before the explode), so no distinct-shuffle is ever
+    * paid — the first shuffle any consumer sees is its own aggregation.
+    */
+  private def shinglesDistinct(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", toks(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingleArr)).as("shingle"))
+
+  /** Value 0-15 of the j-th (1-based) hex digit of an md5 hex string.
+    * Spelled via ascii() so the DuckDB oracle can evaluate the identical
+    * arithmetic: ascii(c)-48 for '0'..'9', ascii(c)-87 for 'a'..'f'.
+    */
+  private def hexDigit(h: Column, j: Int): Column = {
+    val a = ascii(substring(h, j, 1))
+    when(a < 58, a - 48).otherwise(a - 87)
+  }
+
+  /** DuckDB spelling of [[hexDigit]]. */
+  private def hexDigitSql(h: String, j: Int): String =
+    s"(CASE WHEN ascii(substring($h, $j, 1)) < 58 THEN ascii(substring($h, $j, 1)) - 48" +
+      s" ELSE ascii(substring($h, $j, 1)) - 87 END)"
+
   /** Exact content dedup via hash group-by (the 100 TB shape: shuffle on the
     * 128-bit content hash, never a driver-side set). Emits one row per
     * distinct content with the surviving doc id and multiplicity.
@@ -122,27 +149,31 @@ object TextOps {
     """SELECT substring(md5(text), 1, 2) AS fp_prefix, COUNT(*) AS n_docs
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Word-3-gram shingling stats per document (the dedup building block). */
+  /** Word-3-gram shingling stats per document (the dedup building block).
+    * Entirely row-local array math — no explode, no shuffle, no aggregate:
+    * the count of shingles is `size(shingles)` and the distinct count is
+    * `size(array_distinct(shingles))`, both computed inside the scan's
+    * project. At 100 TB this is a pure map over the corpus.
+    */
   def qShingleStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("toks", toks(col("text")))
       .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingleArr.as("shingles"))
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-          .as("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        countDistinct(col("shingle")).as("n_distinct_shingles"))
+        size(col("shingles")).as("n_shingles"),
+        size(array_distinct(col("shingles"))).as("n_distinct_shingles"))
 
   val qShingleStatsSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |           WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT doc_id, toks,
-      |         unnest(generate_series(1, len(toks) - 2)) AS i FROM d)
-      |SELECT doc_id, COUNT(*) AS n_shingles,
-      |  COUNT(DISTINCT array_to_string(toks[i:i+2], ' ')) AS n_distinct_shingles
-      |FROM sh GROUP BY doc_id""".stripMargin
+      |s AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(toks) - 2),
+      |          i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+      |      FROM d)
+      |SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_shingles,
+      |  CAST(len(list_distinct(shingles)) AS INTEGER) AS n_distinct_shingles
+      |FROM s""".stripMargin
 
   // --------------------------------------------------------------------
   // Non-SQL-expressible ops (rows-only driver check + ScalaTest oracles)
@@ -167,19 +198,75 @@ object TextOps {
       .select(col("doc_id"), assembled.as("simhash"))
   }
 
-  def qSimhash(s: SparkSession, dir: String): DataFrame =
-    simhash(t(s, dir, "documents"))
+  /** Portable simhash for the driver oracle: identical semantics to
+    * [[simhash]] but the per-token 64 bits come from the md5 hex digits
+    * (md5 is the one hash both Spark and DuckDB compute identically), and
+    * the output is the four 16-bit sub-bands as scalar ints — the exact
+    * blocking keys the near-dup join uses, in an oracle-comparable shape.
+    * The xxhash64 variant stays the scale default (one codegen'd hash per
+    * token vs an md5 + string ops); the hash family is interchangeable by
+    * construction — simhash only needs uniform independent bits.
+    */
+  def qSimhashBands(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .withColumn("h", md5(col("token").cast("binary")))
+    // bit g (0..63) of the token hash lives in hex digit g/4+1, bit g%4
+    val votes = (0 until 64).map { g =>
+      val bit = shiftright(hexDigit(col("h"), g / 4 + 1), g % 4).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$g")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val bands = (0 until 4).map { b =>
+      (0 until 16).map(i => when(col(s"v${16 * b + i}") > 0, lit(1 << i)).otherwise(0))
+        .reduce(_ + _).cast("int").as(s"band$b")
+    }
+    agg.select(col("doc_id") +: bands: _*)
+  }
 
-  /** SimHash near-dup pairs: block on 4×16-bit sub-bands (a pair within
-    * hamming ≤ 4 of 64 bits must agree exactly on ≥1 of the 4 bands —
-    * pigeonhole), then verify hamming via bit_count(xor). Banded blocking,
+  val qSimhashBandsSql: String = {
+    val votes = (0 until 64).map { g =>
+      val d = hexDigitSql("h", g / 4 + 1)
+      s"SUM(CASE WHEN (($d >> ${g % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$g"
+    }.mkString(",\n    ")
+    val bands = (0 until 4).map { b =>
+      val e = (0 until 16)
+        .map(i => s"(CASE WHEN v${16 * b + i} > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"CAST($e AS INTEGER) AS band$b"
+    }.mkString(",\n  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(token) AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> ''),
+       |v AS (SELECT doc_id,
+       |    $votes
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id,
+       |  $bands
+       |FROM v""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: block on maxHamming+1 contiguous sub-bands of
+    * the 64-bit hash — by pigeonhole, a pair within hamming ≤ maxHamming
+    * differs in at most maxHamming bands and therefore agrees exactly on at
+    * least one of the maxHamming+1 band keys. (With k bands the guarantee
+    * is only hamming ≤ k−1: a hamming-k pair can differ once per band.)
+    * Candidates are then verified with bit_count(xor). Banded blocking,
     * never all-pairs.
     */
   def simhashNearDups(sims: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = sims.select(col("doc_id"), col("simhash"),
-      explode(expr(
-        "transform(sequence(0, 3), b -> named_struct('band', b, 'key', (simhash >> (b * 16)) & 65535))"))
-        .as("bk"))
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(b => b * 64 / nBands)
+    val bandKeys = (0 until nBands).map { b =>
+      val lo = bounds(b)
+      val mask = (1L << (bounds(b + 1) - lo)) - 1
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask).as("key"))
+    }
+    val banded = sims
+      .select(col("doc_id"), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
     val a = banded.as("a")
     val b = banded.as("b")

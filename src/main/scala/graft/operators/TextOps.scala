@@ -417,7 +417,7 @@ object TextOps {
     "q44_fingerprint" -> (qFingerprint _),
     "q45_shingle_stats" -> (qShingleStats _),
     "q46_langid" -> (qLangId _),
-    "q47_simhash" -> (qSimhash _),
+    "q47_simhash" -> (qSimhashBands _),
     "q48_minhash" -> (qMinhash _),
     "q49_jaccard_top_pairs" -> (qJaccardTopPairs _),
     "q50_approx_distinct" -> (qApproxDistinct _))
@@ -428,5 +428,6 @@ object TextOps {
     "q42_doc_quality" -> qDocQualitySql,
     "q43_lang_stats" -> qLangStatsSql,
     "q44_fingerprint" -> qFingerprintSql,
-    "q45_shingle_stats" -> qShingleStatsSql)
+    "q45_shingle_stats" -> qShingleStatsSql,
+    "q47_simhash" -> qSimhashBandsSql)
 }

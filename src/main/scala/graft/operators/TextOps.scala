@@ -257,11 +257,16 @@ object TextOps {
     * never all-pairs.
     */
   def simhashNearDups(sims: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val nBands = maxHamming + 1
     val bounds = (0 to nBands).map(b => b * 64 / nBands)
     val bandKeys = (0 until nBands).map { b =>
       val lo = bounds(b)
-      val mask = (1L << (bounds(b + 1) - lo)) - 1
+      // JVM shift count is mod 64: width 64 (maxHamming=0) needs -1L, not
+      // (1L << 64) - 1 == 0, which would degenerate to an all-pairs join.
+      val width = bounds(b + 1) - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask).as("key"))
     }
@@ -285,14 +290,7 @@ object TextOps {
     * LSH keys. One explode + one hash-aggregate of 32 codegen'd MINs.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .withColumn("toks", toks(col("text")))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-          .as("shingle"))
-      .distinct()
+    val sh = shinglesDistinct(docs)
     val mins = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until MinhashBands).map { b =>
@@ -303,6 +301,50 @@ object TextOps {
 
   def qMinhash(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(t(s, dir, "documents"))
+
+  /** Portable MinHash for the driver oracle: same banded-LSH shape as
+    * [[minhashSignatures]] but each of the 32 hash families is the
+    * lexicographic MIN over md5 hex strings (salted with the family index),
+    * and the output is doc_id + the 8 band keys (md5 of 4 concatenated
+    * mins) — scalar string columns only, no array in the result, and every
+    * step is evaluable identically by DuckDB. Hex strings compare bytewise
+    * identically under Spark's UTF8 ordering and DuckDB's default VARCHAR
+    * collation, so the MINs agree bit-for-bit. The xxhash64 variant stays
+    * the scale default (one codegen'd 64-bit hash per token vs md5 + string
+    * ops); minhash only needs exchangeable uniform hash families.
+    */
+  def qMinhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDistinct(t(s, dir, "documents"))
+    val mins = (0 until MinhashK).map(i =>
+      min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until MinhashBands).map { b =>
+      md5(concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).cast("binary"))
+        .as(s"band$b")
+    }
+    sig.select(col("doc_id") +: bands: _*)
+  }
+
+  val qMinhashBandsSql: String = {
+    val mins = (0 until MinhashK)
+      .map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(",\n    ")
+    val bands = (0 until MinhashBands).map { b =>
+      val parts = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")
+      s"md5($parts) AS band$b"
+    }.mkString(",\n  ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         generate_series(1, len(toks) - 2),
+       |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+       |       FROM d),
+       |m AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id)
+       |SELECT doc_id,
+       |  $bands
+       |FROM m""".stripMargin
+  }
 
   /** LSH candidate pairs: docs agreeing on ≥1 of the 8 band keys. */
   def minhashCandidates(sigs: DataFrame): DataFrame = {
@@ -318,24 +360,29 @@ object TextOps {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard via an inverted shingle index (join on shingle →
+  /** N-gram Jaccard via an inverted shingle index (join on shingle →
     * common counts → |A∪B| = |A|+|B|-common). Bucketed by shingle; the skew
-    * guard drops ubiquitous shingles (df > maxDf) like a stopword filter —
-    * at 100 TB those buckets would otherwise quadratically dominate.
+    * guard drops ubiquitous shingles (df > maxDfFrac of the corpus) like a
+    * stopword filter — at 100 TB those buckets would otherwise
+    * quadratically dominate. Numerator AND denominators are computed over
+    * the same filtered shingle universe, so the similarity is exact
+    * filtered-Jaccard (== exact Jaccard whenever the cap doesn't bite).
+    *
+    * Scale shape: the distinct posting list is built ONCE and persisted;
+    * the hot-shingle set is tiny by construction (≤ 1/maxDfFrac distinct
+    * values per corpus-size unit), so it is removed with a broadcast
+    * anti-join rather than re-shuffling the posting list against a df
+    * table.
     */
-  def jaccardPairs(docs: DataFrame, maxDf: Long = 1000): DataFrame = {
-    val sh = docs
-      .withColumn("toks", toks(col("text")))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-          .as("shingle"))
-      .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val keep = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= maxDf),
-      Seq("shingle"))
+  def jaccardPairs(docs: DataFrame, maxDfFrac: Double = 0.5): DataFrame = {
+    val sh = shinglesDistinct(docs).persist()
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") > col("n_docs") * maxDfFrac)
+      .select(col("shingle"))
+    val keep = sh.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
+    val sizes = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = keep.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = keep.select(col("doc_id").as("doc_b"), col("shingle"))
     a.join(b, Seq("shingle")).where(col("doc_a") < col("doc_b"))
@@ -346,12 +393,34 @@ object TextOps {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
   }
 
-  /** Top-20 most-similar document pairs by exact 3-gram Jaccard. */
+  /** Top-20 most-similar document pairs by 3-gram filtered-Jaccard. */
   def qJaccardTopPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(t(s, dir, "documents"))
       .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+
+  val qJaccardTopPairsSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(toks) - 2),
+      |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |       FROM d),
+      |hot AS (SELECT shingle FROM sh GROUP BY shingle
+      |        HAVING COUNT(*) > 0.5 * (SELECT COUNT(*) FROM documents)),
+      |keep AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM keep GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |            CAST(COUNT(*) AS BIGINT) AS common
+      |          FROM keep a JOIN keep b USING (shingle)
+      |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common,
+      |  CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin
 
   /** Naive-Bayes language ID (n-gram/token heuristic): train token
     * likelihoods on even doc_ids, classify odd doc_ids, report per-language
@@ -418,7 +487,7 @@ object TextOps {
     "q45_shingle_stats" -> (qShingleStats _),
     "q46_langid" -> (qLangId _),
     "q47_simhash" -> (qSimhashBands _),
-    "q48_minhash" -> (qMinhash _),
+    "q48_minhash" -> (qMinhashBands _),
     "q49_jaccard_top_pairs" -> (qJaccardTopPairs _),
     "q50_approx_distinct" -> (qApproxDistinct _))
 
@@ -429,5 +498,7 @@ object TextOps {
     "q43_lang_stats" -> qLangStatsSql,
     "q44_fingerprint" -> qFingerprintSql,
     "q45_shingle_stats" -> qShingleStatsSql,
-    "q47_simhash" -> qSimhashBandsSql)
+    "q47_simhash" -> qSimhashBandsSql,
+    "q48_minhash" -> qMinhashBandsSql,
+    "q49_jaccard_top_pairs" -> qJaccardTopPairsSql)
 }

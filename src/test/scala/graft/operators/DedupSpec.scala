@@ -49,6 +49,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((21L, 201L)) == 1.0)
   }
 
+  test("jaccard df cap drops planted hot shingles; denominators use the filtered universe") {
+    import spark.implicits._
+    // Every doc opens with the same 5 tokens → 3 shingles with df = 10
+    // (hot at maxDfFrac = 0.5). Docs 0 and 1 additionally share one rare
+    // shingle "p q r"; the unique middle token u<i> isolates the boundary.
+    val texts = (0 until 10).map { i =>
+      val tail = if (i < 2) " p q r" else ""
+      (i.toLong, s"x y z w v u$i$tail")
+    }
+    val hotDocs = texts.toDF("doc_id", "text")
+    val capped = TextOps.jaccardPairs(hotDocs, maxDfFrac = 0.5)
+      .select("doc_a", "doc_b", "common", "jaccard").collect()
+    // Only (0,1) survives: all other pairs share nothing but hot shingles.
+    assert(capped.length == 1)
+    val r = capped.head
+    assert((r.getLong(0), r.getLong(1)) == (0L, 1L))
+    assert(r.getLong(2) == 1L) // common = {p q r}
+    // filtered universe: docs 0/1 keep 4 non-hot shingles each → 1/(4+4-1)
+    assert(r.getDouble(3) == 1.0 / 7)
+    // with the cap inert (df = 10 is not > 1.0 * 10) every pair shares the
+    // 3 hot shingles → all C(10,2) pairs appear
+    assert(TextOps.jaccardPairs(hotDocs, maxDfFrac = 1.0).count() == 45)
+  }
+
   test("MinHash LSH candidates recover planted near-dups (recall ≥ 0.8)") {
     val sigs = TextOps.minhashSignatures(docs)
     val cands = TextOps.minhashCandidates(sigs)

@@ -29,22 +29,128 @@ object SparkEntry {
     (graft.parse.Silver.sorteos(draws).toDF(), graft.parse.Silver.premios(draws).toDF())
   }
 
+  /** Fixed location the gold/facade queries materialize fixture silver to,
+    * so their DuckDB oracles recompute the same semantics from the IDENTICAL
+    * parquet bytes (the parse itself is gated by the q60/q61 golden-row
+    * oracles; this layer gates the gold logic given silver).
+    */
+  private val silverParquetDir = "/tmp/graft_fixture_silver"
+
+  private def fixtureSilverParquet(s: SparkSession): (DataFrame, DataFrame) = {
+    val (so, pr) = fixtureSilver(s)
+    so.coalesce(1).write.mode("overwrite").parquet(s"$silverParquetDir/sorteos")
+    pr.coalesce(1).write.mode("overwrite").parquet(s"$silverParquetDir/premios")
+    (s.read.parquet(s"$silverParquetDir/sorteos"), s.read.parquet(s"$silverParquetDir/premios"))
+  }
+
   private val parseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_parse_silver_premios" -> ((s, _) => fixtureSilver(s)._2),
     "q61_parse_silver_sorteos" -> ((s, _) => fixtureSilver(s)._1),
     "q62_gold_draw_summary" -> ((s, _) => {
-      val (so, pr) = fixtureSilver(s); graft.gold.Gold.drawSummary(so, pr)
+      val (so, pr) = fixtureSilverParquet(s); graft.gold.Gold.drawSummary(so, pr)
     }),
     "q63_multimodal_features" ->
       ((s, dir) => graft.multimodal.Multimodal.qMultimodalFeatures(s, dir)),
     "q64_facade_top_vendors" -> ((s, _) => {
-      val (so, pr) = fixtureSilver(s)
+      val (so, pr) = fixtureSilverParquet(s)
       new graft.analytics.LotteryAnalytics(so, pr).topVendors(10)
     }),
     "q65_facade_winning_odds" -> ((s, _) => {
-      val (so, pr) = fixtureSilver(s)
+      val (so, pr) = fixtureSilverParquet(s)
       new graft.analytics.LotteryAnalytics(so, pr).winningOdds()
     }))
+
+  /** DuckDB oracles for the parser→silver→gold product path.
+    *
+    * q60/q61 are GOLDEN-ROW oracles: the expected silver rows were derived
+    * BY HAND from the three fixture files under data/fixtures/raw by
+    * applying the reference's documented semantics (parser.py regex/fold,
+    * transformer.py lenient casts, N/A nulling, DE ESTA CAPITAL fix,
+    * reintegros pad) — an implementation-independent check of the parse.
+    * q62/q64/q65 recompute the gold/facade aggregates in DuckDB SQL over
+    * the silver parquet the query materialized, independently checking the
+    * aggregation semantics given silver.
+    */
+  private val premiosGoldenRows: String =
+    """  (3046, 13956, 'P', 500000.0, 'YECENIA MAZARIEGOS', 'QUETZALTENANGO', 'QUETZALTENANGO', 2024, 3046),
+      |  (3046, 42871, 'PR', 100000.0, 'TELEMARKETING', 'DE ESTA CAPITAL', 'GUATEMALA', 2024, 3046),
+      |  (3046, 1102, 'DT', 1234.56, 'NO VENDIDO', NULL, NULL, 2024, 3046),
+      |  (3046, 7, 'TT', 600.0, 'VENDOR_004', NULL, NULL, 2024, 3046),
+      |  (3046, 109964, 'C', 600.0, 'KIOSCO CENTRAL', NULL, NULL, 2024, 3046),
+      |  (3046, 13956, 'P', 500000.0, 'YECENIA MAZARIEGOS', 'QUETZALTENANGO', 'QUETZALTENANGO', 2024, 3046),
+      |  (3046, 8000, 'PDT', 750.5, NULL, NULL, NULL, 2024, 3046),
+      |  (3047, 77210, 'P', 1000000.0, 'MARIA LOPEZ', 'COBAN', 'ALTA VERAPAZ', 2024, 3047),
+      |  (3047, 301, 'PR', 250000.0, 'NO VENDIDO', NULL, NULL, 2024, 3047),
+      |  (3047, 9815, 'DT', 50000.0, 'TELEMARKETING', 'de esta capital', 'GUATEMALA', 2024, 3047),
+      |  (3047, 42, 'TT', 400.0, 'NO VENDIDO', NULL, NULL, 2024, 3047),
+      |  (3101, 55123, 'P', 800000.0, 'JUAN PEREZ', 'ANTIGUA', 'SACATEPEQUEZ', 2025, 3101),
+      |  (3101, 8712, 'PR', 120000.0, 'VENDEDORA AMBULANTE', NULL, NULL, 2025, 3101),
+      |  (3101, 660, 'DT', 2500.0, 'NO VENDIDO', NULL, NULL, 2025, 3101)""".stripMargin
+
+  private val parseOracle: Map[String, String] = Map(
+    "q60_parse_silver_premios" ->
+      s"""SELECT CAST(numero_sorteo AS BIGINT) AS numero_sorteo,
+         |  CAST(numero_premiado AS BIGINT) AS numero_premiado, letras,
+         |  CAST(monto AS DOUBLE) AS monto, vendedor, ciudad, departamento,
+         |  CAST(year AS INTEGER) AS year, CAST(sorteo AS BIGINT) AS sorteo
+         |FROM (VALUES
+         |$premiosGoldenRows
+         |) AS t(numero_sorteo, numero_premiado, letras, monto, vendedor,
+         |       ciudad, departamento, year, sorteo)""".stripMargin,
+    "q61_parse_silver_sorteos" ->
+      """SELECT CAST(numero_sorteo AS BIGINT) AS numero_sorteo, tipo_sorteo,
+        |  CAST(fecha_sorteo AS DATE) AS fecha_sorteo,
+        |  CAST(fecha_caducidad AS DATE) AS fecha_caducidad,
+        |  CAST(primer_premio AS BIGINT) AS primer_premio,
+        |  CAST(segundo_premio AS BIGINT) AS segundo_premio,
+        |  CAST(tercer_premio AS BIGINT) AS tercer_premio,
+        |  CAST(reintegro_primer_premio AS BIGINT) AS reintegro_primer_premio,
+        |  CAST(reintegro_segundo_premio AS BIGINT) AS reintegro_segundo_premio,
+        |  CAST(reintegro_tercer_premio AS BIGINT) AS reintegro_tercer_premio,
+        |  CAST(year AS INTEGER) AS year, CAST(sorteo AS BIGINT) AS sorteo
+        |FROM (VALUES
+        |  (3046, 'ORDINARIO', DATE '2024-09-15', DATE '2024-12-15', 13956, 42871, 1102, 6, 1, 2, 2024, 3046),
+        |  (3047, 'EXTRAORDINARIO', DATE '2024-09-22', DATE '2024-12-22', 77210, 301, 9815, 0, 5, NULL, 2024, 3047),
+        |  (3101, 'ORDINARIO', DATE '2025-01-05', DATE '2025-04-05', 55123, 8712, 660, 3, 7, 9, 2025, 3101)
+        |) AS t(numero_sorteo, tipo_sorteo, fecha_sorteo, fecha_caducidad,
+        |       primer_premio, segundo_premio, tercer_premio,
+        |       reintegro_primer_premio, reintegro_segundo_premio,
+        |       reintegro_tercer_premio, year, sorteo)""".stripMargin,
+    "q62_gold_draw_summary" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('$silverParquetDir/sorteos/*.parquet')),
+         |p AS (SELECT * FROM read_parquet('$silverParquetDir/premios/*.parquet'))
+         |SELECT s.numero_sorteo, s.tipo_sorteo, s.fecha_sorteo,
+         |  COUNT(p.numero_premiado) AS total_premios,
+         |  COUNT(p.numero_premiado) FILTER (WHERE p.vendedor <> 'NO VENDIDO') AS premios_vendidos,
+         |  COUNT(p.numero_premiado) FILTER (WHERE p.vendedor =  'NO VENDIDO') AS premios_no_vendidos,
+         |  ROUND(CAST(100.0 AS DOUBLE) * COUNT(p.numero_premiado) FILTER (WHERE p.vendedor <> 'NO VENDIDO')
+         |        / NULLIF(COUNT(p.numero_premiado), 0), 2) AS pct_vendido,
+         |  CAST(SUM(CAST(p.monto AS DECIMAL(18,6))) AS DOUBLE) AS total_monto,
+         |  CAST(SUM(CAST(p.monto AS DECIMAL(18,6))) FILTER (WHERE p.vendedor <> 'NO VENDIDO') AS DOUBLE) AS monto_pagado,
+         |  MAX(p.monto) AS top_premio
+         |FROM p JOIN s USING (numero_sorteo)
+         |GROUP BY s.numero_sorteo, s.tipo_sorteo, s.fecha_sorteo""".stripMargin,
+    "q64_facade_top_vendors" ->
+      s"""SELECT vendedor, COUNT(*) AS premios,
+         |  CAST(SUM(CAST(monto AS DECIMAL(18,6))) AS DOUBLE) AS total_monto
+         |FROM read_parquet('$silverParquetDir/premios/*.parquet')
+         |WHERE vendedor IS NOT NULL AND vendedor <> 'NO VENDIDO'
+         |GROUP BY vendedor ORDER BY premios DESC, vendedor ASC LIMIT 10""".stripMargin,
+    "q65_facade_winning_odds" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('$silverParquetDir/sorteos/*.parquet')),
+         |p AS (SELECT * FROM read_parquet('$silverParquetDir/premios/*.parquet')),
+         |g AS (SELECT s.tipo_sorteo,
+         |        COUNT(DISTINCT p.numero_premiado) AS numeros_premiados,
+         |        COUNT(DISTINCT p.numero_sorteo) AS n_sorteos
+         |      FROM p JOIN s USING (numero_sorteo)
+         |      GROUP BY s.tipo_sorteo)
+         |SELECT tipo_sorteo, numeros_premiados, n_sorteos,
+         |  CAST(CASE WHEN tipo_sorteo = 'ORDINARIO' THEN 80000 ELSE 90000 END AS BIGINT) AS tickets,
+         |  ROUND(CAST(100.0 AS DOUBLE) * numeros_premiados
+         |        / (CASE WHEN tipo_sorteo = 'ORDINARIO' THEN 80000 ELSE 90000 END * n_sorteos), 2) AS pct_ganador,
+         |  ROUND(CAST(CASE WHEN tipo_sorteo = 'ORDINARIO' THEN 80000 ELSE 90000 END * n_sorteos AS DOUBLE)
+         |        / numeros_premiados, 0) AS odds_1_in
+         |FROM g""".stripMargin)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -55,5 +161,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytics.oracle ++ graft.streaming.Events.oracle ++
-      TextOps.oracle ++ Similarity.oracle
+      TextOps.oracle ++ Similarity.oracle ++ parseOracle
 }

@@ -152,14 +152,99 @@ object SparkEntry {
          |        / numeros_premiados, 0) AS odds_1_in
          |FROM g""".stripMargin)
 
+  /** The reference's seven declarative gold CTAS SELECTs run VERBATIM as
+    * Spark SQL over registered silver views ([[graft.gold.GoldSql]]) — the
+    * literal query surface a reference user migrates — each gated by a
+    * DuckDB dialect translation over the same silver parquet.
+    */
+  private val goldSqlNames: Seq[(String, String)] = Seq(
+    "q66_goldsql_draw_summary" -> "gold_draw_summary",
+    "q67_goldsql_number_frequency" -> "gold_winning_number_frequency",
+    "q68_goldsql_terminations" -> "gold_terminations",
+    "q69_goldsql_letters" -> "gold_letters_distribution",
+    "q70_goldsql_geo_winnings" -> "gold_geo_winnings",
+    "q71_goldsql_vendor_leaderboard" -> "gold_vendor_leaderboard",
+    "q72_goldsql_time_series" -> "gold_time_series")
+
+  private val goldSqlQueries: Map[String, (SparkSession, String) => DataFrame] =
+    goldSqlNames.map { case (q, g) =>
+      q -> ((s: SparkSession, _: String) => {
+        val (so, pr) = fixtureSilverParquet(s)
+        graft.sources.Writers.registerSilver(so, pr)
+        graft.gold.GoldSql.run(s, g)
+      })
+    }.toMap
+
+  private val goldSqlOracle: Map[String, String] = {
+    val views =
+      s"""WITH s AS (SELECT * FROM read_parquet('$silverParquetDir/sorteos/*.parquet')),
+         |p AS (SELECT * FROM read_parquet('$silverParquetDir/premios/*.parquet'))""".stripMargin
+    Map(
+      "q66_goldsql_draw_summary" ->
+        s"""$views
+           |SELECT s.numero_sorteo, s.tipo_sorteo, s.fecha_sorteo,
+           |  COUNT(p.numero_premiado) AS total_premios,
+           |  COUNT(p.numero_premiado) FILTER (WHERE p.vendedor <> 'NO VENDIDO') AS premios_vendidos,
+           |  COUNT(p.numero_premiado) FILTER (WHERE p.vendedor =  'NO VENDIDO') AS premios_no_vendidos,
+           |  ROUND(CAST(100.0 AS DOUBLE) * COUNT(p.numero_premiado) FILTER (WHERE p.vendedor <> 'NO VENDIDO')
+           |        / NULLIF(COUNT(p.numero_premiado), 0), 2) AS pct_vendido,
+           |  SUM(p.monto) AS total_monto,
+           |  SUM(p.monto) FILTER (WHERE p.vendedor <> 'NO VENDIDO') AS monto_pagado,
+           |  MAX(p.monto) AS top_premio
+           |FROM s JOIN p ON p.numero_sorteo = s.numero_sorteo
+           |GROUP BY s.numero_sorteo, s.tipo_sorteo, s.fecha_sorteo""".stripMargin,
+      "q67_goldsql_number_frequency" ->
+        s"""$views
+           |SELECT p.numero_premiado, COUNT(*) AS veces_ganador,
+           |  SUM(p.monto) AS total_monto, MAX(p.monto) AS max_monto
+           |FROM p WHERE p.numero_premiado IS NOT NULL
+           |GROUP BY p.numero_premiado""".stripMargin,
+      "q68_goldsql_terminations" ->
+        s"""$views
+           |SELECT LPAD(CAST(p.numero_premiado % 100 AS VARCHAR), 2, '0') AS terminacion,
+           |  COUNT(*) AS veces_ganador, SUM(p.monto) AS total_monto
+           |FROM p WHERE p.numero_premiado IS NOT NULL
+           |GROUP BY LPAD(CAST(p.numero_premiado % 100 AS VARCHAR), 2, '0')""".stripMargin,
+      "q69_goldsql_letters" ->
+        s"""$views
+           |SELECT p.letras, COUNT(*) AS veces_ganador, SUM(p.monto) AS total_monto
+           |FROM p WHERE p.letras IS NOT NULL
+           |GROUP BY p.letras""".stripMargin,
+      "q70_goldsql_geo_winnings" ->
+        s"""$views
+           |SELECT p.departamento, p.ciudad, COUNT(*) AS num_ganadores,
+           |  SUM(p.monto) AS total_monto, CAST(year(s.fecha_sorteo) AS INTEGER) AS year
+           |FROM p JOIN s ON p.numero_sorteo = s.numero_sorteo
+           |WHERE p.vendedor <> 'NO VENDIDO' AND s.fecha_sorteo IS NOT NULL
+           |GROUP BY p.departamento, p.ciudad, year(s.fecha_sorteo)""".stripMargin,
+      "q71_goldsql_vendor_leaderboard" ->
+        s"""$views
+           |SELECT p.vendedor, COUNT(*) AS num_premios,
+           |  SUM(p.monto) AS total_monto, CAST(year(s.fecha_sorteo) AS INTEGER) AS year
+           |FROM p JOIN s ON p.numero_sorteo = s.numero_sorteo
+           |WHERE p.vendedor IS NOT NULL AND p.vendedor <> 'NO VENDIDO'
+           |  AND s.fecha_sorteo IS NOT NULL
+           |GROUP BY p.vendedor, year(s.fecha_sorteo)""".stripMargin,
+      "q72_goldsql_time_series" ->
+        s"""$views
+           |SELECT CAST(month(s.fecha_sorteo) AS INTEGER) AS month,
+           |  COUNT(DISTINCT s.numero_sorteo) AS num_sorteos,
+           |  COUNT(p.numero_premiado) AS num_premios,
+           |  SUM(p.monto) AS total_monto,
+           |  CAST(year(s.fecha_sorteo) AS INTEGER) AS year
+           |FROM s JOIN p ON p.numero_sorteo = s.numero_sorteo
+           |WHERE s.fecha_sorteo IS NOT NULL
+           |GROUP BY year(s.fecha_sorteo), month(s.fecha_sorteo)""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ graft.streaming.Events.queries ++
-      TextOps.queries ++ Similarity.queries ++ parseQueries
+      TextOps.queries ++ Similarity.queries ++ parseQueries ++ goldSqlQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytics.oracle ++ graft.streaming.Events.oracle ++
-      TextOps.oracle ++ Similarity.oracle ++ parseOracle
+      TextOps.oracle ++ Similarity.oracle ++ parseOracle ++ goldSqlOracle
 }

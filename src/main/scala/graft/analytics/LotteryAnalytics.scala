@@ -50,12 +50,17 @@ final class LotteryAnalytics(sorteos: DataFrame, premios: DataFrame) {
       .groupBy(col("departamento"))
       .agg(countDistinct(col("vendedor")).as("n_vendedores"))
 
-  /** EDA_premios cells 22/30: rows inside the monto IQR band (exact
-    * quartiles, distributed via a broadcast 1-row cross join).
+  /** EDA_premios cells 22/30: rows inside the monto IQR band (quartiles as
+    * a broadcast 1-row cross join). Defaults to the approx_percentile
+    * sketch — the only quantile shape that survives 100 TB (mergeable,
+    * bounded memory); `exact = true` switches to the distributed
+    * value-count exact quantile for oracle/test parity.
     */
-  def montoIqrBand: DataFrame = {
-    val q = premios.agg(expr("percentile(monto, array(0.25, 0.75))").as("qs"))
-      .select(expr("qs[0]").as("q1"), expr("qs[1]").as("q3"))
+  def montoIqrBand(exact: Boolean = false): DataFrame = {
+    val q =
+      (if (exact) graft.operators.Analytics.exactQuantiles(premios, "monto", Seq(0.25, 0.75))
+       else graft.operators.Analytics.approxQuantiles(premios, "monto", Seq(0.25, 0.75)))
+        .select(col("q0").as("q1"), col("q1").as("q3"))
     premios.crossJoin(broadcast(q))
       .where(col("monto").between(col("q1"), col("q3")))
       .drop("q1", "q3")

@@ -155,16 +155,55 @@ object Analytics {
       |  UNION ALL SELECT l_suppkey % 10 FROM lineitem)
       |GROUP BY digit""".stripMargin
 
+  /** Exact percentiles as a 1-row DataFrame (columns q0..qK-1), computed
+    * DISTRIBUTED: hash-aggregate to (value, count) — shuffle with map-side
+    * combine, memory bounded by DISTINCT cardinality rather than row count
+    * (the built-in `percentile`'s per-partition buffer holds every row —
+    * the r2/r3-flagged executor-memory hazard) — then a cumulative sum over
+    * the sorted distinct values and Spark's own interpolation arithmetic
+    * ((higher-pos)*lower + (pos-lower)*higher). The single-partition window
+    * spans only the distinct values; columns with unbounded cardinality at
+    * 100 TB should use [[approxQuantiles]] instead.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame = {
+    val vc = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
+    val n = df.where(col(valueCol).isNotNull).agg(count(lit(1)).as("n"))
+    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      Seq(
+        max(pos).as(s"pos$i"),
+        min(when(col("cum") >= floor(pos) + 1, col("v"))).as(s"lo$i"),
+        min(when(col("cum") >= ceil(pos) + 1, col("v"))).as(s"hi$i"))
+    }
+    val qs = probs.indices.map { i =>
+      val (pos, lo, hi) = (col(s"pos$i"), col(s"lo$i"), col(s"hi$i"))
+      when(floor(pos) === ceil(pos), lo)
+        .otherwise((ceil(pos) - pos) * lo + (pos - floor(pos)) * hi)
+        .as(s"q$i")
+    }
+    vc.crossJoin(broadcast(n)).agg(aggs.head, aggs.tail: _*).select(qs: _*)
+  }
+
+  /** The 100 TB quantile path: approx_percentile (mergeable sketch, bounded
+    * memory per partition, one pass, no global sort). Same 1-row q0..qK-1
+    * shape as [[exactQuantiles]].
+    */
+  def approxQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame =
+    df.agg(expr(
+      s"approx_percentile($valueCol, array(${probs.mkString(", ")}), $accuracy)").as("qs"))
+      .select(probs.indices.map(i => expr(s"qs[$i]").as(s"q$i")): _*)
+
   /** A12 + F3: exact quartiles and the IQR band (reference EDA_premios.ipynb
     * cells 22/30: quantile(0.25/0.75) then a between filter). The quartile
     * row is a 1-row broadcast crossed onto the fact scan — no collect.
     */
   def qQuantileIqr(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
-    // one pass builds one value-count map for both quantiles (two separate
-    // percentile aggs would each accumulate the full column)
-    val q = l.agg(expr("percentile(l_extendedprice, array(0.25, 0.75))").as("qs"))
-      .select(expr("qs[0]").as("q1"), expr("qs[1]").as("q3"))
+    val q = exactQuantiles(l, "l_extendedprice", Seq(0.25, 0.75))
+      .select(col("q0").as("q1"), col("q1").as("q3"))
     l.crossJoin(broadcast(q))
       .where(col("l_extendedprice").between(col("q1"), col("q3")))
       .agg(count(lit(1)).as("n_in_band"), dsum(col("l_extendedprice")).as("sum_in_band"),

@@ -77,7 +77,15 @@ class LotteryAnalyticsSpec extends AnyFunSuite {
   }
 
   test("montoIqrBand, montoBins, ticketPriceTiers run and partition all rows") {
-    assert(la.montoIqrBand.count() > 0)
+    assert(la.montoIqrBand().count() > 0)
+    // exact path reproduces the builtin-percentile band (the approx sketch
+    // picks real data values instead of interpolating, so counts may differ)
+    val builtinQ = premios
+      .agg(expr("percentile(monto, array(0.25, 0.75))").as("qs"))
+      .select(expr("qs[0]").as("q1"), expr("qs[1]").as("q3"))
+    val builtinBand = premios.crossJoin(broadcast(builtinQ))
+      .where(col("monto").between(col("q1"), col("q3"))).count()
+    assert(la.montoIqrBand(exact = true).count() == builtinBand)
     assert(la.montoBins().agg(sum(col("premios"))).collect().head.getLong(0) == premios.count())
     assert(la.ticketPriceTiers.agg(sum(col("premios"))).collect().head.getLong(0) == premios.count())
   }

@@ -29,7 +29,16 @@ object Pipeline {
     // Bronze → Silver (skip already-processed draws when incremental)
     val silverSorteos = s"$outRoot/silver/sorteos"
     val silverPremios = s"$outRoot/silver/premios"
-    val raw0 = Silver.rawDraws(spark, rawPath)
+    // A raw glob matching no files is "nothing new this run" (the weekly
+    // scrape may legitimately produce zero draws), not a pipeline error.
+    val raw0 =
+      try Silver.rawDraws(spark, rawPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          import spark.implicits._
+          spark.emptyDataset[(String, String)]
+      }
     val raw = if (incremental)
       Silver.skipProcessed(raw0, Silver.processedSorteos(spark, silverSorteos))
     else raw0
@@ -40,6 +49,12 @@ object Pipeline {
         Writers.writeSilverPartitioned(Silver.premios(draws).toDF(), silverPremios)
       }
     } finally draws.unpersist()
+
+    // First-run guard: no draws parsed AND no pre-existing silver → there
+    // is nothing to build gold from (reading the absent path would throw).
+    val fs = new org.apache.hadoop.fs.Path(silverSorteos)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(silverSorteos))) return Map.empty
 
     // Gold: read silver back (the canonical source), register the catalog,
     // rebuild all seven tables with bounded parallelism.

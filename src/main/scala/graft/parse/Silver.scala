@@ -53,8 +53,16 @@ object Silver {
     */
   def processedSorteos(spark: SparkSession, silverSorteosPath: String): DataFrame = {
     import spark.implicits._
+    // Only path-not-found means "first run, nothing processed". Any OTHER
+    // read failure (corrupt footer, transient IO) must propagate: silently
+    // returning the empty set would reprocess EVERYTHING into the
+    // append-mode silver writer and duplicate every row.
     try spark.read.parquet(silverSorteosPath).select(col("sorteo")).distinct()
-    catch { case _: Exception => Seq.empty[Long].toDF("sorteo") }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        Seq.empty[Long].toDF("sorteo")
+    }
   }
 
   /** Parse every raw file into typed silver draws. Malformed files THROW

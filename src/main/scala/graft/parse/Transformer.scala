@@ -55,8 +55,11 @@ object Transformer {
   def lenientLong(s: Option[String]): Option[Long] =
     s.flatMap(v => Try(v.trim.toLong).toOption)
 
+  // single-d/M: strptime's %d/%m accepts non-zero-padded day/month
+  // ("5/3/2024"), and DateTimeFormatter's one-letter fields parse 1-2
+  // digits — STRICT still rejects overflow dates like 31/02.
   private val DateFmt =
-    DateTimeFormatter.ofPattern("dd/MM/uuuu").withResolverStyle(ResolverStyle.STRICT)
+    DateTimeFormatter.ofPattern("d/M/uuuu").withResolverStyle(ResolverStyle.STRICT)
 
   /** pandas to_datetime(format="%d/%m/%Y", errors="coerce")
     * (transformer.py:213-222).

@@ -84,6 +84,26 @@ class SilverPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("processedSorteos: empty on missing path, but corrupt silver PROPAGATES") {
+    val out = freshDir()
+    // missing path → first run → empty processed set
+    assert(Silver.processedSorteos(spark, s"$out/nope").count() == 0)
+    // corrupt silver (present path, unreadable footer) must throw, never
+    // silently reprocess-everything into the append-mode writer
+    Files.write(java.nio.file.Paths.get(s"$out/corrupt.parquet"),
+      "not a parquet file".getBytes)
+    assertThrows[Exception] {
+      Silver.processedSorteos(spark, s"$out/corrupt.parquet").count()
+    }
+  }
+
+  test("Pipeline.run on a raw glob matching nothing returns empty, no throw") {
+    val out = freshDir()
+    Files.createDirectory(java.nio.file.Paths.get(s"$out/empty_raw"))
+    val counts = Pipeline.run(spark, s"$out/empty_raw/*.txt", s"$out/out")
+    assert(counts.isEmpty)
+  }
+
   test("lenient parse mode drops malformed files instead of failing the batch") {
     val raw = Silver.rawDraws(spark, "data/fixtures/bad/missing_*.txt")
     assert(raw.count() == 2)

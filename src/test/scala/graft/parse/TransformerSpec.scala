@@ -27,6 +27,8 @@ class TransformerSpec extends AnyFunSuite {
     assert(lenientDate("99/99/9999").isEmpty)
     assert(lenientDate("2024-09-15").isEmpty)
     assert(lenientDate("31/02/2024").isEmpty) // strict resolver: no overflow dates
+    // strptime's %d/%m accepts non-zero-padded components — so must we
+    assert(lenientDate("5/3/2024").map(_.toString).contains("2024-03-05"))
   }
 
   test("fixCapital forces GUATEMALA case-insensitively and null-safely") {

@@ -87,13 +87,18 @@ object Relational {
     */
   def qDrawSummary(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
     val l = t(s, dir, "lineitem")
       // nullable "prize number": NULL when linenumber = 1 — exercises the
       // COUNT(col)-skips-nulls half of A2 (the testdata has no native nulls).
-      .withColumn("item_id", nullif(col("l_linenumber"), lit(1)))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"),
+        nullif(col("l_linenumber"), lit(1)).as("item_id"))
     val flagged = col("l_returnflag") =!= "N"
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    // Aggregate BELOW the join: the group keys contain the join key and the
+    // dim columns are functionally dependent on it, so the fact side
+    // collapses to one row per order BEFORE the join — join input is
+    // |orders|, not |lineitem|, which is the plan that survives 100 TB.
+    val perOrder = l.groupBy(col("l_orderkey"))
       .agg(
         count(col("item_id")).as("total_items"),
         count(lit(1)).as("total_rows"),
@@ -103,6 +108,11 @@ object Relational {
         dsum(col("l_extendedprice")).as("total_price"),
         dsum(when(flagged, col("l_extendedprice"))).as("price_flagged"),
         max(col("l_extendedprice")).as("top_price"))
+    o.join(perOrder, o("o_orderkey") === perOrder("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("total_items"), col("total_rows"), col("items_flagged"),
+        col("pct_flagged"), col("total_price"), col("price_flagged"),
+        col("top_price"))
   }
 
   val qDrawSummarySql: String =

@@ -464,6 +464,52 @@ object TextOps {
         sum(when(col("pred_lang") === col("true_lang"), 1).otherwise(0)).as("n_correct"))
   }
 
+  /** DuckDB re-derivation of [[qLangId]]'s naive Bayes: same tokenization,
+    * even/odd train-test split, add-one smoothing, per-(doc,lang) log-sum,
+    * argmax with (score, lang) tiebreak. The log-prob sums are double
+    * accumulations (order differs between engines by ulps), but the OUTPUT
+    * is integer accuracy counts — stable unless two languages near-tie
+    * within float noise, which add-one-smoothed scores don't.
+    */
+  val qLangIdSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, token FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> ''),
+      |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+      |test AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+      |lang_totals AS (SELECT lang, COUNT(*) AS lang_n FROM train GROUP BY lang),
+      |vocab AS (SELECT COUNT(DISTINCT token) AS v FROM train),
+      |profile AS (
+      |  SELECT t.lang, t.token,
+      |    ln((COUNT(*) + 1)::DOUBLE / (ANY_VALUE(lt.lang_n) + ANY_VALUE(vocab.v))) AS logp
+      |  FROM train t JOIN lang_totals lt ON lt.lang = t.lang CROSS JOIN vocab
+      |  GROUP BY t.lang, t.token),
+      |defaults AS (
+      |  SELECT lang, ln(CAST(1.0 AS DOUBLE) / (lang_n + v)) AS logp0
+      |  FROM lang_totals CROSS JOIN vocab),
+      |langs AS (SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS cand),
+      |scores AS (
+      |  SELECT te.doc_id, te.lang AS true_lang, l.cand,
+      |    COALESCE(p.logp, d.logp0) AS s
+      |  FROM test te
+      |  CROSS JOIN langs l
+      |  LEFT JOIN profile p ON p.token = te.token AND p.lang = l.cand
+      |  JOIN defaults d ON d.lang = l.cand),
+      |doc_scores AS (
+      |  SELECT doc_id, true_lang, cand, SUM(s) AS sc
+      |  FROM scores GROUP BY doc_id, true_lang, cand),
+      |pred AS (
+      |  SELECT doc_id, true_lang, cand AS pred_lang
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY doc_id ORDER BY sc DESC, cand DESC) AS rn
+      |        FROM doc_scores)
+      |  WHERE rn = 1)
+      |SELECT true_lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      |FROM pred GROUP BY true_lang""".stripMargin
+
   /** approx_count_distinct (HLL sketch) vs exact, side by side — the sketch
     * is what survives 100 TB; the exact column is the local ground truth.
     */
@@ -498,6 +544,7 @@ object TextOps {
     "q43_lang_stats" -> qLangStatsSql,
     "q44_fingerprint" -> qFingerprintSql,
     "q45_shingle_stats" -> qShingleStatsSql,
+    "q46_langid" -> qLangIdSql,
     "q47_simhash" -> qSimhashBandsSql,
     "q48_minhash" -> qMinhashBandsSql,
     "q49_jaccard_top_pairs" -> qJaccardTopPairsSql)

@@ -46,11 +46,22 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    // Scheduler/codegen floor: the cost of an already-planned trivial job
+    // (task launch + result fetch, no data). Sub-floor query times are
+    // fixed overhead a resident multi-tenant cluster amortizes, not plan
+    // inefficiency — reported so BASELINE comparisons can subtract it.
+    spark.range(1).count() // warm the trivial plan
+    val floor = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"floor_sec_per_query":$floor,"sf":${jq(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()

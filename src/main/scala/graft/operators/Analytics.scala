@@ -186,6 +186,73 @@ object Analytics {
     vc.crossJoin(broadcast(n)).agg(aggs.head, aggs.tail: _*).select(qs: _*)
   }
 
+  /** Exact percentiles for HIGH-cardinality columns (near-unique values,
+    * where [[exactQuantiles]]'s distinct-value window degenerates to a
+    * single-partition sort): classic distributed selection. Range-partition
+    * + sort-within-partitions (fully parallel), count rows per partition
+    * (a #partitions-sized metadata collect, not data), convert the target
+    * global ranks to (partition, local offset), and extract just those
+    * rows. Interpolation applies the identical IEEE arithmetic as
+    * [[exactQuantiles]]/builtin percentile, so results stay bit-equal.
+    * Every pass is partition-parallel — this is the exact-quantile shape
+    * that holds at 100 TB.
+    */
+  def exactQuantilesBySort(df: DataFrame, valueCol: String, probs: Seq[Double],
+      partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .repartitionByRange(partitions, col("v"))
+      .sortWithinPartitions("v")
+    val rdd = vals.queryExecution.toRdd.map(_.getDouble(0))
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator(i -> {
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+      })).collect().sortBy(_._1).map(_._2)
+      val n = counts.sum
+      val out =
+        if (n == 0) probs.indices.map(_ => lit(null).cast("double"))
+        else {
+          val offsets = counts.scanLeft(0L)(_ + _) // start rank per partition
+          val wanted = probs.flatMap { p =>
+            val pos = p * (n - 1)
+            Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+          }.distinct
+          val byPart = wanted.groupBy { r =>
+            // last partition whose start rank is <= r
+            offsets.lastIndexWhere(_ <= r, offsets.length - 2)
+          }
+          val bc = spark.sparkContext.broadcast(byPart.map { case (p, rs) =>
+            p -> rs.map(_ - offsets(p)).sorted
+          })
+          val found = rdd.mapPartitionsWithIndex { (i, it) =>
+            val locals = bc.value.getOrElse(i, Nil)
+            val want = locals.iterator.buffered
+            var idx = 0L
+            val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+            while (it.hasNext && want.hasNext) {
+              val v = it.next()
+              while (want.hasNext && want.head == idx) res += ((want.next(), v))
+              idx += 1
+            }
+            res.iterator.map { case (local, v) => (local, v, i) }
+          }.collect().map { case (local, v, p) =>
+            (local + offsets(p), v)
+          }.toMap
+          probs.map { p =>
+            val pos = p * (n - 1)
+            val (lo, hi) = (found(math.floor(pos).toLong), found(math.ceil(pos).toLong))
+            val q = if (math.floor(pos) == math.ceil(pos)) lo
+              else (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
+            lit(q)
+          }
+        }
+      vals.sparkSession.range(1).select(
+        out.zipWithIndex.map { case (c, i) => c.as(s"q$i") }: _*)
+    } finally rdd.unpersist(blocking = false)
+  }
+
   /** The 100 TB quantile path: approx_percentile (mergeable sketch, bounded
     * memory per partition, one pass, no global sort). Same 1-row q0..qK-1
     * shape as [[exactQuantiles]].
@@ -202,7 +269,9 @@ object Analytics {
     */
   def qQuantileIqr(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
-    val q = exactQuantiles(l, "l_extendedprice", Seq(0.25, 0.75))
+    // l_extendedprice is near-unique (583k distinct / 600k rows at sf0.1):
+    // the sort-based selection is the plan that holds at scale there.
+    val q = exactQuantilesBySort(l, "l_extendedprice", Seq(0.25, 0.75))
       .select(col("q0").as("q1"), col("q1").as("q3"))
     l.crossJoin(broadcast(q))
       .where(col("l_extendedprice").between(col("q1"), col("q3")))

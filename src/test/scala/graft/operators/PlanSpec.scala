@@ -43,6 +43,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q02_draw_summary aggregates below the join: one fact shuffle, dim broadcast") {
+    val p = executedPlan("q02_draw_summary")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q49_jaccard drops hot shingles via broadcast anti-join over a persisted posting list") {
+    val df = SparkEntry.queries("q49_jaccard_top_pairs")(spark, dir)
+    df.count()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftAnti"), "hot-shingle cap must be an anti-join")
+    assert(p.contains("InMemoryRelation"), "posting list must be persisted/reused")
+  }
+
   test("q03_number_frequency prunes the scan to the referenced columns") {
     val p = executedPlan("q03_number_frequency")
     assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"), p)

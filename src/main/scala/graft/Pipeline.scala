@@ -45,9 +45,11 @@ object Pipeline {
     val draws = Silver.parseDraws(raw).persist()
     try {
       if (!draws.isEmpty) {
-        Writers.writeSilverPartitioned(Silver.sorteos(draws).toDF(), silverSorteos)
-        Writers.writeSilverPartitioned(Silver.premios(draws).toDF(), silverPremios)
-      }
+        Log.timed("silver_write", "path" -> silverSorteos) {
+          Writers.writeSilverPartitioned(Silver.sorteos(draws).toDF(), silverSorteos)
+          Writers.writeSilverPartitioned(Silver.premios(draws).toDF(), silverPremios)
+        }
+      } else Log.event("silver_write_skipped", "reason" -> "no new draws")
     } finally draws.unpersist()
 
     // First-run guard: no draws parsed AND no pre-existing silver → there
@@ -67,11 +69,15 @@ object Pipeline {
     try {
       val futures = Gold.builders.toSeq.map { case (name, build) =>
         Future {
-          val df = build(sorteos, premios)
-          val partitioned = Set("gold_geo_winnings", "gold_vendor_leaderboard",
-            "gold_time_series").contains(name)
-          Writers.writeGold(df, s"$outRoot/gold/$name", partitioned)
-          name -> spark.read.parquet(s"$outRoot/gold/$name").count()
+          Log.timed("gold_build", "table" -> name) {
+            val df = build(sorteos, premios)
+            val partitioned = Set("gold_geo_winnings", "gold_vendor_leaderboard",
+              "gold_time_series").contains(name)
+            Writers.writeGold(df, s"$outRoot/gold/$name", partitioned)
+            val rows = spark.read.parquet(s"$outRoot/gold/$name").count()
+            Log.event("gold_rows", "table" -> name, "rows" -> rows)
+            name -> rows
+          }
         }
       }
       Await.result(Future.sequence(futures), Duration.Inf).toMap

@@ -464,6 +464,85 @@ object TextOps {
         sum(when(col("pred_lang") === col("true_lang"), 1).otherwise(0)).as("n_correct"))
   }
 
+  /** SimHash near-dup PAIRS over the portable md5 bands: block on band
+    * equality (pigeonhole-sound for hamming ≤ 3 with 4 bands), verify with
+    * the exact 64-bit hamming — reconstructed as the sum of per-band
+    * bit_count(xor), since the 4 bands partition the 64 bits. Banded
+    * blocking, never all-pairs; fully DuckDB-expressible.
+    */
+  def qSimhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = qSimhashBands(s, dir)
+    val banded = bands.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b"), col("bk.k"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val av = bands.toDF("doc_a" +: (0 until 4).map(b => s"a$b"): _*)
+    val bv = bands.toDF("doc_b" +: (0 until 4).map(b => s"b$b"): _*)
+    cand.join(av, Seq("doc_a")).join(bv, Seq("doc_b"))
+      .withColumn("hamming", (0 until 4)
+        .map(b => expr(s"bit_count(a$b ^ b$b)")).reduce(_ + _).cast("int"))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val qSimhashNearDupPairsSql: String = {
+    val ham = (0 until 4).map(b => s"bit_count(xor(av.band$b, bv.band$b))").mkString(" + ")
+    s"""WITH b AS (
+       |${qSimhashBandsSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |banded AS (
+       |  SELECT doc_id, i AS bi,
+       |    CASE i WHEN 0 THEN band0 WHEN 1 THEN band1
+       |           WHEN 2 THEN band2 ELSE band3 END AS k
+       |  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.bi = y.bi AND x.k = y.k AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST($ham AS INTEGER) AS hamming
+       |FROM cand
+       |JOIN b av ON av.doc_id = doc_a
+       |JOIN b bv ON bv.doc_id = doc_b
+       |WHERE $ham <= 3""".stripMargin
+  }
+
+  /** MinHash LSH candidate PAIRS over the portable md5 bands: docs agreeing
+    * on ≥1 of the 8 band keys, with the agreeing-band count (an estimate of
+    * signature similarity). Bucket-equality join only — never all-pairs.
+    */
+  def qMinhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = qMinhashBands(s, dir)
+    val banded = bands.select(col("doc_id"),
+      explode(array((0 until MinhashBands).map(b =>
+        struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b"), col("bk.k"))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  val qMinhashCandidatePairsSql: String = {
+    val caseK = (0 until MinhashBands)
+      .map(b => s"WHEN $b THEN band$b").mkString(" ")
+    s"""WITH b AS (
+       |${qMinhashBandsSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |banded AS (
+       |  SELECT doc_id, i AS bi, CASE i $caseK END AS k
+       |  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i))
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_bands
+       |FROM banded x JOIN banded y
+       |  ON x.bi = y.bi AND x.k = y.k AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** DuckDB re-derivation of [[qLangId]]'s naive Bayes: same tokenization,
     * even/odd train-test split, add-one smoothing, per-(doc,lang) log-sum,
     * argmax with (score, lang) tiebreak. The log-prob sums are double
@@ -535,7 +614,9 @@ object TextOps {
     "q47_simhash" -> (qSimhashBands _),
     "q48_minhash" -> (qMinhashBands _),
     "q49_jaccard_top_pairs" -> (qJaccardTopPairs _),
-    "q50_approx_distinct" -> (qApproxDistinct _))
+    "q50_approx_distinct" -> (qApproxDistinct _),
+    "q55_simhash_near_dups" -> (qSimhashNearDupPairs _),
+    "q56_minhash_candidates" -> (qMinhashCandidatePairs _))
 
   val oracle: Map[String, String] = Map(
     "q40_dedup_exact" -> qDedupExactSql,
@@ -547,5 +628,7 @@ object TextOps {
     "q46_langid" -> qLangIdSql,
     "q47_simhash" -> qSimhashBandsSql,
     "q48_minhash" -> qMinhashBandsSql,
-    "q49_jaccard_top_pairs" -> qJaccardTopPairsSql)
+    "q49_jaccard_top_pairs" -> qJaccardTopPairsSql,
+    "q55_simhash_near_dups" -> qSimhashNearDupPairsSql,
+    "q56_minhash_candidates" -> qMinhashCandidatePairsSql)
 }

@@ -240,11 +240,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ graft.streaming.Events.queries ++
-      TextOps.queries ++ Similarity.queries ++ parseQueries ++ goldSqlQueries
+      TextOps.queries ++ Similarity.queries ++ Temporal.queries ++
+      parseQueries ++ goldSqlQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytics.oracle ++ graft.streaming.Events.oracle ++
-      TextOps.oracle ++ Similarity.oracle ++ parseOracle ++ goldSqlOracle
+      TextOps.oracle ++ Similarity.oracle ++ Temporal.oracle ++
+      parseOracle ++ goldSqlOracle
 }

@@ -589,6 +589,76 @@ object TextOps {
       |  CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
       |FROM pred GROUP BY true_lang""".stripMargin
 
+  /** TF-IDF top terms per document (first 10 docs): tf = per-(doc,token)
+    * count, idf = ln(N/df), ranked per doc by tfidf with a token tiebreak.
+    * The OUTPUT is (doc_id, rank, token) — integers and strings only, so
+    * engine float-ulp noise in ln can never flip a cell (ties in tfidf are
+    * exact-equal (tf, df) pairs and resolve on the token). Two shuffles:
+    * (doc, token) tf and token df; the per-doc window is bounded by doc
+    * vocabulary.
+    */
+  def qTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .where(col("doc_id") < 10)
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("token"))
+  }
+
+  val qTfidfTopTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> ''),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      |  FROM tf JOIN df USING (token) CROSS JOIN n
+      |  WHERE tf.doc_id < 10)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
+  /** Deterministic hash sampling — the 100 TB curation shape: membership is
+    * a pure function of the key (first md5 hex digit < 2 ⇒ a reproducible
+    * 1/8 sample), so the sample is stable across runs, engines, and
+    * cluster layouts, with zero coordination — unlike rand()-based
+    * sampling, which is neither reproducible nor oracle-checkable.
+    */
+  def qHashSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs
+      .withColumn("in_sample",
+        hexDigit(md5(col("doc_id").cast("string").cast("binary")), 1) < 2)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
+  }
+
+  val qHashSampleSql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN ${hexDigitSql("md5(CAST(doc_id AS VARCHAR))", 1)} < 2
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM documents GROUP BY lang""".stripMargin
+
   /** approx_count_distinct (HLL sketch) vs exact, side by side — the sketch
     * is what survives 100 TB; the exact column is the local ground truth.
     */
@@ -616,7 +686,9 @@ object TextOps {
     "q49_jaccard_top_pairs" -> (qJaccardTopPairs _),
     "q50_approx_distinct" -> (qApproxDistinct _),
     "q55_simhash_near_dups" -> (qSimhashNearDupPairs _),
-    "q56_minhash_candidates" -> (qMinhashCandidatePairs _))
+    "q56_minhash_candidates" -> (qMinhashCandidatePairs _),
+    "q59_tfidf_top_terms" -> (qTfidfTopTerms _),
+    "q73_hash_sample" -> (qHashSample _))
 
   val oracle: Map[String, String] = Map(
     "q40_dedup_exact" -> qDedupExactSql,
@@ -630,5 +702,7 @@ object TextOps {
     "q48_minhash" -> qMinhashBandsSql,
     "q49_jaccard_top_pairs" -> qJaccardTopPairsSql,
     "q55_simhash_near_dups" -> qSimhashNearDupPairsSql,
-    "q56_minhash_candidates" -> qMinhashCandidatePairsSql)
+    "q56_minhash_candidates" -> qMinhashCandidatePairsSql,
+    "q59_tfidf_top_terms" -> qTfidfTopTermsSql,
+    "q73_hash_sample" -> qHashSampleSql)
 }

@@ -471,7 +471,9 @@ object TextOps {
     * blocking, never all-pairs; fully DuckDB-expressible.
     */
   def qSimhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = qSimhashBands(s, dir)
+    // persisted: consumed four times (both self-join sides + both verify
+    // joins) — without it the 64-vote aggregation recomputes per consumer
+    val bands = qSimhashBands(s, dir).persist()
     val banded = bands.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
@@ -516,7 +518,9 @@ object TextOps {
     * signature similarity). Bucket-equality join only — never all-pairs.
     */
   def qMinhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = qMinhashBands(s, dir)
+    // persisted: both self-join sides read it — without it the 32-MIN
+    // signature aggregation over all shingles runs twice
+    val bands = qMinhashBands(s, dir).persist()
     val banded = bands.select(col("doc_id"),
       explode(array((0 until MinhashBands).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))

@@ -106,11 +106,71 @@ object Temporal {
       |  COUNT(*) AS n_events
       |FROM f WHERE is_probe = 1 GROUP BY 1""".stripMargin
 
+  /** SCD2 compaction: a change stream (k, t_ns, seq, attr) → the
+    * slowly-changing-dimension type-2 history: one row per RUN of equal
+    * consecutive attr values per key, with [valid_from_ns, valid_to_ns)
+    * validity (open row: null valid_to). Gaps-and-islands over one shuffle
+    * on the key; `seq` breaks same-instant ties deterministically.
+    */
+  def scd2FromChanges(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("t_ns").asc, col("seq").asc)
+    val runs = changes
+      .withColumn("chg",
+        when(lag(col("attr"), 1).over(w).isNull ||
+          lag(col("attr"), 1).over(w) =!= col("attr"), 1).otherwise(0))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("run_id"))
+      .agg(first(col("attr")).as("attr"), min(col("t_ns")).as("valid_from_ns"))
+    // order successor lookup by run_id, not valid_from: same-instant runs
+    // (tie split by seq) share a valid_from and would make lead ambiguous
+    val wr = Window.partitionBy(col("k")).orderBy(col("run_id").asc)
+    runs
+      .withColumn("valid_to_ns", lead(col("valid_from_ns"), 1).over(wr))
+      .select(col("k"), col("attr"), col("valid_from_ns"), col("valid_to_ns"))
+  }
+
+  /** SCD2 history of each customer's order priority (custkey < 100), built
+    * from the order change stream.
+    */
+  def qScd2History(s: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.load(s, dir, "orders")
+      .where(col("o_custkey") < 100)
+      .select(col("o_custkey").as("k"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000).as("t_ns"),
+        col("o_orderkey").as("seq"), col("o_orderpriority").as("attr"))
+    scd2FromChanges(changes)
+  }
+
+  val qScd2HistorySql: String =
+    """WITH c AS (
+      |  SELECT o_custkey AS k, epoch_us(o_orderdate) * 1000 AS t_ns,
+      |    o_orderkey AS seq, o_orderpriority AS attr
+      |  FROM orders WHERE o_custkey < 100),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(attr) OVER w IS NULL
+      |                   OR lag(attr) OVER w <> attr THEN 1 ELSE 0 END AS chg
+      |  FROM c WINDOW w AS (PARTITION BY k ORDER BY t_ns, seq)),
+      |r AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY k ORDER BY t_ns, seq
+      |    ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM m),
+      |runs AS (
+      |  SELECT k, run_id, MIN(t_ns) AS valid_from_ns,
+      |    ANY_VALUE(attr) AS attr
+      |  FROM r GROUP BY k, run_id)
+      |SELECT k, attr, valid_from_ns,
+      |  lead(valid_from_ns) OVER (PARTITION BY k ORDER BY run_id)
+      |    AS valid_to_ns
+      |FROM runs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_range_join" -> (qRangeJoin _),
-    "q58_asof_join" -> (qAsofJoin _))
+    "q58_asof_join" -> (qAsofJoin _),
+    "q74_scd2_history" -> (qScd2History _))
 
   val oracle: Map[String, String] = Map(
     "q57_range_join" -> qRangeJoinSql,
-    "q58_asof_join" -> qAsofJoinSql)
+    "q58_asof_join" -> qAsofJoinSql,
+    "q74_scd2_history" -> qScd2HistorySql)
 }

@@ -33,6 +33,23 @@ class TemporalSpec extends AnyFunSuite {
     assert(got((3L, 50L)).isEmpty)
   }
 
+  test("scd2FromChanges: runs collapse, validity chains, open row has null valid_to") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), // same attr → one run
+      (1L, 30L, 3L, "B"),                     // change → new version
+      (1L, 40L, 4L, "A"),                     // back to A → THIRD version
+      (2L, 5L, 1L, "X")).toDF("k", "t_ns", "seq", "attr")
+    val got = Temporal.scd2FromChanges(changes).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got == Set(
+      (1L, "A", 10L, Some(30L)),
+      (1L, "B", 30L, Some(40L)),
+      (1L, "A", 40L, None),
+      (2L, "X", 5L, None)))
+  }
+
   test("asofLatest: equal-time builds resolve deterministically (max attr)") {
     import spark.implicits._
     val build = Seq((1L, 10L, "X"), (1L, 10L, "Y")).toDF("k", "t_ns", "attr")

@@ -95,6 +95,24 @@ object Events {
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** Stream-stream interval self-join: per-user event pairs within a
+    * 5-minute band (the streaming execution of the q57 range-join shape,
+    * [[graft.operators.Temporal.qRangeJoin]]). Watermarks on BOTH sides
+    * plus the time-range join condition let Spark evict join state older
+    * than watermark − band — bounded state at any volume. Works
+    * identically on batch DataFrames (watermark is a no-op there).
+    */
+  def pairsWithinBand(a: DataFrame, b: DataFrame): DataFrame = {
+    val x = a.select(col("user_id").as("user_a"), col("ts_utc").as("t_a"),
+      col("event_type").as("type_a")).withWatermark("t_a", "10 minutes")
+    val y = b.select(col("user_id").as("user_b"), col("ts_utc").as("t_b"),
+      col("event_type").as("type_b")).withWatermark("t_b", "10 minutes")
+    x.join(y,
+      col("user_a") === col("user_b") &&
+        col("t_b") > col("t_a") &&
+        col("t_b") <= col("t_a") + expr("INTERVAL 5 MINUTES"))
+  }
+
   final case class UserRunningTotals(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Custom streaming state (flatMapGroupsWithState): per-user running

@@ -120,6 +120,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch range join exactly") {
+    val batchDf = Tables.events(spark, dir)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ssj_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val stream = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema).parquet(streamDir)
+      .withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    // stream-stream joins emit in APPEND mode only; aggregate the sink
+    val q = Events.pairsWithinBand(stream, stream)
+      .writeStream.format("memory").queryName("ssj_pairs")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj_pairs")
+      .groupBy(col("type_a"), col("type_b")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Events.pairsWithinBand(batchDf, batchDf)
+      .groupBy(col("type_a"), col("type_b")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessionize: per-user sessions split on >=30min gaps (spot-check invariants)") {
     val sessions = Events.qSessionize(spark, dir).collect()
     assert(sessions.nonEmpty)

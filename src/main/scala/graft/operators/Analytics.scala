@@ -588,7 +588,46 @@ object Analytics {
       |  COUNT(*) AS cnt
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Pivot: event counts per user-decile, one column per event type (the
+    * notebook crosstab shape). Spark pivot with an explicit value list
+    * stays a single hash aggregate — no second pass to discover values.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("user_decile"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val qPivotSql: String =
+    """SELECT user_id % 10 AS user_decile,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** ROLLUP: totals at (flag, status), per-flag, and grand-total levels in
+    * one pass — partial aggregation covers every grouping set, so the cost
+    * is one shuffle, not one scan per level. grouping_id disambiguates
+    * NULL-as-subtotal from NULL-as-data.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+
+  val qRollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  COUNT(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_pivot" -> (qPivot _),
+    "q76_rollup" -> (qRollup _),
     "q09_topk" -> (qTopk _),
     "q10_value_counts" -> (qValueCounts _),
     "q11_having" -> (qHaving _),
@@ -617,6 +656,8 @@ object Analytics {
     "q36_sym_diff" -> (qSymDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q75_pivot" -> qPivotSql,
+    "q76_rollup" -> qRollupSql,
     "q09_topk" -> qTopkSql,
     "q10_value_counts" -> qValueCountsSql,
     "q11_having" -> qHavingSql,

@@ -86,17 +86,16 @@ final class LotteryAnalytics(sorteos: DataFrame, premios: DataFrame) {
     * by contract; surfaced, not silently removed).
     */
   def duplicatePrizeRows: DataFrame =
-    premios.groupBy(premios.columns.map(col): _*)
+    premios.groupBy(premios.columns.toIndexedSeq.map(col): _*)
       .agg(count(lit(1)).as("multiplicity"))
       .where(col("multiplicity") > 1)
 
   /** EDA_premios cells 11/15: null count per column. */
-  def nullAudit: DataFrame =
-    premios.agg(
-      premios.columns.map(c =>
-        sum(when(col(c).isNull, 1).otherwise(0)).as(s"nulls_$c")).head,
-      premios.columns.map(c =>
-        sum(when(col(c).isNull, 1).otherwise(0)).as(s"nulls_$c")).tail: _*)
+  def nullAudit: DataFrame = {
+    val counts = premios.columns.toIndexedSeq.map(c =>
+      sum(when(col(c).isNull, 1).otherwise(0)).as(s"nulls_$c"))
+    premios.agg(counts.head, counts.tail: _*)
+  }
 
   /** visualization cells 45-49: winning percentage + "1 in N" odds per
     * draw type, from the published tickets-issued constants.

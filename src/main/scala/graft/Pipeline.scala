@@ -42,7 +42,14 @@ object Pipeline {
     val raw = if (incremental)
       Silver.skipProcessed(raw0, Silver.processedSorteos(spark, silverSorteos))
     else raw0
-    val draws = Silver.parseDraws(raw).persist()
+    // Materialize the increment ONCE and CUT its lineage (eager
+    // localCheckpoint). persist() is not enough: isEmpty caches only the
+    // first partition, so the premios write below could re-execute the
+    // skip-processed anti-join AFTER the sorteos write — which would see
+    // its own output as "already processed" and silently drop the new
+    // draws' premios (write skew). The increment is bounded by arrival
+    // rate, so checkpoint size is small at any corpus scale.
+    val draws = Silver.parseDraws(raw).localCheckpoint()
     try {
       if (!draws.isEmpty) {
         Log.timed("silver_write", "path" -> silverSorteos) {

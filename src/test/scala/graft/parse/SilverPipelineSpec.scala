@@ -84,6 +84,32 @@ class SilverPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental arrival: a NEW draw file appends only its own rows") {
+    val out = freshDir()
+    val raw = freshDir()
+    def stage(name: String): Unit = {
+      val src = java.nio.file.Paths.get(rawPath)
+      java.nio.file.Files.walk(src).filter(_.toString.endsWith(s"$name")).forEach { p =>
+        val rel = src.relativize(p).toString
+        val dst = java.nio.file.Paths.get(raw, rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(p, dst)
+      }
+    }
+    // first run: two 2024 draws (7 + 4 premios rows)
+    stage("results_raw_lottery_url_id_287_3046.txt")
+    stage("results_raw_lottery_url_id_288_3047.txt")
+    Pipeline.run(spark, s"$raw/year=*/sorteo=*/*.txt", out)
+    assert(spark.read.parquet(s"$out/silver/premios").count() == 11)
+    // a NEW draw arrives: only its 3 rows append, nothing re-processed
+    stage("results_raw_lottery_url_id_310_3101.txt")
+    Pipeline.run(spark, s"$raw/year=*/sorteo=*/*.txt", out)
+    val premios = spark.read.parquet(s"$out/silver/premios")
+    assert(premios.count() == 14)
+    assert(premios.where(col("sorteo") === 3046).count() == 7) // not duplicated
+    assert(premios.where(col("sorteo") === 3101).count() == 3) // newly arrived
+  }
+
   test("processedSorteos: empty on missing path, but corrupt silver PROPAGATES") {
     val out = freshDir()
     // missing path → first run → empty processed set

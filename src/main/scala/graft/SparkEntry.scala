@@ -36,12 +36,20 @@ object SparkEntry {
     */
   private val silverParquetDir = "/tmp/graft_fixture_silver"
 
-  private def fixtureSilverParquet(s: SparkSession): (DataFrame, DataFrame) = {
-    val (so, pr) = fixtureSilver(s)
-    so.coalesce(1).write.mode("overwrite").parquet(s"$silverParquetDir/sorteos")
-    pr.coalesce(1).write.mode("overwrite").parquet(s"$silverParquetDir/premios")
-    (s.read.parquet(s"$silverParquetDir/sorteos"), s.read.parquet(s"$silverParquetDir/premios"))
-  }
+  /** Memoized per session: the parse is deterministic (and independently
+    * gated by q60/q61), so the ten gold/facade queries share one silver
+    * materialization instead of re-parsing and re-writing it each.
+    */
+  private val silverCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (DataFrame, DataFrame)]()
+
+  private def fixtureSilverParquet(s: SparkSession): (DataFrame, DataFrame) =
+    silverCache.computeIfAbsent(s, _ => {
+      val (so, pr) = fixtureSilver(s)
+      so.coalesce(1).write.mode("overwrite").parquet(s"$silverParquetDir/sorteos")
+      pr.coalesce(1).write.mode("overwrite").parquet(s"$silverParquetDir/premios")
+      (s.read.parquet(s"$silverParquetDir/sorteos"), s.read.parquet(s"$silverParquetDir/premios"))
+    })
 
   private val parseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_parse_silver_premios" -> ((s, _) => fixtureSilver(s)._2),
@@ -241,12 +249,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ graft.streaming.Events.queries ++
       TextOps.queries ++ Similarity.queries ++ Temporal.queries ++
-      parseQueries ++ goldSqlQueries
+      Windows.queries ++ parseQueries ++ goldSqlQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytics.oracle ++ graft.streaming.Events.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Temporal.oracle ++
-      parseOracle ++ goldSqlOracle
+      Windows.oracle ++ parseOracle ++ goldSqlOracle
 }

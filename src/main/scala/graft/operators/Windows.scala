@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import Relational.{dsum, dsumSql}
+
+/** Ordered-window operators beyond the single rank-top-N the reference
+  * needs (SURVEY §2.5 W1-W3): running totals, lag deltas, ntile binning,
+  * and frame-bounded moving aggregates — the standard window surface a
+  * reference user would reach for next (reference
+  * visualization_sorteos_premios.ipynb builds its cumulative/trend charts
+  * pandas-side; here they are engine-side and distributed).
+  *
+  * Scale shape: every window is PARTITIONed (priority / customer / year) —
+  * one shuffle on the partition key, per-partition sort, bounded state; no
+  * global single-partition sorts. Running/moving sums accumulate as
+  * decimal (exact, associative) so results are bit-identical at any
+  * partition count and in the DuckDB oracle, then surface as double —
+  * float running sums would depend on each engine's frame-evaluation
+  * strategy (incremental add vs segment tree) and never hash-match.
+  */
+object Windows {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Per-priority running order count and running revenue, ordered by key.
+    * Explicit ROWS frame: with a unique order key RANGE and ROWS agree, but
+    * ROWS keeps the frame O(1)-incremental rather than peer-group scanning.
+    */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        count(lit(1)).over(w).as("running_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("running_revenue"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  COUNT(*) OVER w AS running_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_revenue
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Days between a customer's consecutive orders (lag over the per-key
+    * timeline), rolled up to a week-bucket histogram. First order per
+    * customer has no predecessor and is excluded.
+    */
+  def qLagGap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .withColumn("gap_days", datediff(col("d"), lag(col("d"), 1).over(w)))
+      .where(col("gap_days").isNotNull)
+      .groupBy(floor(col("gap_days") / lit(7.0)).cast("int").as("gap_weeks"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
+  val qLagGapSql: String =
+    """WITH g AS (
+      |  SELECT date_diff('day',
+      |           LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |             ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC),
+      |           CAST(o_orderdate AS DATE)) AS gap_days
+      |  FROM orders)
+      |SELECT CAST(FLOOR(gap_days / 7.0) AS INTEGER) AS gap_weeks,
+      |  COUNT(*) AS n_gaps
+      |FROM g WHERE gap_days IS NOT NULL GROUP BY 1""".stripMargin
+
+  /** Within-priority revenue deciles: ntile(10) over the ordered partition,
+    * then per-tile count / min / max / exact mean. The ntile itself is one
+    * per-partition sorted pass; the rollup is an ordinary hash aggregate.
+    */
+  def qNtileDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("tile", ntile(10).over(w))
+      .groupBy(col("o_orderpriority"), col("tile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+  }
+
+  val qNtileDecilesSql: String =
+    s"""WITH tiled AS (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS tile
+       |  FROM orders)
+       |SELECT o_orderpriority, tile, COUNT(*) AS n_orders,
+       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       |  ${dsumSql("o_totalprice")} / COUNT(*) AS avg_price
+       |FROM tiled GROUP BY o_orderpriority, tile""".stripMargin
+
+  /** 7-day moving average over the daily revenue series, windowed within
+    * year. The daily rollup stays DECIMAL until after the moving sum so
+    * the frame aggregation is exact; count-in-frame handles the ramp-up
+    * days at each year's start (frames shorter than 7).
+    */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("rev"))
+    val w = Window.partitionBy(year(col("d"))).orderBy(col("d").asc)
+      .rowsBetween(-6, Window.currentRow)
+    daily.select(col("d"),
+      col("rev").cast("double").as("daily_revenue"),
+      (sum(col("rev")).over(w).cast("double") / count(lit(1)).over(w)).as("ma7"))
+  }
+
+  val qMovingAvgSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT d, CAST(rev AS DOUBLE) AS daily_revenue,
+      |  CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY year(d) ORDER BY d ASC
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_window_running" -> (qWindowRunning _),
+    "q78_lag_gap" -> (qLagGap _),
+    "q79_ntile_deciles" -> (qNtileDeciles _),
+    "q80_moving_avg" -> (qMovingAvg _))
+
+  val oracle: Map[String, String] = Map(
+    "q77_window_running" -> qWindowRunningSql,
+    "q78_lag_gap" -> qLagGapSql,
+    "q79_ntile_deciles" -> qNtileDecilesSql,
+    "q80_moving_avg" -> qMovingAvgSql)
+}

@@ -105,17 +105,24 @@ object GraftFunctions {
       s"cosine_similarity expects 2 arguments, got ${exprs.length}")
   }
 
-  /** Idempotent session-local registration. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent session-local registration (all graft functions). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", builder, "scala_udf")
+    QuantileSketch.register(spark)
+  }
 }
 
 /** `spark.sql.extensions` entry point (SparkSessionExtensions injection). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }))
+    extensions.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "kll_quantiles"),
+      { exprs: Seq[Expression] => KllQuantiles(exprs(0), exprs(1), exprs(2)) }))
+  }
 }

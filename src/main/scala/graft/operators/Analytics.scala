@@ -625,7 +625,28 @@ object Analytics {
        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** A12 scale path: per-group percentiles via the mergeable KLL sketch
+    * aggregate ([[graft.functions.KllQuantiles]]) — one shuffle of
+    * O(k log n)-byte sketches, map-side partial aggregation, vs shipping
+    * raw values. Rows-only check (estimates depend on merge order within
+    * the rank-error bound); the bound itself is pinned in
+    * QuantileSketchSpec against the exact sort-based quantile.
+    */
+  def qKllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val probs = Seq(0.25, 0.5, 0.75, 0.95)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.QuantileSketch
+        .kllQuantiles("l_extendedprice", probs, 256).as("qs"))
+      .select(col("l_returnflag"),
+        posexplode(col("qs")).as(Seq("pos", "est")))
+      .withColumn("p", element_at(lit(probs.toArray), col("pos") + 1))
+      .select(col("l_returnflag"), col("p"), col("est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_kll_quantiles" -> (qKllQuantiles _),
     "q75_pivot" -> (qPivot _),
     "q76_rollup" -> (qRollup _),
     "q09_topk" -> (qTopk _),

@@ -645,8 +645,62 @@ object Analytics {
       .select(col("l_returnflag"), col("p"), col("est"))
   }
 
+  /** CUBE: all four grouping sets of (priority, status) in one pass —
+    * with ROLLUP (q76) and pivot (q75) this completes the grouping-sets
+    * family. Same single-shuffle property: partial aggregation expands
+    * the sets map-side.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping_id().cast("int").as("gid"))
+
+  val qCubeSql: String =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price,
+       |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS gid
+       |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** Ordered funnel over the event stream: view → later click → later
+    * purchase, evaluated per user from each stage's earliest timestamp —
+    * one shuffle on user_id, constant state per user, no self-joins
+    * (the n-way event self-join formulation explodes at 100 TB; this is
+    * one hash aggregate + one scalar rollup).
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    def tmin(et: String) = min(when(col("event_type") === et, col("ts")))
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(tmin("view").as("t_view"), tmin("click").as("t_click"),
+        tmin("purchase").as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("users"),
+      count(col("t_view")).as("viewed"),
+      sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("clicked_after_view"),
+      sum(when(col("t_click") > col("t_view") && col("t_purchase") > col("t_click"), 1L)
+        .otherwise(0L)).as("purchased_after_click"))
+  }
+
+  val qFunnelSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(epoch_ns(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+      |    MIN(epoch_ns(ts)) FILTER (WHERE event_type = 'click') AS t_click,
+      |    MIN(epoch_ns(ts)) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(*) AS users,
+      |  COUNT(t_view) AS viewed,
+      |  CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      |  CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+      |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_kll_quantiles" -> (qKllQuantiles _),
+    "q83_cube" -> (qCube _),
+    "q84_funnel" -> (qFunnel _),
     "q75_pivot" -> (qPivot _),
     "q76_rollup" -> (qRollup _),
     "q09_topk" -> (qTopk _),
@@ -677,6 +731,8 @@ object Analytics {
     "q36_sym_diff" -> (qSymDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q83_cube" -> qCubeSql,
+    "q84_funnel" -> qFunnelSql,
     "q75_pivot" -> qPivotSql,
     "q76_rollup" -> qRollupSql,
     "q09_topk" -> qTopkSql,

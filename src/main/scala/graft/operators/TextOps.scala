@@ -663,6 +663,34 @@ object TextOps {
        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
        |FROM documents GROUP BY lang""".stripMargin
 
+  /** Stratified deterministic sampling — the language-rebalancing move a
+    * training-data pipeline applies to a skewed corpus: downsample the
+    * dominant language (en → 25%) while keeping the tail (→ 75%).
+    * Membership is a pure function of (doc_id, stratum rate) via two md5
+    * hex digits (1/256 granularity), so the sample is reproducible,
+    * coordination-free, and identical on any cluster size — no RNG state,
+    * no driver involvement, no reshuffle (the decision is row-local).
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bucket = hexDigit(h, 1) * 16 + hexDigit(h, 2) // 0..255
+    val threshold = when(col("lang") === "en", 64).otherwise(192) // 25% / 75%
+    t(s, dir, "documents")
+      .withColumn("in_sample", bucket < threshold)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
+  }
+
+  val qStratifiedSampleSql: String = {
+    val h = "md5(CAST(doc_id AS VARCHAR))"
+    val bucket = s"(${hexDigitSql(h, 1)} * 16 + ${hexDigitSql(h, 2)})"
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN $bucket < (CASE WHEN lang = 'en' THEN 64 ELSE 192 END)
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM documents GROUP BY lang""".stripMargin
+  }
+
   /** approx_count_distinct (HLL sketch) vs exact, side by side — the sketch
     * is what survives 100 TB; the exact column is the local ground truth.
     */
@@ -692,7 +720,8 @@ object TextOps {
     "q55_simhash_near_dups" -> (qSimhashNearDupPairs _),
     "q56_minhash_candidates" -> (qMinhashCandidatePairs _),
     "q59_tfidf_top_terms" -> (qTfidfTopTerms _),
-    "q73_hash_sample" -> (qHashSample _))
+    "q73_hash_sample" -> (qHashSample _),
+    "q82_stratified_sample" -> (qStratifiedSample _))
 
   val oracle: Map[String, String] = Map(
     "q40_dedup_exact" -> qDedupExactSql,
@@ -708,5 +737,6 @@ object TextOps {
     "q55_simhash_near_dups" -> qSimhashNearDupPairsSql,
     "q56_minhash_candidates" -> qMinhashCandidatePairsSql,
     "q59_tfidf_top_terms" -> qTfidfTopTermsSql,
-    "q73_hash_sample" -> qHashSampleSql)
+    "q73_hash_sample" -> qHashSampleSql,
+    "q82_stratified_sample" -> qStratifiedSampleSql)
 }

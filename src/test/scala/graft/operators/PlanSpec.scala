@@ -62,4 +62,40 @@ class PlanSpec extends AnyFunSuite {
     val p = executedPlan("q03_number_frequency")
     assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"), p)
   }
+
+  test("q77 running window is partitioned (no single-partition global sort)") {
+    val p = executedPlan("q77_window_running")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // one shuffle on the window partition key, nothing more
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q80 moving average: daily rollup aggregates before the window") {
+    val p = executedPlan("q80_moving_avg")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // partial agg (map-side) must appear below the window's shuffle
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q83 cube expands grouping sets in one aggregate pass (single shuffle)") {
+    val p = executedPlan("q83_cube")
+    assert(p.contains("Expand"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q84 funnel is aggregate-only: no join in the plan") {
+    val p = executedPlan("q84_funnel")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q81 KLL sketch aggregates partially map-side (ObjectHashAggregate)") {
+    val p = executedPlan("q81_kll_quantiles")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("kll_quantiles"), p)
+    // sketches merge through one shuffle on the group key
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -547,6 +547,79 @@ object TextOps {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Connected components over an undirected edge list by iterated
+    * min-label propagation: every node starts as its own label; each round
+    * takes the min of its own and its neighbors' labels; fixpoint = each
+    * node carries the min node id of its component (a unique, deterministic
+    * labeling). Rounds are bounded by the component diameter — near-dup
+    * graphs are unions of tight cliques-ish clusters, so a handful. Each
+    * round is one shuffle (join + min-agg); localCheckpoint cuts the
+    * otherwise-exponential lineage, and the convergence check is an exact
+    * changed-count, not a guess. For adversarial long-path graphs at 100 TB
+    * the same loop carries with large-star/small-star rewiring
+    * (Kiveris et al., SoCC'14) — unnecessary for dedup clusters.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = sym.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .where(col("label") =!= col("prev")).count()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup CLUSTERS: the step after pair mining a dedup pipeline
+    * actually needs — transitively close the q55 simhash near-dup pairs so
+    * each document maps to a canonical cluster id (the min doc_id of its
+    * component; singletons are their own cluster). Downstream "keep one
+    * per cluster" is then a trivial filter on doc_id = cluster_id.
+    */
+  def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
+    val edges = qSimhashNearDupPairs(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(nodes, edges)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("is_canonical"))
+  }
+
+  /** The fixpoint labeling is unique, so the oracle recomputes it exactly:
+    * transitive closure by recursive CTE over the same q55 pair SQL, then
+    * min reachable node per doc.
+    */
+  val qDupClustersSql: String = {
+    val pairsSql = qSimhashNearDupPairsSql.linesIterator.map("  " + _).mkString("\n")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node)
+       |SELECT node AS doc_id, MIN(label) AS cluster_id,
+       |  (node = MIN(label)) AS is_canonical
+       |FROM reach GROUP BY node""".stripMargin
+  }
+
   /** DuckDB re-derivation of [[qLangId]]'s naive Bayes: same tokenization,
     * even/odd train-test split, add-one smoothing, per-(doc,lang) log-sum,
     * argmax with (score, lang) tiebreak. The log-prob sums are double
@@ -721,7 +794,8 @@ object TextOps {
     "q56_minhash_candidates" -> (qMinhashCandidatePairs _),
     "q59_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q73_hash_sample" -> (qHashSample _),
-    "q82_stratified_sample" -> (qStratifiedSample _))
+    "q82_stratified_sample" -> (qStratifiedSample _),
+    "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
     "q40_dedup_exact" -> qDedupExactSql,
@@ -738,5 +812,6 @@ object TextOps {
     "q56_minhash_candidates" -> qMinhashCandidatePairsSql,
     "q59_tfidf_top_terms" -> qTfidfTopTermsSql,
     "q73_hash_sample" -> qHashSampleSql,
-    "q82_stratified_sample" -> qStratifiedSampleSql)
+    "q82_stratified_sample" -> qStratifiedSampleSql,
+    "q85_dup_clusters" -> qDupClustersSql)
 }

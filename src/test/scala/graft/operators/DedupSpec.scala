@@ -112,6 +112,29 @@ class DedupSpec extends AnyFunSuite {
     assert(dups.map(_.getAs[Long]("keep_id")).toSet == Set(20L, 21L))
   }
 
+  test("connectedComponents: chain transitivity, isolated component, singletons") {
+    import spark.implicits._
+    val nodes = (1L to 10L).toDF("node")
+    // component {1,2,3,4} via a chain (transitive closure needed),
+    // component {7,8}, singletons 5,6,9,10
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("a", "b")
+    val got = TextOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(got(7L) == 7L && got(8L) == 7L)
+    assert(Seq(5L, 6L, 9L, 10L).forall(n => got(n) == n))
+  }
+
+  test("connectedComponents: long path converges within diameter rounds") {
+    import spark.implicits._
+    val n = 30L
+    val nodes = (1L to n).toDF("node")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = TextOps.connectedComponents(nodes, edges, maxIters = 40)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(1L)) // one component, min label everywhere
+  }
+
   test("langid query is deterministic and covers every language") {
     val a = TextOps.qLangId(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

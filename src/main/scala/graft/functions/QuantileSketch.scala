@@ -39,6 +39,9 @@ final class KllSketch(val k: Int) extends Serializable {
   private[functions] var parities: ArrayBuffer[Boolean] = ArrayBuffer(false)
   private[functions] var n: Long = 0L
 
+  /** Number of values absorbed (exact). */
+  def count: Long = n
+
   /** Capacity decays c=2/3 per level below the top so total space stays
     * O(k): top levels keep ~k items, deep (high-weight) levels keep more
     * because their items carry more rank mass.

@@ -120,6 +120,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming KLL percentiles: state carries across micro-batches, bound holds") {
+    val batchDf = Tables.load(spark, dir, "events")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
+    // two copies of the same file → two micro-batches; the sketch state
+    // must absorb both deliveries (2x each value)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events_b.parquet"))
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = Events.runningValuePercentiles(stream)
+      .writeStream.format("memory").queryName("kll_stream")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // final update per type covers both deliveries
+    val last = spark.table("kll_stream")
+      .orderBy(col("n").desc).collect()
+      .groupBy(_.getString(0)).map { case (et, rows) => et -> rows.head }
+    val perType = batchDf.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last.keySet == perType.keySet)
+    perType.foreach { case (et, n) => assert(last(et).getLong(1) == 2 * n, et) }
+    // p50 rank error vs the exact doubled distribution (== original) <= 2%
+    perType.keys.foreach { et =>
+      val sorted = batchDf.where(col("event_type") === et)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      val est = last(et).getDouble(2)
+      val below = sorted.count(_ <= est).toDouble / sorted.length
+      assert(math.abs(below - 0.5) <= 0.02, s"$et p50=$est rank=$below")
+    }
+  }
+
   test("stream-stream interval join matches the batch range join exactly") {
     val batchDf = Tables.events(spark, dir)
     val streamDir = java.nio.file.Files.createTempDirectory("graft_ssj_stream").toString

@@ -697,8 +697,54 @@ object Analytics {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
       |FROM u""".stripMargin
 
+  /** Correlation / covariance per group — the bivariate half of
+    * describe() the notebook gets from `df.corr()`. Both moments are
+    * derived from EXACT decimal sums (n, Σx, Σy, Σxy, Σx², Σy²): the five
+    * sums shuffle as partial aggregates (map-side combine, one exchange),
+    * and the only floating-point work is one fixed formula evaluated once
+    * per group — so the result is bit-identical at any partition count and
+    * in the DuckDB oracle, unlike builtin `corr` whose streaming co-moment
+    * updates are partition-order-dependent in the last ulps. The decimal
+    * widths hold to ~1e20 row-sums — 100 TB-safe for money-scaled data.
+    */
+  def qCorrMoments(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val x = col("l_quantity").cast(dec)
+    val y = col("l_extendedprice").cast(dec)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n").cast("bigint").as("n_rows"),
+        expr("sx / n").as("mean_qty"), expr("sy / n").as("mean_price"),
+        expr("(n * sxy - sx * sy) / (n * n)").as("cov_pop"),
+        expr("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")
+          .as("corr_qty_price"))
+  }
+
+  val qCorrMomentsSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  sx / n AS mean_qty, sy / n AS mean_price,
+      |  (n * sxy - sx * sy) / (n * n) AS cov_pop,
+      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      |    AS corr_qty_price
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_kll_quantiles" -> (qKllQuantiles _),
+    "q86_corr_moments" -> (qCorrMoments _),
     "q83_cube" -> (qCube _),
     "q84_funnel" -> (qFunnel _),
     "q75_pivot" -> (qPivot _),
@@ -731,6 +777,7 @@ object Analytics {
     "q36_sym_diff" -> (qSymDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q86_corr_moments" -> qCorrMomentsSql,
     "q83_cube" -> qCubeSql,
     "q84_funnel" -> qFunnelSql,
     "q75_pivot" -> qPivotSql,

@@ -130,14 +130,42 @@ object Windows {
       |WINDOW w AS (PARTITION BY year(d) ORDER BY d ASC
       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Distribution-rank statistics (percent_rank / cume_dist) of each order
+    * inside its priority class, ordered by order month — ties are real
+    * (many orders share a month), so rank-vs-peer-group semantics are
+    * actually exercised, and both statistics are single divisions of exact
+    * window counts: (rank−1)/(n−1) and peers_cum/n — engine-independent
+    * doubles. One exchange on the partition key, per-partition sort,
+    * O(1) state (PlanSpec no-single-partition guard applies).
+    */
+  def qRankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("m").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        month(col("o_orderdate")).as("m"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("m"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+  }
+
+  val qRankStatsSql: String =
+    """SELECT o_orderkey, o_orderpriority, CAST(month(o_orderdate) AS INTEGER) AS m,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cum_dist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY month(o_orderdate) ASC)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_window_running" -> (qWindowRunning _),
+    "q87_rank_stats" -> (qRankStats _),
     "q78_lag_gap" -> (qLagGap _),
     "q79_ntile_deciles" -> (qNtileDeciles _),
     "q80_moving_avg" -> (qMovingAvg _))
 
   val oracle: Map[String, String] = Map(
     "q77_window_running" -> qWindowRunningSql,
+    "q87_rank_stats" -> qRankStatsSql,
     "q78_lag_gap" -> qLagGapSql,
     "q79_ntile_deciles" -> qNtileDecilesSql,
     "q80_moving_avg" -> qMovingAvgSql)

@@ -499,8 +499,8 @@ object Analytics {
   val qSummaryStatsSql: String =
     """WITH a AS (SELECT COUNT(l_quantity) AS cnt,
       |    MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS s2
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1,
+      |    CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS s2
       |  FROM lineitem)
       |SELECT cnt, min_qty, max_qty, s1 / cnt AS mean_qty,
       |  sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) AS stddev_qty
@@ -721,24 +721,32 @@ object Analytics {
       .select(col("l_returnflag"), col("n").cast("bigint").as("n_rows"),
         expr("sx / n").as("mean_qty"), expr("sy / n").as("mean_price"),
         expr("(n * sxy - sx * sy) / (n * n)").as("cov_pop"),
-        expr("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")
+        // NULLIF on the denominator: a zero-variance group must yield NULL in
+        // both engines (Spark non-ANSI x/0 is NULL, DuckDB IEEE is NaN/Inf).
+        expr("(n * sxy - sx * sy) / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0)")
           .as("corr_qty_price"))
   }
 
+  /** DuckDB spelling: the product operands are DECIMAL(28,6) — a width-18
+    * decimal multiply stays on DuckDB's INT64 path and overflows on
+    * l_extendedprice² (observed at sf0.01); width > 18 forces the HUGEINT
+    * path, which holds these sums exactly to ~1e26. The sums are exact in
+    * both engines, so the double-cast results agree bit-for-bit.
+    */
   val qCorrMomentsSql: String =
     """WITH m AS (
       |  SELECT l_returnflag,
       |    CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
       |  sx / n AS mean_qty, sy / n AS mean_price,
       |  (n * sxy - sx * sy) / (n * n) AS cov_pop,
-      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      |  (n * sxy - sx * sy) / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0)
       |    AS corr_qty_price
       |FROM m""".stripMargin
 

@@ -42,9 +42,15 @@ object Relational {
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
-  /** Oracle-side SQL spelling of [[dsum]]. */
+  /** Oracle-side SQL spelling of [[dsum]]. The decimal→double hop goes
+    * through VARCHAR: DuckDB's direct DECIMAL→DOUBLE cast double-rounds
+    * (int128→double, then divide by 10^scale) and can be off by one ulp,
+    * while string→double (strtod) and Spark's BigDecimal.doubleValue are
+    * both correctly rounded — so only the VARCHAR route matches Spark
+    * bit-for-bit on every value.
+    */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
 
   /** Order-insensitive exact mean: decimal-sum / count, both deterministic. */
   def davg(c: Column): Column = dsum(c) / count(c)
@@ -69,9 +75,9 @@ object Relational {
 
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS n_rows,
       |  MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag, l_linestatus

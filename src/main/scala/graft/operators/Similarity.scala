@@ -96,7 +96,7 @@ object Similarity {
       |    unnest(embedding) AS v
       |  FROM embeddings)
       |SELECT label, pos,
-      |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
       |    / COUNT(*) AS centroid,
       |  COUNT(*) AS n_vectors
       |FROM x GROUP BY 1, 2""".stripMargin

@@ -471,25 +471,29 @@ object TextOps {
     * blocking, never all-pairs; fully DuckDB-expressible.
     */
   def qSimhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    // persisted: consumed four times (both self-join sides + both verify
-    // joins) — without it the 64-vote aggregation recomputes per consumer
+    // persisted: consumed by both self-join sides — without it the 64-vote
+    // aggregation over every token recomputes per consumer
     val bands = qSimhashBands(s, dir).persist()
+    // Each banded row carries ALL four band values alongside its blocking
+    // key, so the exact hamming is computable straight off the self-join
+    // output — no joins back to the signature table. The payload is 4 ints
+    // per row; the two verify joins it replaces each re-shuffled the whole
+    // signature table.
     val banded = bands.select(col("doc_id"),
+      array((0 until 4).map(b => col(s"band$b")): _*).as("bv"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.b"), col("bk.k"))
-    val cand = banded.as("x").join(banded.as("y"),
+      .select(col("doc_id"), col("bv"), col("bk.b"), col("bk.k"))
+    banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val av = bands.toDF("doc_a" +: (0 until 4).map(b => s"a$b"): _*)
-    val bv = bands.toDF("doc_b" +: (0 until 4).map(b => s"b$b"): _*)
-    cand.join(av, Seq("doc_a")).join(bv, Seq("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.bv").as("av"), col("y.bv").as("yv"))
       .withColumn("hamming", (0 until 4)
-        .map(b => expr(s"bit_count(a$b ^ b$b)")).reduce(_ + _).cast("int"))
+        .map(b => expr(s"bit_count(av[$b] ^ yv[$b])")).reduce(_ + _).cast("int"))
       .where(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   val qSimhashNearDupPairsSql: String = {
@@ -564,23 +568,33 @@ object TextOps {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
-    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    // Iterate ONLY over nodes that touch an edge (sym is symmetric, so the
+    // a-side covers them all): isolated nodes can never change label, and
+    // in a dedup graph they are the overwhelming majority — at 100 TB the
+    // per-round joins run on the near-dup subgraph, not the corpus. The
+    // full node set rejoins once at the end as label = own id.
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val nbrMin = sym.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      // prev rides along in the same projection, so the convergence check
+      // is a filter-count on the checkpointed frame — no extra join
       val next = labels.join(nbrMin, col("node") === col("a"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .where(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.select(col("node"), col("label"))
       i += 1
     }
     sym.unpersist()
-    labels
+    nodes.select(col("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
   /** Near-dup CLUSTERS: the step after pair mining a dedup pipeline

@@ -44,7 +44,7 @@ object Windows {
   val qWindowRunningSql: String =
     """SELECT o_orderpriority, o_orderkey,
       |  COUNT(*) OVER w AS running_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_revenue
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS running_revenue
       |FROM orders
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
@@ -124,36 +124,42 @@ object Windows {
       |  SELECT CAST(o_orderdate AS DATE) AS d,
       |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
       |  FROM orders GROUP BY 1)
-      |SELECT d, CAST(rev AS DOUBLE) AS daily_revenue,
-      |  CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+      |SELECT d, CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS daily_revenue,
+      |  CAST(CAST(SUM(rev) OVER w AS VARCHAR) AS DOUBLE) / COUNT(*) OVER w AS ma7
       |FROM daily
       |WINDOW w AS (PARTITION BY year(d) ORDER BY d ASC
       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** Distribution-rank statistics (percent_rank / cume_dist) of each order
-    * inside its priority class, ordered by order month — ties are real
-    * (many orders share a month), so rank-vs-peer-group semantics are
-    * actually exercised, and both statistics are single divisions of exact
-    * window counts: (rank−1)/(n−1) and peers_cum/n — engine-independent
-    * doubles. One exchange on the partition key, per-partition sort,
-    * O(1) state (PlanSpec no-single-partition guard applies).
+    * inside its (priority, order-year) class, ordered by order month — ties
+    * are real (many orders share a month), so rank-vs-peer-group semantics
+    * are actually exercised, and both statistics are single divisions of
+    * exact window counts: (rank−1)/(n−1) and peers_cum/n —
+    * engine-independent doubles. The partition key is deliberately
+    * (priority × year), not priority alone: 5 priorities would cap sort
+    * parallelism at 5 tasks over the whole orders table; the year sub-key
+    * multiplies the partition count with the data's time span, so task
+    * count grows with the corpus. One exchange, per-partition sort, O(1)
+    * window state.
     */
   def qRankStats(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("m").asc)
+    val w = Window.partitionBy(col("o_orderpriority"), col("yr")).orderBy(col("m").asc)
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
-        month(col("o_orderdate")).as("m"))
-      .select(col("o_orderkey"), col("o_orderpriority"), col("m"),
+        year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("m"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("yr"), col("m"),
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cum_dist"))
   }
 
   val qRankStatsSql: String =
-    """SELECT o_orderkey, o_orderpriority, CAST(month(o_orderdate) AS INTEGER) AS m,
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS m,
       |  percent_rank() OVER w AS pct_rank,
       |  cume_dist() OVER w AS cum_dist
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderpriority
+      |WINDOW w AS (PARTITION BY o_orderpriority, year(o_orderdate)
       |             ORDER BY month(o_orderdate) ASC)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

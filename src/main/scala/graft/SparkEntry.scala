@@ -96,6 +96,7 @@ object SparkEntry {
       |  (3101, 660, 'DT', 2500.0, 'NO VENDIDO', NULL, NULL, 2025, 3101)""".stripMargin
 
   private val parseOracle: Map[String, String] = Map(
+    "q63_multimodal_features" -> graft.multimodal.Multimodal.qMultimodalFeaturesSql,
     "q60_parse_silver_premios" ->
       s"""SELECT CAST(numero_sorteo AS BIGINT) AS numero_sorteo,
          |  CAST(numero_premiado AS BIGINT) AS numero_premiado, letras,

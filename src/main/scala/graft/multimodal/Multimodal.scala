@@ -34,7 +34,7 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"),
-      struct(col("source"), col("lang"), length(col("text")).cast("long").as("n_bytes"))
+      struct(col("source"), col("lang"), octet_length(col("text")).cast("long").as("n_bytes"))
         .as("meta"))
       .as[MediaRecord]
   }
@@ -44,17 +44,22 @@ object Multimodal {
     * vector. This deterministic fake derives `dim` floats from payload
     * bytes so tests can assert exact reproducibility. Swap this function
     * for the real codec — the signature IS the integration contract.
+    *
+    * The arithmetic is integer-only until the final widening (per-lane
+    * byte sums, integer division by the lane width), so every feature is
+    * exactly representable in float32 and the whole decode → aggregate
+    * path is re-derivable by the DuckDB oracle (q63) — no float-order
+    * nondeterminism anywhere.
     */
   def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      acc(i % dim) += (payload(i) & 0xff)
       i += 1
     }
-    var d = 0
-    while (d < dim) { out(d) = out(d) / math.max(1, payload.length / dim); d += 1 }
-    out
+    val div = math.max(1, payload.length / dim)
+    Array.tabulate(dim)(d => (acc(d) / div).toFloat)
   }
 
   /** Batch feature extraction: one decoder invocation per partition
@@ -71,9 +76,11 @@ object Multimodal {
     }
   }
 
-  /** Rows-only query surface: features + per-kind rollup of the extracted
-    * signal (mean first component, total bytes) — proves the binary →
-    * decode → aggregate path end-to-end.
+  /** Per-kind rollup of the extracted signal (first feature lane, total
+    * bytes) — proves the binary → decode → aggregate path end-to-end.
+    * Oracle-gated: [[stubDecode]] is integer arithmetic over the payload
+    * bytes, so [[qMultimodalFeaturesSql]] re-derives the identical lane
+    * values from the hex dump of the UTF-8 bytes in DuckDB.
     */
   def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val feats = extractFeatures(mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()
@@ -83,5 +90,38 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
         graft.operators.Relational.dsum(col("f0").cast("double")).as("sum_f0"))
+  }
+
+  /** DuckDB re-derivation of the stub decode's lane 0: byte p of the UTF-8
+    * payload is hex digits (2p−1, 2p) of `hex(encode(text))`; lane 0 sums
+    * bytes at 1-based positions 1, 9, 17, … and integer-divides by the lane
+    * width — all integer math, identical in both engines.
+    */
+  val qMultimodalFeaturesSql: String = {
+    def hexv(pos: String) =
+      s"(CASE WHEN ascii(substring(d.h, CAST($pos AS INTEGER), 1)) < 58" +
+        s" THEN ascii(substring(d.h, CAST($pos AS INTEGER), 1)) - 48" +
+        s" ELSE ascii(substring(d.h, CAST($pos AS INTEGER), 1)) - 87 END)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INTEGER)
+       |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    lower(hex(encode(text))) AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, n, 8)) AS p FROM d),
+       |lane AS (
+       |  SELECT pos.doc_id,
+       |    SUM(16 * ${hexv("2 * pos.p - 1")} + ${hexv("2 * pos.p")}) AS lane0
+       |  FROM pos JOIN d ON d.doc_id = pos.doc_id
+       |  GROUP BY pos.doc_id),
+       |f AS (
+       |  SELECT d.doc_id, d.kind, d.n,
+       |    CAST(COALESCE(lane.lane0, 0) // GREATEST(1, d.n // 8) AS DOUBLE) AS f0
+       |  FROM d LEFT JOIN lane ON lane.doc_id = d.doc_id)
+       |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n) AS BIGINT) AS total_bytes,
+       |  ${graft.operators.Relational.dsumSql("f0")} AS sum_f0
+       |FROM f GROUP BY kind""".stripMargin
   }
 }

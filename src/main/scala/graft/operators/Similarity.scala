@@ -135,9 +135,10 @@ object Similarity {
   /** LSH ANN: candidates share ≥1 sign-band bucket; exact cosine re-rank of
     * candidates only. Returns the top-k most similar candidate pairs.
     */
-  def lshCandidatePairs(s: SparkSession, e: DataFrame): DataFrame = {
-    val dim = 64
-    val buckets = signBuckets(s, e, dim)
+  def lshCandidatePairs(s: SparkSession, e: DataFrame): DataFrame =
+    bandedPairs(signBuckets(s, e, 64))
+
+  private def bandedPairs(buckets: DataFrame): DataFrame = {
     val banded = buckets.select(col("vec_id"),
       explode(array(
         struct(lit(0).as("band"), col("band0").as("key")),
@@ -151,14 +152,55 @@ object Similarity {
       .distinct()
   }
 
+  /** Oracle-portable hyperplanes: w(plane, dim) is an integer in
+    * [−500000, 500000] derived from the first 12 hex digits of
+    * md5("plane:p:d") — arithmetic DuckDB evaluates identically, unlike
+    * xxhash64 ([[hyperplanes]], which stays the scale default: one codegen'd
+    * hash vs an md5 + 12 string ops). LSH only needs fixed pseudo-random
+    * planes; the hash family is interchangeable by construction.
+    */
+  def portablePlanes(s: SparkSession, dim: Int): DataFrame = {
+    import s.implicits._
+    val base = (0 until Planes).flatMap(p => (0 until dim).map(d => (p, d)))
+      .toDF("plane", "dim0")
+      .withColumn("h",
+        md5(concat_ws(":", lit("plane"), col("plane"), col("dim0")).cast("binary")))
+    val v48 = (1 to 12).map(j =>
+      TextOps.hexDigit(col("h"), j).cast("long") * lit(1L << (4 * (12 - j))))
+      .reduce(_ + _)
+    base.select(col("plane"), col("dim0"), ((v48 % 1000001L) - 500000L).as("w"))
+  }
+
+  /** Sign buckets over integer-quantized projections: vector components
+    * round to millionths (exact in both engines), plane weights are
+    * integers, so each projection is an exact int64 sum — its SIGN (the
+    * LSH bit) is engine-independent, making the whole bucketing
+    * oracle-checkable with zero float-order sensitivity.
+    */
+  def portableSignBuckets(s: SparkSession, e: DataFrame, dim: Int): DataFrame = {
+    val proj = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .withColumn("vq", expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+      .join(broadcast(portablePlanes(s, dim)), Seq("dim0"))
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("vq") * col("w")).as("proj"))
+      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
+    proj.groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("plane") < 8, expr("shiftleft(bit, plane)")).otherwise(0L)).as("band0"),
+        sum(when(col("plane") >= 8, expr("shiftleft(bit, plane - 8)")).otherwise(0L)).as("band1"))
+  }
+
   /** LSH-bucketed near-neighbor mining: top-20 candidate pairs by exact
-    * cosine (embedding-cosine near-dup surface; rows-only check, recall
-    * validated in SimilaritySpec against brute force).
+    * cosine (embedding-cosine near-dup surface). Uses the portable
+    * bucketing so the full pipeline — planes, quantized projections, band
+    * keys, candidate join, cosine re-rank — is DuckDB-oracle-gated; recall
+    * of the xxhash64 scale variant is validated in SimilaritySpec.
     */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val vecs = e.select(col("vec_id"), col("embedding"))
-    lshCandidatePairs(s, e)
+    bandedPairs(portableSignBuckets(s, e, 64))
       .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
       .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
       .withColumn("cosine", cosineCol(s, "va", "vb"))
@@ -167,14 +209,69 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** DuckDB re-derivation of [[qAnnLsh]]: same md5-derived integer planes,
+    * same quantized int64 projections, same band keys and candidate join,
+    * same double cosine re-rank (the q51-proven list_sum pattern).
+    */
+  val qAnnLshSql: String = {
+    val v48 = (1 to 12).map(j =>
+      s"CAST(${TextOps.hexDigitSql("h", j)} AS BIGINT) * ${1L << (4 * (12 - j))}")
+      .mkString(" + ")
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+         |         i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+         |         i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+    s"""WITH ph AS (
+       |  SELECT pp.plane, dd.dim0,
+       |    md5('plane:' || pp.plane || ':' || dd.dim0) AS h
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS plane) pp
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim0) dd),
+       |planes AS (
+       |  SELECT plane, dim0, (($v48) % 1000001) - 500000 AS w FROM ph),
+       |vq AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim0,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vq
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vq.vec_id, planes.plane, SUM(vq.vq * planes.w) AS proj
+       |  FROM vq JOIN planes ON planes.dim0 = vq.dim0
+       |  GROUP BY vq.vec_id, planes.plane),
+       |b AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN proj > 0 AND plane < 8 THEN (1 << plane) ELSE 0 END) AS band0,
+       |    SUM(CASE WHEN proj > 0 AND plane >= 8 THEN (1 << (plane - 8)) ELSE 0 END) AS band1
+       |  FROM proj GROUP BY vec_id),
+       |banded AS (
+       |  SELECT vec_id, 0 AS band, band0 AS k FROM b
+       |  UNION ALL SELECT vec_id, 1 AS band, band1 AS k FROM b),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.k = y.k AND x.vec_id < y.vec_id),
+       |r AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |    ${cos("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+       |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cosine FROM r
+       |ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin
+  }
+
   /** Coarse-quantizer centroids as reassembled float vectors, one per
     * cluster id (here the `label` column; in a real corpus a clustering
-    * pass produces it — the IVF mechanics are identical).
+    * pass produces it — the IVF mechanics are identical). Component means
+    * accumulate as decimals ([[Relational.dsum]]) so the centroid floats —
+    * and every probe ranking derived from them — are partition-order
+    * independent and re-derivable by the q54 oracle.
     */
   def centroidVectors(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v").cast("double")).as("m"))
+      .agg((dsum(col("v").cast("double")) / count(lit(1))).as("m"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))")
         .as("cvec"))
@@ -211,6 +308,55 @@ object Similarity {
   def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     annIvf(s, t(s, dir, "embeddings"))
 
+  /** DuckDB re-derivation of [[qAnnIvf]]: decimal-exact centroid floats,
+    * broadcast probe ranking with the same (score, label) tiebreak, then
+    * exact re-rank of the probed lists only — numerics via the q51-proven
+    * list_sum cosine pattern.
+    */
+  val qAnnIvfSql: String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+         |         i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+         |         i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+    s"""WITH comp AS (
+       |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+       |    unnest(embedding) AS v
+       |  FROM embeddings),
+       |cm AS (
+       |  SELECT label, pos,
+       |    CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM comp GROUP BY label, pos),
+       |cents AS (
+       |  SELECT label,
+       |    list_transform(list(m ORDER BY pos ASC), x -> CAST(x AS FLOAT)) AS cvec
+       |  FROM cm GROUP BY label),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |      FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, q.qvec, cents.label,
+       |    ${cos("q.qvec", "cents.cvec")} AS cscore
+       |  FROM q CROSS JOIN cents),
+       |probes AS (
+       |  SELECT query_id, qvec, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cscore DESC, label ASC) AS crank
+       |    FROM scored) WHERE crank <= 2),
+       |cands AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    ${cos("p.qvec", "e.embedding")} AS cosine
+       |  FROM probes p JOIN embeddings e ON e.label = p.label
+       |  WHERE e.vec_id <> p.query_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       |  neighbor_id, cosine
+       |FROM cands QUALIFY rank <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_ann_brute_force" -> (qAnnBruteForce _),
     "q52_centroids" -> (qCentroids _),
@@ -219,5 +365,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q51_ann_brute_force" -> qAnnBruteForceSql,
-    "q52_centroids" -> qCentroidsSql)
+    "q52_centroids" -> qCentroidsSql,
+    "q53_ann_lsh" -> qAnnLshSql,
+    "q54_ann_ivf" -> qAnnIvfSql)
 }

@@ -39,13 +39,13 @@ object TextOps {
     * Spelled via ascii() so the DuckDB oracle can evaluate the identical
     * arithmetic: ascii(c)-48 for '0'..'9', ascii(c)-87 for 'a'..'f'.
     */
-  private def hexDigit(h: Column, j: Int): Column = {
+  private[graft] def hexDigit(h: Column, j: Int): Column = {
     val a = ascii(substring(h, j, 1))
     when(a < 58, a - 48).otherwise(a - 87)
   }
 
   /** DuckDB spelling of [[hexDigit]]. */
-  private def hexDigitSql(h: String, j: Int): String =
+  private[graft] def hexDigitSql(h: String, j: Int): String =
     s"(CASE WHEN ascii(substring($h, $j, 1)) < 58 THEN ascii(substring($h, $j, 1)) - 48" +
       s" ELSE ascii(substring($h, $j, 1)) - 87 END)"
 
@@ -581,12 +581,13 @@ object TextOps {
       val nbrMin = sym.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
       // prev rides along in the same projection, so the convergence check
-      // is a filter-count on the checkpointed frame — no extra join
+      // is a filter-count on the checkpointed frame — no extra join; the
+      // checkpoint is lazy so that count is the round's ONLY job
       val next = labels.join(nbrMin, col("node") === col("a"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.where(col("label") =!= col("prev")).count()
       labels = next.select(col("node"), col("label"))
       i += 1

@@ -750,7 +750,36 @@ object Analytics {
       |    AS corr_qty_price
       |FROM m""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping_id — the multi-grain aggregation
+    * shape between rollup (q76) and cube (q83): exactly the named grains,
+    * nothing more. Runs as declarative Spark SQL (Expand + one hash
+    * aggregate — each input row fans out only to its listed grains).
+    * grouping_id's bit encoding (left column = high bit) matches DuckDB's
+    * GROUPING(), so the discriminator column compares exactly.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       |  COUNT(*) AS n_rows,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+       |                        (l_returnflag, l_linestatus))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_grouping_sets" -> (qGroupingSets _),
     "q81_kll_quantiles" -> (qKllQuantiles _),
     "q86_corr_moments" -> (qCorrMoments _),
     "q83_cube" -> (qCube _),

@@ -357,15 +357,65 @@ object Similarity {
        |FROM cands QUALIFY rank <= 5""".stripMargin
   }
 
+  /** Symmetric int8 quantization round-trip, per label: each vector
+    * quantizes against its own max-abs scale (q = round(127·v/vmax)), and
+    * the output aggregates the reconstruction error — sum of squared error
+    * and worst absolute error — the compression-loss report a vector-store
+    * ingestion pipeline runs before committing to int8 storage. Entirely
+    * row-local array math (no shuffle before the final label aggregate);
+    * every step is IEEE double arithmetic identical in the oracle, and the
+    * SSE accumulates as DECIMAL(28,12) so partition order never shows.
+    */
+  def qQuantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    t(s, dir, "embeddings")
+      .withColumn("vmax", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("err", expr(
+        """CASE WHEN vmax = 0 THEN transform(embedding, x -> CAST(0 AS DOUBLE))
+          |ELSE transform(embedding, x ->
+          |  CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) * 127 / vmax) * vmax / 127)
+          |END""".stripMargin))
+      .withColumn("err2", expr("aggregate(err, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+      .withColumn("max_abs_err_row", expr("array_max(transform(err, x -> abs(x)))"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("err2").cast(DecimalType(28, 12))).cast("double").as("sse"),
+        max(col("max_abs_err_row")).as("max_abs_err"))
+  }
+
+  val qQuantizeEmbeddingsSql: String =
+    """WITH v AS (
+      |  SELECT label, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS vmax
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT label,
+      |    CASE WHEN vmax = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+      |         ELSE list_transform(embedding, x ->
+      |           CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) * 127 / vmax) * vmax / 127)
+      |    END AS err
+      |  FROM v),
+      |s AS (
+      |  SELECT label,
+      |    list_sum(list_transform(err, x -> x * x)) AS err2,
+      |    list_max(list_transform(err, x -> abs(x))) AS max_abs_err_row
+      |  FROM e)
+      |SELECT label, COUNT(*) AS n_vectors,
+      |  CAST(CAST(SUM(CAST(err2 AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sse,
+      |  MAX(max_abs_err_row) AS max_abs_err
+      |FROM s GROUP BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_ann_brute_force" -> (qAnnBruteForce _),
     "q52_centroids" -> (qCentroids _),
     "q53_ann_lsh" -> (qAnnLsh _),
-    "q54_ann_ivf" -> (qAnnIvf _))
+    "q54_ann_ivf" -> (qAnnIvf _),
+    "q91_quantize_embeddings" -> (qQuantizeEmbeddings _))
 
   val oracle: Map[String, String] = Map(
     "q51_ann_brute_force" -> qAnnBruteForceSql,
     "q52_centroids" -> qCentroidsSql,
     "q53_ann_lsh" -> qAnnLshSql,
-    "q54_ann_ivf" -> qAnnIvfSql)
+    "q54_ann_ivf" -> qAnnIvfSql,
+    "q91_quantize_embeddings" -> qQuantizeEmbeddingsSql)
 }

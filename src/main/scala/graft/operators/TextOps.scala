@@ -793,7 +793,87 @@ object TextOps {
         countDistinct(col("text")).as("exact_texts")))
   }
 
+  /** Gopher-style per-document repetition signals: duplicate-token fraction
+    * (1 − distinct/total, row-local) and the most frequent word-bigram with
+    * its token share. The bigram mode is the one part that genuinely needs
+    * an aggregation — explode → (doc, bigram) hash-count → per-doc top-1 by
+    * window (deterministic (cnt, bigram) tiebreak); shuffle key is
+    * (doc_id, bigram), so skew is bounded by document length, not corpus
+    * size. Filters like "drop docs whose top bigram covers > 18% of tokens"
+    * (Gopher Table A1) are a WHERE over this output.
+    */
+  def qRepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .where(size(col("toks")) >= 2)
+    val base = d.select(col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      (lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        .as("dup_token_frac"))
+    val bg = d.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
+        .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("bigram").desc)
+    val top = bg.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"), col("cnt").as("top_bigram_cnt"))
+    base.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("top_bigram"), col("top_bigram_cnt"),
+        (col("top_bigram_cnt") * 2.0 / col("n_tokens")).as("top_bigram_frac"))
+  }
+
+  val qRepetitionStatsSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |base AS (
+      |  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+      |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac
+      |  FROM d),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+      |  FROM d),
+      |cnts AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+      |top AS (
+      |  SELECT doc_id, bigram AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_cnt
+      |  FROM cnts
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY cnt DESC, bigram DESC) = 1)
+      |SELECT base.doc_id, base.n_tokens, base.dup_token_frac,
+      |  top.top_bigram, top.top_bigram_cnt,
+      |  top.top_bigram_cnt * 2.0 / base.n_tokens AS top_bigram_frac
+      |FROM base JOIN top ON top.doc_id = base.doc_id""".stripMargin
+
+  /** Corpus-level boilerplate mining: the 3-gram shingles shared by the
+    * most documents (headers/footers/navigation chrome in a web corpus
+    * surface exactly here). Reuses the row-local-distinct shingle pipeline;
+    * one (shingle) hash-aggregate, top-10 with full tiebreak. The document
+    * frequency this emits is also the df a removal pass would broadcast.
+    */
+  def qBoilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    shinglesDistinct(t(s, dir, "documents"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("shingle").asc)
+      .limit(10)
+
+  val qBoilerplateNgramsSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(toks) - 2),
+      |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |       FROM d)
+      |SELECT shingle, COUNT(*) AS n_docs FROM sh
+      |GROUP BY shingle ORDER BY n_docs DESC, shingle ASC LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_repetition_stats" -> (qRepetitionStats _),
+    "q90_boilerplate_ngrams" -> (qBoilerplateNgrams _),
     "q40_dedup_exact" -> (qDedupExact _),
     "q41_token_freq" -> (qTokenFreq _),
     "q42_doc_quality" -> (qDocQuality _),
@@ -813,6 +893,8 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q89_repetition_stats" -> qRepetitionStatsSql,
+    "q90_boilerplate_ngrams" -> qBoilerplateNgramsSql,
     "q40_dedup_exact" -> qDedupExactSql,
     "q41_token_freq" -> qTokenFreqSql,
     "q42_doc_quality" -> qDocQualitySql,

@@ -169,11 +169,47 @@ object Events {
       }
   }
 
+  private val NsPerWeek = 7L * 24 * 3600 * 1000 * 1000 * 1000
+  private val MsPerWeek = 7L * 24 * 3600 * 1000
+
+  /** Weekly retention cohorts: each user joins the cohort of their first
+    * active epoch-week; the matrix counts users active k weeks after their
+    * cohort week — the engagement-retention shape every event pipeline
+    * reports. Two hash aggregations (per-user first week, distinct
+    * user-weeks) and one join on user_id; distinct-user counts per cell
+    * come free because the activity frame is already (user, week)-distinct.
+    * Scale: everything keys on user_id or (cohort, offset) — partial aggs,
+    * no windows, no skew (cells are bounded by weeks², users shard evenly).
+    */
+  def qRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr(s"ts DIV $NsPerWeek").as("wk"))
+    val firstWk = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    val active = wk.distinct()
+    active.join(firstWk, Seq("user_id"))
+      .groupBy((col("cwk") * MsPerWeek).as("cohort_week_ms"),
+        (col("wk") - col("cwk")).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val qRetentionCohortsSql: String =
+    s"""WITH wkk AS (
+       |  SELECT user_id, epoch_ms(ts) // $MsPerWeek AS wk FROM events),
+       |u AS (SELECT user_id, MIN(wk) AS cwk FROM wkk GROUP BY user_id),
+       |a AS (SELECT DISTINCT user_id, wk FROM wkk)
+       |SELECT CAST(u.cwk * $MsPerWeek AS BIGINT) AS cohort_week_ms,
+       |  CAST(a.wk - u.cwk AS INTEGER) AS week_offset,
+       |  COUNT(*) AS n_users
+       |FROM a JOIN u USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_hourly" -> (qEventHourly _),
-    "q33_sessionize" -> (qSessionize _))
+    "q33_sessionize" -> (qSessionize _),
+    "q88_retention_cohorts" -> (qRetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
     "q32_event_hourly" -> qEventHourlySql,
-    "q33_sessionize" -> qSessionizeSql)
+    "q33_sessionize" -> qSessionizeSql,
+    "q88_retention_cohorts" -> qRetentionCohortsSql)
 }

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked JVM's stdout/stderr verbatim instead of routing them
+// through sbt's logger: the logger's "[info] " prefix corrupts Bench's
+// one-line JSON contract (the driver parses stdout for a bare `{...}`
+// line — every prior round's BENCH_r*.json shows `"parsed": null`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -57,13 +57,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    // 4-decimal (0.1 ms) precision keeps the line compact: the driver may
+    // only scan a bounded stdout tail, and 89 full-precision doubles made
+    // the r5 line multi-KB (BENCH_r05 showed it truncated → parsed: null).
+    def num(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"floor_sec_per_query":$floor,"sf":${jq(sfDir)}}"""
-    println(line)
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$es,"floor_sec_per_query":${num(floor)},"sf":${jq(sfDir)}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
+    // Stop BEFORE printing so the JSON is the forked JVM's final stdout
+    // line — nothing (shutdown logs, progress noise) can land after it.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

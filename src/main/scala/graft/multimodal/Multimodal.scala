@@ -98,10 +98,7 @@ object Multimodal {
     * width — all integer math, identical in both engines.
     */
   val qMultimodalFeaturesSql: String = {
-    def hexv(pos: String) =
-      s"(CASE WHEN ascii(substring(d.h, CAST($pos AS INTEGER), 1)) < 58" +
-        s" THEN ascii(substring(d.h, CAST($pos AS INTEGER), 1)) - 48" +
-        s" ELSE ascii(substring(d.h, CAST($pos AS INTEGER), 1)) - 87 END)"
+    def hexv(pos: String) = graft.operators.TextOps.hexDigitSql("d.h", pos)
     s"""WITH d AS (
        |  SELECT doc_id,
        |    CASE CAST(doc_id % 3 AS INTEGER)

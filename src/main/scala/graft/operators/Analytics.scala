@@ -814,6 +814,7 @@ object Analytics {
     "q36_sym_diff" -> (qSymDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q92_grouping_sets" -> qGroupingSetsSql,
     "q86_corr_moments" -> qCorrMomentsSql,
     "q83_cube" -> qCubeSql,
     "q84_funnel" -> qFunnelSql,

@@ -45,9 +45,15 @@ object TextOps {
   }
 
   /** DuckDB spelling of [[hexDigit]]. */
-  private[graft] def hexDigitSql(h: String, j: Int): String =
-    s"(CASE WHEN ascii(substring($h, $j, 1)) < 58 THEN ascii(substring($h, $j, 1)) - 48" +
-      s" ELSE ascii(substring($h, $j, 1)) - 87 END)"
+  private[graft] def hexDigitSql(h: String, j: Int): String = hexDigitSql(h, j.toString)
+
+  /** [[hexDigitSql]] at an arbitrary 1-based position SQL expression
+    * (CAST guards DuckDB's strict substring typing on computed positions).
+    */
+  private[graft] def hexDigitSql(h: String, pos: String): String = {
+    val c = s"ascii(substring($h, CAST($pos AS INTEGER), 1))"
+    s"(CASE WHEN $c < 58 THEN $c - 48 ELSE $c - 87 END)"
+  }
 
   /** Exact content dedup via hash group-by (the 100 TB shape: shuffle on the
     * 128-bit content hash, never a driver-side set). Emits one row per
@@ -795,7 +801,13 @@ object TextOps {
 
   /** Gopher-style per-document repetition signals: duplicate-token fraction
     * (1 − distinct/total, row-local) and the most frequent word-bigram with
-    * its token share. The bigram mode is the one part that genuinely needs
+    * its token share. `top_bigram_frac` = 2·cnt/n_tokens is the
+    * overlap-INCLUSIVE ratio, not a covered-token fraction: occurrences of a
+    * self-overlapping bigram ("a a" in "a a a a") count their shared token
+    * twice, so the value can exceed 1.0 — by design, since a >1 reading is
+    * itself a maximal-repetition signal and the monotone threshold filters
+    * built on it (Gopher Table A1) are unaffected by the normalization.
+    * The bigram mode is the one part that genuinely needs
     * an aggregation — explode → (doc, bigram) hash-count → per-doc top-1 by
     * window (deterministic (cnt, bigram) tiebreak); shuffle key is
     * (doc_id, bigram), so skew is bounded by document length, not corpus

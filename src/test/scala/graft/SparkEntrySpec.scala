@@ -10,6 +10,19 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
+  test("every query is oracle-gated unless on the rows-only allowlist") {
+    // The ONLY queries allowed to run without a DuckDB oracle are the two
+    // approximate sketches, whose error bounds are spec-asserted instead
+    // (SimilaritySpec 10% HLL bound, QuantileSketchSpec rank error).
+    // Anything else here means an oracle was written but never wired (the
+    // r3/r5 bug class) or a query landed without its gate.
+    val rowsOnlyAllowlist = Set("q50_approx_distinct", "q81_kll_quantiles")
+    val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyAllowlist
+    assert(ungated.isEmpty, s"queries missing an oracleSql entry: $ungated")
+    val stale = rowsOnlyAllowlist -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"allowlist names unknown queries: $stale")
+  }
+
   test("query names are stable q-prefixed identifiers") {
     assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
   }

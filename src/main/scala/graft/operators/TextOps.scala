@@ -701,7 +701,16 @@ object TextOps {
     val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df = #docs containing the token. Deduplicating per-doc ROW-LOCALLY
+    // (array_distinct before the explode) means the corpus-wide branch
+    // shuffles once on (token) with map-side combine, instead of the
+    // (doc_id, token) exchange + re-aggregation that a distinct-then-count
+    // spelling costs — at 100 TB that's the difference between one and two
+    // full-corpus shuffles (the tf branch above is filter-pruned to the
+    // target docs by pushdown, so it never sees the full corpus).
+    val df = docs.select(explode(array_distinct(toks(col("text")))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)

@@ -16,7 +16,7 @@ object Profile {
     val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = (SparkEntry.queries ++ SparkEntry.benchOnly)(name)
       fn(spark, sfDir).count() // warmup
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9

@@ -31,6 +31,24 @@ object Session {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** [[builder]] plus a PERSISTENT catalog (SURVEY §2.1 S11): the
+    * Hive-compatible metastore replaces the reference's Glue crawler —
+    * `saveAsTable` registrations outlive the session, so a NEW
+    * SparkSession pointed at the same warehouse resolves silver/gold
+    * tables by bare name, exactly what a reference user's
+    * `SELECT ... FROM gold_draw_summary` expects. Locally the metastore is
+    * embedded Derby under `<warehouseDir>/metastore_db`; on a cluster the
+    * identical code runs against the shared metastore service (only
+    * `javax.jdo.option.ConnectionURL` changes).
+    */
+  def builderWithCatalog(warehouseDir: String, master: String = "local[*]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    builder(master, shufflePartitions)
+      .config("spark.sql.catalogImplementation", "hive")
+      .config("spark.sql.warehouse.dir", warehouseDir)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$warehouseDir/metastore_db;create=true")
+
   def get(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -44,11 +44,44 @@ object Writers {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
-  /** S11: catalog registration — temp views over silver, replacing the
-    * reference's Glue crawler (schemas are already enforced upstream).
+  /** S11: session-scoped catalog registration — temp views over silver,
+    * for single-session pipelines ([[registerSilverPersistent]] is the
+    * metastore-backed form).
     */
   def registerSilver(sorteos: DataFrame, premios: DataFrame): Unit = {
     sorteos.createOrReplaceTempView("sorteos")
     premios.createOrReplaceTempView("premios")
   }
+
+  /** S11 (persistent): EXTERNAL-table registration via saveAsTable —
+    * metadata lands in the session's metastore (a Hive-compatible catalog,
+    * [[graft.Session.builderWithCatalog]]) and survives the session; data
+    * stays at `path` in the same partition layout the path-based writers
+    * produce, so existing path readers keep working. This is the
+    * Spark-native replacement for the reference's Glue crawler
+    * (terraform/modules/catalog/main.tf:37-94): no crawl step, the write
+    * IS the registration.
+    */
+  def saveAsExternalTable(df: DataFrame, name: String, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").option("path", path)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).saveAsTable(name)
+  }
+
+  /** Persistent form of [[registerSilver]]: silver tables by name in the
+    * metastore, backed by `<root>/silver/<table>`.
+    */
+  def registerSilverPersistent(sorteos: DataFrame, premios: DataFrame, root: String): Unit = {
+    saveAsExternalTable(sorteos, "sorteos", s"$root/silver/sorteos")
+    saveAsExternalTable(premios, "premios", s"$root/silver/premios")
+  }
+
+  /** Persistent form of [[writeGold]]: the gold rebuild self-registers in
+    * the metastore under `name` (the reference's CTAS-self-registration
+    * semantics, sql/gold/README.md:20-29) while keeping the same
+    * overwrite-idempotent parquet layout at `path`.
+    */
+  def writeGoldTable(df: DataFrame, name: String, path: String,
+      partitionByYear: Boolean = false): Unit =
+    saveAsExternalTable(df, name, path, if (partitionByYear) Seq("year") else Nil)
 }

@@ -604,6 +604,77 @@ object TextOps {
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rewiring
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds on ANY graph shape, where
+    * [[connectedComponents]]' min-label propagation needs diameter rounds.
+    * Same signature, same unique min-id labeling — the drop-in variant for
+    * adversarial topologies (long chains, deep trees); for near-dup
+    * graphs (tight low-diameter clusters) plain propagation does fewer,
+    * cheaper shuffles per round and stays the q85 default.
+    *
+    *  - large-star, per node u over its full neighborhood: attach every
+    *    STRICTLY LARGER neighbor to m = min(Γ(u) ∪ {u});
+    *  - small-star, per node u over its smaller-or-equal neighbors:
+    *    attach them and u itself to m.
+    *
+    * Both steps are one groupBy-min + one join each — no neighborhood
+    * materialized as an array anywhere, so a 10⁹-degree hub never builds a
+    * driver- or row-sized list (the skew lands in a hash aggregate, which
+    * partial-aggregates map-side). Fixpoint = the edge set is a union of
+    * stars centered at component minima, detected by an order-independent
+    * (count, xor-of-hashes) signature instead of a second join. Throws if
+    * maxIters rounds don't converge — a silent wrong labeling is worse
+    * than a loud bound.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    def canon(e: DataFrame) = e.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(
+        expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = canon(edges).localCheckpoint()
+    var sig = signature(e)
+    var done = e.isEmpty
+    var i = 0
+    while (!done && i < maxIters) {
+      // large-star over the SYMMETRIC neighborhood of u
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val afterLarge = canon(
+        nbrs.join(minsL, Seq("u")).where(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b")))
+        .localCheckpoint(false)
+      // small-star over the canonical (u > v) orientation: all v ≤ u
+      val minsS = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val smallEdges = afterLarge.join(minsS, Seq("u"))
+      val afterSmall = canon(
+        smallEdges.select(col("v").as("a"), col("m").as("b"))
+          .union(smallEdges.select(col("u").as("a"), col("m").as("b"))))
+        .localCheckpoint(false)
+      val nextSig = signature(afterSmall)
+      done = nextSig == sig
+      e = afterSmall
+      sig = nextSig
+      i += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixpoint after $maxIters rounds")
+    // fixpoint: every edge is (node, component-min); centers never appear
+    // on the u side (nothing is smaller than the min), so they self-label
+    val lab = e.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .select(col("u").as("node"), col("label"))
+    nodes.select(col("node"))
+      .join(lab, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
   /** Near-dup CLUSTERS: the step after pair mining a dedup pipeline
     * actually needs — transitively close the q55 simhash near-dup pairs so
     * each document maps to a canonical cluster id (the min doc_id of its

@@ -135,6 +135,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(1L)) // one component, min label everywhere
   }
 
+  test("connectedComponentsStar: 1000-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial case for min-label propagation: diameter 999, which
+    // would need 999 propagation rounds; star rewiring must finish in ≤15
+    // (≈ log₂ 1000 with constant headroom) or throw
+    val n = 1000L
+    val nodes = (1L to n).toDF("node")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = TextOps.connectedComponentsStar(nodes, edges, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("connectedComponentsStar matches propagation labeling on a mixed graph") {
+    import spark.implicits._
+    val nodes = (1L to 60L).toDF("node")
+    val rnd = new scala.util.Random(7)
+    // three planted components over 1..45 plus singletons 46..60
+    val edges = ((1L to 14L).map(i => (i, i + 1)) ++ // chain 1..15
+      (16L to 29L).map(i => (16L, i + 1)) ++ // star 16..30
+      (0 until 30).map { _ => // random clutter inside 31..45
+        val a = 31L + rnd.nextInt(15); val b = 31L + rnd.nextInt(15); (a, b)
+      }).toDF("a", "b")
+    val prop = TextOps.connectedComponents(nodes, edges, maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = TextOps.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
   test("langid query is deterministic and covers every language") {
     val a = TextOps.qLangId(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

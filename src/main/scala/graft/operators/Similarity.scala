@@ -376,6 +376,70 @@ object Similarity {
        |FROM cands QUALIFY rank <= 5""".stripMargin
   }
 
+  /** One k-means reassignment step over the label-seeded centroids — the
+    * embedding-clustering primitive a SemDeDup-style curation pipeline
+    * iterates (cluster, then near-dup-prune within clusters): assign every
+    * vector to its max-cosine centroid and report the (label, assigned)
+    * confusion counts. Centroids are bounded (nClusters ≪ corpus), so they
+    * broadcast; the scan is one narrow pass over the vectors with a
+    * per-vector top-1 (WindowGroupLimit over nClusters rows). Integer
+    * output: the cosine path is the q54-proven bit-exact centroid+cosine
+    * machinery, and ties break on (cosine DESC, centroid label ASC).
+    */
+  def qKmeansReassign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val cents = centroidVectors(e).select(col("label").as("clabel"), col("cvec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("clabel").asc)
+    e.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", call_function("cosine_similarity", col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("label"), col("clabel"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("clabel").as("assigned"), col("n_vectors"))
+  }
+
+  /** DuckDB re-derivation of [[qKmeansReassign]]: decimal-exact centroid
+    * floats (the q52/q54 pattern), the q51-proven list_sum cosine, same
+    * (sim, label) tiebreak, integer confusion counts.
+    */
+  val qKmeansReassignSql: String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+         |         i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+         |         i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+    s"""WITH comp AS (
+       |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+       |    unnest(embedding) AS v
+       |  FROM embeddings),
+       |cm AS (
+       |  SELECT label, pos,
+       |    CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM comp GROUP BY label, pos),
+       |cents AS (
+       |  SELECT label AS clabel,
+       |    list_transform(list(m ORDER BY pos ASC), x -> CAST(x AS FLOAT)) AS cvec
+       |  FROM cm GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.clabel,
+       |    ${cos("e.embedding", "c.cvec")} AS sim
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, label, clabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, clabel ASC) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT label, clabel AS assigned, COUNT(*) AS n_vectors
+       |FROM assigned GROUP BY label, clabel""".stripMargin
+  }
+
   /** Symmetric int8 quantization round-trip, per label: each vector
     * quantizes against its own max-abs scale (q = round(127·v/vmax)), and
     * the output aggregates the reconstruction error — sum of squared error
@@ -429,12 +493,14 @@ object Similarity {
     "q52_centroids" -> (qCentroids _),
     "q53_ann_lsh" -> (qAnnLsh _),
     "q54_ann_ivf" -> (qAnnIvf _),
-    "q91_quantize_embeddings" -> (qQuantizeEmbeddings _))
+    "q91_quantize_embeddings" -> (qQuantizeEmbeddings _),
+    "q94_kmeans_reassign" -> (qKmeansReassign _))
 
   val oracle: Map[String, String] = Map(
     "q51_ann_brute_force" -> qAnnBruteForceSql,
     "q52_centroids" -> qCentroidsSql,
     "q53_ann_lsh" -> qAnnLshSql,
     "q54_ann_ivf" -> qAnnIvfSql,
-    "q91_quantize_embeddings" -> qQuantizeEmbeddingsSql)
+    "q91_quantize_embeddings" -> qQuantizeEmbeddingsSql,
+    "q94_kmeans_reassign" -> qKmeansReassignSql)
 }

@@ -963,7 +963,107 @@ object TextOps {
       |SELECT shingle, COUNT(*) AS n_docs FROM sh
       |GROUP BY shingle ORDER BY n_docs DESC, shingle ASC LIMIT 10""".stripMargin
 
+  /** CCNet-style LM quality scoring: an add-one-smoothed unigram LM
+    * trains on the even-doc_id half of the corpus and scores the odd half
+    * by per-token cross-entropy — the perplexity-filter signal an LLM data
+    * pipeline ranks and thresholds documents with. One (token) shuffle for
+    * the LM counts, one token-key join to score (vocabulary is unbounded,
+    * so the LM side is a plain shuffle join — AQE broadcasts it when it
+    * measures small); the (N, V) normalizer is a broadcast 1-row frame.
+    *
+    * Float determinism: each token's −ln p rounds to DECIMAL(18,9)
+    * (engine ln implementations agree far past 9 decimals), the per-doc
+    * sum accumulates as decimal — partition-order free — and the reported
+    * xent rounds to 2 decimals, so the oracle compares exactly.
+    */
+  def qUnigramXent(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val train = tok.where(col("doc_id") % 2 === 0)
+    val counts = train.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val denom = train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(counts.agg(count(lit(1)).as("v")))
+    tok.where(col("doc_id") % 2 === 1)
+      .join(counts, Seq("token"), "left")
+      .crossJoin(broadcast(denom))
+      .withColumn("q",
+        (-log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("n_train") + col("v")).cast("double")))
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 2).as("xent"))
+  }
+
+  val qUnigramXentSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> ''),
+      |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+      |counts AS (SELECT token, COUNT(*) AS c FROM train GROUP BY 1),
+      |denom AS (SELECT (SELECT COUNT(*) FROM train) AS n_train,
+      |                 (SELECT COUNT(*) FROM counts) AS v),
+      |scored AS (
+      |  SELECT tk.doc_id,
+      |    CAST(-ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0) /
+      |             CAST(d.n_train + d.v AS DOUBLE)) AS DECIMAL(18,9)) AS q
+      |  FROM tok tk
+      |  LEFT JOIN counts c ON c.token = tk.token
+      |  CROSS JOIN denom d
+      |  WHERE tk.doc_id % 2 = 1)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  ROUND(CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / COUNT(*), 2) AS xent
+      |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** Benchmark decontamination scan: flag training documents sharing
+    * 3-gram shingles with a held-out benchmark set (docs 0–4 stand in for
+    * an eval suite) — the contamination check every serious pretraining
+    * pipeline runs before training. The benchmark shingle set is BOUNDED
+    * (eval suites are tiny next to a corpus), so it broadcasts; the
+    * corpus side streams through the semi-join-shaped left join with one
+    * (doc_id) aggregate — no corpus-side shuffle on shingle at all.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = shinglesDistinct(docs.where(col("doc_id") < 5))
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    shinglesDistinct(docs.where(col("doc_id") >= 5))
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_contaminated"))
+      .where(col("n_contaminated") > 0)
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4))
+  }
+
+  val qDecontaminateSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(toks) - 2),
+      |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |       FROM d),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+      |agg AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_shingles,
+      |    CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_contaminated
+      |  FROM (SELECT * FROM sh WHERE doc_id >= 5) c
+      |  LEFT JOIN bench b ON b.shingle = c.shingle
+      |  GROUP BY c.doc_id)
+      |SELECT doc_id, n_shingles, n_contaminated,
+      |  ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 4) AS contamination
+      |FROM agg WHERE n_contaminated > 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_unigram_xent" -> (qUnigramXent _),
+    "q95_decontaminate" -> (qDecontaminate _),
     "q89_repetition_stats" -> (qRepetitionStats _),
     "q90_boilerplate_ngrams" -> (qBoilerplateNgrams _),
     "q40_dedup_exact" -> (qDedupExact _),
@@ -985,6 +1085,8 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q93_unigram_xent" -> qUnigramXentSql,
+    "q95_decontaminate" -> qDecontaminateSql,
     "q89_repetition_stats" -> qRepetitionStatsSql,
     "q90_boilerplate_ngrams" -> qBoilerplateNgramsSql,
     "q40_dedup_exact" -> qDedupExactSql,

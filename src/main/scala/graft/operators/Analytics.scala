@@ -253,6 +253,86 @@ object Analytics {
     } finally rdd.unpersist(blocking = false)
   }
 
+  /** Exact percentiles via histogram-refinement selection — the
+    * shuffle-free alternative to [[exactQuantilesBySort]] for numeric
+    * columns. Pass 1 scans the pruned single-column input for
+    * count/min/max; pass 2 builds a fixed-width histogram as a hash
+    * aggregate over ≤ `bins` keys (map-side combine ⇒ the exchange carries
+    * `bins` rows per map task, never data). The driver maps each target
+    * rank to its bin (a `bins`-sized metadata collect, same class as the
+    * per-partition counts in [[exactQuantilesBySort]]) and only the
+    * rank-carrying bins — expected n/bins rows — are collected and refined.
+    * A bin still over `collectBudget` rows (mass piled on a narrow range)
+    * recurses with the same binning inside the bin's observed [min, max]:
+    * depth is log_bins(n/collectBudget), so 10^12 rows resolve in ≤3
+    * histogram passes with no range shuffle or sort anywhere. A bin whose
+    * min == max is constant and resolves immediately, which also bounds
+    * duplicate-heavy distributions. Rank extraction is exact order
+    * statistics and the interpolation applies the identical IEEE
+    * arithmetic as [[exactQuantilesBySort]]/builtin percentile, so results
+    * stay bit-equal.
+    */
+  def exactQuantilesByHistogram(df: DataFrame, valueCol: String, probs: Seq[Double],
+      bins: Int = 8192, collectBudget: Int = 1 << 18): DataFrame = {
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    vals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx")).head()
+      val n = head.getLong(0)
+      val out: Seq[org.apache.spark.sql.Column] =
+        if (n == 0) probs.indices.map(_ => lit(null).cast("double"))
+        else {
+          // Resolve each wanted 0-based global rank to its exact value by
+          // narrowing (predicate, lo, hi, region ranks) regions.
+          def solve(pred: org.apache.spark.sql.Column, lo: Double, hi: Double,
+              cnt: Long, ranks: Seq[Long], depth: Int): Map[Long, Double] =
+            if (ranks.isEmpty) Map.empty
+            else if (lo == hi) ranks.map(_ -> lo).toMap
+            else if (cnt <= collectBudget || depth >= 6) {
+              // depth 6 = bins^6 ≈ 10^23 splits; only adversarial fp
+              // distributions reach it — collect then, loudly bounded.
+              val sorted = vals.where(pred).collect().map(_.getDouble(0)).sorted
+              ranks.map(r => r -> sorted(r.toInt)).toMap
+            } else {
+              val w = (hi - lo) / bins
+              val idx = greatest(lit(0), least(lit(bins - 1),
+                floor((col("v") - lit(lo)) / lit(w)).cast("int")))
+              val hist = vals.where(pred)
+                .groupBy(idx.as("b"))
+                .agg(count(lit(1)).as("c"), min(col("v")).as("bmn"), max(col("v")).as("bmx"))
+                .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+                .sortBy(_._1)
+              val starts = hist.scanLeft(0L)(_ + _._2._1) // region-start rank per bin
+              val byBin = ranks.groupBy { r =>
+                starts.lastIndexWhere(_ <= r, starts.length - 2)
+              }
+              byBin.toSeq.flatMap { case (bi, rs) =>
+                val (b, (c, bmn, bmx)) = hist(bi)
+                solve(pred && idx === lit(b), bmn, bmx, c,
+                  rs.map(_ - starts(bi)).sorted, depth + 1)
+                  .map { case (local, v) => (local + starts(bi)) -> v }
+              }.toMap
+            }
+          val wanted = probs.flatMap { p =>
+            val pos = p * (n - 1)
+            Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+          }.distinct.sorted
+          val found = solve(lit(true), head.getDouble(1), head.getDouble(2), n, wanted, 0)
+          probs.map { p =>
+            val pos = p * (n - 1)
+            val (lo, hi) = (found(math.floor(pos).toLong), found(math.ceil(pos).toLong))
+            val q = if (math.floor(pos) == math.ceil(pos)) lo
+              else (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
+            lit(q)
+          }
+        }
+      vals.sparkSession.range(1).select(
+        out.zipWithIndex.map { case (c, i) => c.as(s"q$i") }: _*)
+    } finally vals.unpersist(blocking = false)
+  }
+
   /** The 100 TB quantile path: approx_percentile (mergeable sketch, bounded
     * memory per partition, one pass, no global sort). Same 1-row q0..qK-1
     * shape as [[exactQuantiles]].
@@ -270,8 +350,10 @@ object Analytics {
   def qQuantileIqr(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
     // l_extendedprice is near-unique (583k distinct / 600k rows at sf0.1):
-    // the sort-based selection is the plan that holds at scale there.
-    val q = exactQuantilesBySort(l, "l_extendedprice", Seq(0.25, 0.75))
+    // histogram-refinement selection — no range shuffle, no sort; the
+    // sort-based spelling bit-matches it (QuantileSpec) and remains the
+    // fallback for adversarial fp distributions.
+    val q = exactQuantilesByHistogram(l, "l_extendedprice", Seq(0.25, 0.75))
       .select(col("q0").as("q1"), col("q1").as("q3"))
     l.crossJoin(broadcast(q))
       .where(col("l_extendedprice").between(col("q1"), col("q3")))

@@ -1061,7 +1061,177 @@ object TextOps {
       |  ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 4) AS contamination
       |FROM agg WHERE n_contaminated > 0""".stripMargin
 
+  /** Stopword scrub (text normalization): drop stopword tokens, re-join,
+    * and fingerprint the scrubbed text — the cleaning step that precedes
+    * dedup/tokenization in a C4-style pipeline. Entirely row-local
+    * higher-order array math: no shuffle, embarrassingly parallel at any
+    * corpus size; the md5 fingerprint makes the rewrite byte-auditable.
+    */
+  def qStopwordScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .withColumn("kept", expr("filter(toks, x -> x NOT IN ('the', 'a'))"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("scrub_hash"),
+        (size(col("kept")).cast("double") / size(col("toks"))).as("kept_frac"))
+
+  val qStopwordScrubSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |k AS (SELECT doc_id, toks,
+      |        list_filter(toks, x -> x NOT IN ('the', 'a')) AS kept FROM d)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CAST(len(toks) - len(kept) AS INTEGER) AS n_removed,
+      |  md5(array_to_string(kept, ' ')) AS scrub_hash,
+      |  CAST(len(kept) AS DOUBLE) / len(toks) AS kept_frac
+      |FROM k""".stripMargin
+
+  /** Data-mixture reweighting: per-source token shares and the sampling
+    * weight that flattens the mixture to uniform-over-sources (the DoReMi /
+    * Pile-style domain-balancing primitive). One hash aggregate over
+    * `source` (bounded domain) + a broadcast 1-row totals frame — no
+    * data-sized shuffle beyond the map-side-combined group-by.
+    */
+  def qMixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text")))).as("n_tokens"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("token_share"),
+        round((col("total_tokens").cast("double") / col("n_sources").cast("double"))
+          / col("n_tokens").cast("double"), 6).as("uniform_weight"))
+  }
+
+  val qMixtureWeightsSql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |        COUNT(*) AS n_sources FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+      |  ROUND((CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE))
+      |    / CAST(n_tokens AS DOUBLE), 6) AS uniform_weight
+      |FROM s, t""".stripMargin
+
+  /** Greedy sequence packing: documents concatenate in doc_id order into a
+    * token stream chunked at 128-token context windows; a doc belongs to
+    * the pack holding its first token. The running token offset is a
+    * window cum-sum PARTITIONED BY source — each shard packs independently
+    * and in parallel, which is how packing actually runs at corpus scale
+    * (a global single stream would serialize the window).
+    */
+  def qSequencePack(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), size(toks(col("text"))).as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_toks")).cast("double") / 128.0).cast("bigint"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  val qSequencePackSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_toks,
+      |    SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT source,
+      |  CAST(FLOOR(CAST(cum - n_toks AS DOUBLE) / 128.0) AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** Vocabulary Zipf fit: least-squares slope/intercept of ln(freq) over
+    * ln(rank) for the top-1000 terms — the corpus-health signal that flags
+    * template-generated or deduplication-damaged corpora (natural text ≈
+    * slope −1). The top-1000 cut is TakeOrdered (scale-safe); ranks are
+    * then a row_number over ≤1000 rows. ln values round to DECIMAL(18,9)
+    * before summing (the q93 pattern) so every Σ is exact decimal — the
+    * closed-form slope arithmetic then runs on bit-identical doubles in
+    * both engines.
+    */
+  def qZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val topTerms = t(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    val xy = topTerms
+      .withColumn("rank", row_number().over(w))
+      .select(
+        log(col("rank").cast("double")).cast(DecimalType(18, 9)).as("x"),
+        log(col("cnt").cast("double")).cast(DecimalType(18, 9)).as("y"))
+    val agg = xy.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(28, 18))).cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(28, 18))).cast("double").as("sxx"))
+    agg.select(
+      col("n").cast("bigint").as("n_terms"),
+      round((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+        / col("n"), 6).as("intercept"))
+  }
+
+  val qZipfSlopeSql: String =
+    """WITH f AS (
+      |  SELECT token, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''
+      |  GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 1000),
+      |r AS (
+      |  SELECT CAST(ln(CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+      |           AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+      |         CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,9)) AS y
+      |  FROM f),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS intercept
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_stopword_scrub" -> (qStopwordScrub _),
+    "q97_mixture_weights" -> (qMixtureWeights _),
+    "q98_sequence_pack" -> (qSequencePack _),
+    "q99_zipf_slope" -> (qZipfSlope _),
     "q93_unigram_xent" -> (qUnigramXent _),
     "q95_decontaminate" -> (qDecontaminate _),
     "q89_repetition_stats" -> (qRepetitionStats _),
@@ -1085,6 +1255,10 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q96_stopword_scrub" -> qStopwordScrubSql,
+    "q97_mixture_weights" -> qMixtureWeightsSql,
+    "q98_sequence_pack" -> qSequencePackSql,
+    "q99_zipf_slope" -> qZipfSlopeSql,
     "q93_unigram_xent" -> qUnigramXentSql,
     "q95_decontaminate" -> qDecontaminateSql,
     "q89_repetition_stats" -> qRepetitionStatsSql,

@@ -29,6 +29,13 @@ object Session {
       // by default; read as nanos-since-epoch longs and convert explicitly
       // (Tables.events derives a microsecond timestamp column).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Runtime bloom-filter pushdown: a selective filter on one join side
+      // injects a codegen'd might_contain prefilter into the other side's
+      // scan, cutting shuffle volume before it exists. The application-side
+      // size threshold (10 GB default) keeps it a no-op on toy inputs and
+      // live at warehouse scale; ScaleSpec lowers the threshold to assert
+      // the injection actually fires.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   /** [[builder]] plus a PERSISTENT catalog (SURVEY §2.1 S11): the

@@ -57,4 +57,28 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_orders")
     }
   }
+
+  test("runtime bloom filter injects a might_contain prefilter into the probe scan") {
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // The 10 GB application-side threshold keeps injection a no-op on toy
+    // data (the production-correct default); drop it to 0 so sf0.001
+    // exercises the same rewrite a 100 TB probe side gets for free.
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      val o = Tables.load(spark, dir, "orders")
+        .where(col("o_totalprice") > 400000.0) // selective creation side
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      val j = l.join(o, Seq("l_orderkey"))
+      j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in probe-side scan:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
 }

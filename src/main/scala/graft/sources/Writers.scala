@@ -33,6 +33,21 @@ object Writers {
     (if (partitionByYear) w.partitionBy("year") else w).parquet(path)
   }
 
+  /** S14 (incremental): DYNAMIC partition overwrite — replaces only the
+    * partitions present in `df`, leaving every other partition untouched.
+    * This is the reprocess-one-week pattern at warehouse scale: a
+    * corrected batch rewrites its own (year, sorteo) directories without
+    * the read-modify-write of a full overwrite and without `append`'s
+    * duplicate risk on rerun. The option is per-write, so no global
+    * `partitionOverwriteMode` conf leaks into other writers.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Seq("year", "sorteo")): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S8: CSV scan (header + schema inference at the notebook boundary only —
     * SURVEY §1.2: inference is allowed at Bronze/notebook edges, never for
     * the silver contract).

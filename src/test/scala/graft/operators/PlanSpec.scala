@@ -98,4 +98,18 @@ class PlanSpec extends AnyFunSuite {
     // sketches merge through one shuffle on the group key
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("no registered query plans a UDF or python-eval node") {
+    // Structural codegen guard over the WHOLE surface: Scala UDFs plan as
+    // ScalaUDF (opaque to codegen), python paths as BatchEvalPython /
+    // ArrowEvalPython. None may appear anywhere — the engine's contract is
+    // native expressions only (mapPartitions at the multimodal codec
+    // boundary plans as MapPartitions, which stays allowed by design).
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      Seq("ScalaUDF", "BatchEvalPython", "ArrowEvalPython").foreach { node =>
+        assert(!plan.contains(node), s"$name plans $node:\n$plan")
+      }
+    }
+  }
 }

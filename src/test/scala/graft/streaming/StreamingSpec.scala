@@ -183,6 +183,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming near-dup dedup: signature state suppresses re-delivered content") {
+    val batchDf = Tables.load(spark, dir, "documents")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    // deliver the same content twice under different file names — an
+    // at-least-once source re-sending a batch of documents
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/d1.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/d2.parquet"))
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1") // force two micro-batches
+      .parquet(streamDir)
+    val q = Docs.dedupBySignature(stream).writeStream
+      .format("memory").queryName("docs_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamedKeys = spark.table("docs_dedup")
+      .select(col("sig_key")).collect().map(_.getLong(0))
+    // exactly one survivor per distinct signature despite double delivery
+    assert(streamedKeys.length == streamedKeys.distinct.length)
+    val batchKeys = Docs.withSignatureKey(batchDf)
+      .select(col("sig_key")).distinct().collect().map(_.getLong(0)).toSet
+    assert(streamedKeys.toSet == batchKeys)
+    // the key is content-derived: distinct signatures <= distinct texts
+    assert(batchKeys.size <= batchDf.select(col("text")).distinct().count())
+  }
+
   test("sessionize: per-user sessions split on >=30min gaps (spot-check invariants)") {
     val sessions = Events.qSessionize(spark, dir).collect()
     assert(sessions.nonEmpty)

@@ -103,34 +103,39 @@ object Similarity {
 
   private val Planes = 16 // 2 bands x 8 hyperplanes
 
-  /** Deterministic pseudo-random hyperplanes: weight(plane, dim) derived
-    * from xxhash64 — reproducible across runs and cluster sizes with no
-    * driver-side RNG state.
+  /** Deterministic pseudo-random hyperplanes as ONE nested array —
+    * `pw[p][d]` = weight of plane p, dimension d, derived from xxhash64
+    * (reproducible across runs and cluster sizes with no driver-side RNG
+    * state). Built in a 1-row frame so the Planes×dim hash evaluations
+    * happen once, then broadcast: the planes are constants, and constants
+    * ride along rows instead of forcing a (vec, plane, dim) explode-join.
     */
-  def hyperplanes(s: SparkSession, dim: Int): DataFrame = {
-    import s.implicits._
-    (0 until Planes).flatMap(p => (0 until dim).map(d => (p, d)))
-      .toDF("plane", "dim0")
-      .withColumn("w",
-        (xxhash64(lit("plane"), col("plane"), col("dim0")) % 1000001L).cast("double") / 1000000.0)
-  }
+  def hyperplanesNested(s: SparkSession, dim: Int): DataFrame =
+    s.range(1).select(expr(
+      s"""transform(sequence(0, ${Planes - 1}), p ->
+         |  transform(sequence(0, ${dim - 1}), d ->
+         |    CAST(xxhash64('plane', p, d) % 1000001 AS DOUBLE) / 1000000.0))"""
+        .stripMargin).as("pw"))
 
   /** Random-hyperplane sign buckets: 2 band keys of 8 sign bits per vector.
-    * posexplode ⋈ broadcast(planes) → per-(vec, plane) projection sign →
-    * per-vec band keys. Linear work, one shuffle on vec_id.
+    * Rewritten round 6 to be fully ROW-LOCAL: each vector zip_with-dots
+    * the broadcast nested plane weights, takes signs, and folds its own
+    * band keys — no explode, no join fan-out, ZERO shuffles (the former
+    * shape shuffled a (vec × plane × dim) exploded frame through two
+    * aggregates). Work is the same Planes×dim multiplies per vector;
+    * the data never leaves its row.
     */
-  def signBuckets(s: SparkSession, e: DataFrame, dim: Int): DataFrame = {
-    val proj = e
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
-      .join(broadcast(hyperplanes(s, dim)), Seq("dim0"))
-      .groupBy(col("vec_id"), col("plane"))
-      .agg(sum(col("v").cast("double") * col("w")).as("proj"))
-      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
-    proj.groupBy(col("vec_id"))
-      .agg(
-        sum(when(col("plane") < 8, expr("shiftleft(bit, plane)")).otherwise(0L)).as("band0"),
-        sum(when(col("plane") >= 8, expr("shiftleft(bit, plane - 8)")).otherwise(0L)).as("band1"))
-  }
+  def signBuckets(s: SparkSession, e: DataFrame, dim: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(hyperplanesNested(s, dim)))
+      .withColumn("bits", expr(
+        """transform(pw, warr -> CASE WHEN
+          |  aggregate(zip_with(embedding, warr, (v, w) -> CAST(v AS DOUBLE) * w),
+          |    CAST(0 AS DOUBLE), (acc, x) -> acc + x) > 0
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select(col("vec_id"),
+        expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc + shiftleft(bits[i], i))").as("band0"),
+        expr("aggregate(sequence(8, 15), CAST(0 AS BIGINT), (acc, i) -> acc + shiftleft(bits[i], i - 8))").as("band1"))
 
   /** LSH ANN: candidates share ≥1 sign-band bucket; exact cosine re-rank of
     * candidates only. Returns the top-k most similar candidate pairs.
@@ -139,11 +144,15 @@ object Similarity {
     bandedPairs(signBuckets(s, e, 64))
 
   private def bandedPairs(buckets: DataFrame): DataFrame = {
+    // persisted: both self-join sides read it — without it each side
+    // re-runs the full signature computation (the 16×dim interpreted-HOF
+    // projections), which doubles the dominant cost of the query
     val banded = buckets.select(col("vec_id"),
       explode(array(
         struct(lit(0).as("band"), col("band0").as("key")),
         struct(lit(1).as("band"), col("band1").as("key")))).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.key"))
+      .persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -152,44 +161,44 @@ object Similarity {
       .distinct()
   }
 
-  /** Oracle-portable hyperplanes: w(plane, dim) is an integer in
-    * [−500000, 500000] derived from the first 12 hex digits of
-    * md5("plane:p:d") — arithmetic DuckDB evaluates identically, unlike
-    * xxhash64 ([[hyperplanes]], which stays the scale default: one codegen'd
-    * hash vs an md5 + 12 string ops). LSH only needs fixed pseudo-random
-    * planes; the hash family is interchangeable by construction.
+  /** Oracle-portable hyperplanes as the same nested-array shape: w(p, d)
+    * is an integer in [−500000, 500000] derived from the first 12 hex
+    * digits of md5("plane:p:d") — arithmetic DuckDB evaluates identically,
+    * unlike xxhash64 ([[hyperplanesNested]], which stays the scale
+    * default: one codegen'd hash vs an md5 + hex parse). `conv(hex, 16,
+    * 10)` computes the identical value the q53 oracle SQL spells as a
+    * 12-digit positional sum. LSH only needs fixed pseudo-random planes;
+    * the hash family is interchangeable by construction.
     */
-  def portablePlanes(s: SparkSession, dim: Int): DataFrame = {
-    import s.implicits._
-    val base = (0 until Planes).flatMap(p => (0 until dim).map(d => (p, d)))
-      .toDF("plane", "dim0")
-      .withColumn("h",
-        md5(concat_ws(":", lit("plane"), col("plane"), col("dim0")).cast("binary")))
-    val v48 = (1 to 12).map(j =>
-      TextOps.hexDigit(col("h"), j).cast("long") * lit(1L << (4 * (12 - j))))
-      .reduce(_ + _)
-    base.select(col("plane"), col("dim0"), ((v48 % 1000001L) - 500000L).as("w"))
-  }
+  def portablePlanesNested(s: SparkSession, dim: Int): DataFrame =
+    s.range(1).select(expr(
+      s"""transform(sequence(0, ${Planes - 1}), p ->
+         |  transform(sequence(0, ${dim - 1}), d ->
+         |    CAST(conv(substring(md5(CAST(concat_ws(':', 'plane', p, d) AS BINARY)),
+         |                        1, 12), 16, 10) AS BIGINT) % 1000001 - 500000))"""
+        .stripMargin).as("pw"))
 
   /** Sign buckets over integer-quantized projections: vector components
     * round to millionths (exact in both engines), plane weights are
     * integers, so each projection is an exact int64 sum — its SIGN (the
     * LSH bit) is engine-independent, making the whole bucketing
-    * oracle-checkable with zero float-order sensitivity.
+    * oracle-checkable with zero float-order sensitivity. Same round-6
+    * row-local shape as [[signBuckets]]: zero shuffles before the
+    * candidate join.
     */
-  def portableSignBuckets(s: SparkSession, e: DataFrame, dim: Int): DataFrame = {
-    val proj = e
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v")))
-      .withColumn("vq", expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
-      .join(broadcast(portablePlanes(s, dim)), Seq("dim0"))
-      .groupBy(col("vec_id"), col("plane"))
-      .agg(sum(col("vq") * col("w")).as("proj"))
-      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
-    proj.groupBy(col("vec_id"))
-      .agg(
-        sum(when(col("plane") < 8, expr("shiftleft(bit, plane)")).otherwise(0L)).as("band0"),
-        sum(when(col("plane") >= 8, expr("shiftleft(bit, plane - 8)")).otherwise(0L)).as("band1"))
-  }
+  def portableSignBuckets(s: SparkSession, e: DataFrame, dim: Int): DataFrame =
+    e.select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("vq"))
+      .crossJoin(broadcast(portablePlanesNested(s, dim)))
+      .withColumn("bits", expr(
+        """transform(pw, warr -> CASE WHEN
+          |  aggregate(zip_with(vq, warr, (a, b) -> a * b),
+          |    CAST(0 AS BIGINT), (acc, x) -> acc + x) > 0
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select(col("vec_id"),
+        expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc + shiftleft(bits[i], i))").as("band0"),
+        expr("aggregate(sequence(8, 15), CAST(0 AS BIGINT), (acc, i) -> acc + shiftleft(bits[i], i - 8))").as("band1"))
 
   /** LSH-bucketed near-neighbor mining: top-20 candidate pairs by exact
     * cosine (embedding-cosine near-dup surface). Uses the portable

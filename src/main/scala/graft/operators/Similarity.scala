@@ -242,9 +242,10 @@ object Similarity {
     * same double cosine re-rank (the q51-proven list_sum pattern).
     */
   val qAnnLshSql: String = {
-    val v48 = (1 to 12).map(j =>
-      s"CAST(${TextOps.hexDigitSql("h", j)} AS BIGINT) * ${1L << (4 * (12 - j))}")
-      .mkString(" + ")
+    // hex-prefix integer via one cast (same value as the positional-digit
+    // sum, fair DuckDB speed — the anchor must not be flattered by a slow
+    // oracle spelling)
+    val v48 = "CAST(CAST('0x' || substring(h, 1, 12) AS UBIGINT) AS BIGINT)"
     def cos(a: String, b: String) =
       s"""list_sum(list_transform(generate_series(1, len($a)),
          |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))

@@ -1227,7 +1227,92 @@ object TextOps {
       |    AS intercept
       |FROM a""".stripMargin
 
+  /** Regex (BPE-ish) tokenization next to whitespace counting: greedy
+    * ≤3-char alpha/digit runs approximate subword units, digit runs are
+    * counted separately — the token-budget accounting a training pipeline
+    * runs before packing. regexp_extract_all with group 0 is row-local
+    * (no shuffle); the pattern sticks to plain character classes, which
+    * Java regex and DuckDB's RE2 match identically.
+    */
+  def qRegexTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,3}|[0-9]{1,3}', 0)"))
+          .as("n_subword_units"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_digit_runs"))
+      .withColumn("subwords_per_token",
+        col("n_subword_units").cast("double") / col("n_ws_tokens"))
+
+  val qRegexTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]{1,3}|[0-9]{1,3}')) AS INTEGER)
+      |    AS n_subword_units,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_digit_runs,
+      |  CAST(len(regexp_extract_all(text, '[a-z]{1,3}|[0-9]{1,3}')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS subwords_per_token
+      |FROM documents""".stripMargin
+
+  /** Winnowing fingerprints (MOSS-style rolling-hash document signature):
+    * hash each word-3-gram shingle, slide a 4-window over the hash
+    * sequence, keep each window's minimum — the classic
+    * position-robust substring-match signature. Entirely row-local
+    * higher-order array math; the hash is the same md5-prefix integer
+    * family as the q53 planes (DuckDB evaluates it digit-identically),
+    * and the per-doc fingerprint set collapses to an md5 digest so the
+    * oracle compares one scalar per doc.
+    */
+  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .where(size(col("toks")) >= 6) // ≥4 shingles → ≥1 full window
+      .withColumn("hs", expr(
+        """transform(
+          |  transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))),
+          |  s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 12), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4))))"))
+      .select(
+        col("doc_id"),
+        size(col("hs")).as("n_shingles"),
+        size(col("fps")).as("n_fingerprints"),
+        (size(col("fps")).cast("double") / size(col("hs"))).as("fp_density"),
+        md5(expr("concat_ws(',', transform(array_sort(fps), x -> CAST(x AS STRING)))")
+          .cast("binary")).as("fp_digest"))
+
+  val qWinnowFingerprintSql: String = {
+    // hex-prefix integer via one cast, not 12 per-digit md5 re-evaluations
+    // — keeps the anchor honest (same value, fair DuckDB speed)
+    val v48 = "CAST(CAST('0x' || substring(md5(s), 1, 12) AS UBIGINT) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 6),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(generate_series(1, len(toks) - 2),
+       |        i -> array_to_string(toks[i:i+2], ' ')),
+       |      s -> $v48) AS hs
+       |  FROM d),
+       |f AS (
+       |  SELECT doc_id, hs,
+       |    list_distinct(list_transform(generate_series(1, len(hs) - 3),
+       |      i -> list_min(hs[i:i+3]))) AS fps
+       |  FROM h)
+       |SELECT doc_id,
+       |  CAST(len(hs) AS INTEGER) AS n_shingles,
+       |  CAST(len(fps) AS INTEGER) AS n_fingerprints,
+       |  CAST(len(fps) AS DOUBLE) / len(hs) AS fp_density,
+       |  md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+       |FROM f""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_regex_tokens" -> (qRegexTokens _),
+    "q101_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q96_stopword_scrub" -> (qStopwordScrub _),
     "q97_mixture_weights" -> (qMixtureWeights _),
     "q98_sequence_pack" -> (qSequencePack _),
@@ -1255,6 +1340,8 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q100_regex_tokens" -> qRegexTokensSql,
+    "q101_winnow_fingerprint" -> qWinnowFingerprintSql,
     "q96_stopword_scrub" -> qStopwordScrubSql,
     "q97_mixture_weights" -> qMixtureWeightsSql,
     "q98_sequence_pack" -> qSequencePackSql,

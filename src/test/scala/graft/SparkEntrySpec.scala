@@ -24,7 +24,7 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("query names are stable q-prefixed identifiers") {
-    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(SparkEntry.queries.keys.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
   }
 
   test("entry() returns rows on the smoke scale factor") {

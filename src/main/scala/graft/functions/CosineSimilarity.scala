@@ -110,6 +110,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", builder, "scala_udf")
     QuantileSketch.register(spark)
+    FrequentItems.register(spark)
   }
 }
 

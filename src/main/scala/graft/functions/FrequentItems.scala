@@ -1,0 +1,185 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable Misra-Gries frequent-items summary (Misra & Gries '82;
+  * mergeability per Agarwal et al., PODS'12 "Mergeable Summaries"). Holds
+  * at most k counters. Insert: increment if present, add if room,
+  * otherwise decrement ALL counters by one (dropping zeros) — the classic
+  * step that charges the evicted insert against k surviving counts. Merge:
+  * sum counterpart counters, then if over k subtract the (k+1)-th largest
+  * count from every counter and drop the non-positive ones.
+  *
+  * Guarantee (both ops preserve it): every item with true count
+  * > n/(k+1) is present, and each estimate undercounts by at most
+  * n/(k+1). That makes the sketch a CANDIDATE GENERATOR: a second exact
+  * pass over just the ≤k candidates turns the approximate summary into an
+  * exact, deterministic top-k — the shape q103 runs, so the final answer
+  * never depends on partitioning even though per-partition sketches do.
+  */
+final class MgSketch(val k: Int) extends Serializable {
+  require(k >= 1, s"k must be >= 1, got $k")
+  private[functions] val counters = mutable.HashMap.empty[String, Long]
+  private[functions] var n: Long = 0L
+
+  /** Items absorbed (exact). */
+  def count: Long = n
+
+  def update(item: String): Unit = {
+    n += 1
+    counters.get(item) match {
+      case Some(c) => counters.update(item, c + 1)
+      case None if counters.size < k => counters.update(item, 1L)
+      case None =>
+        // decrement-all: amortized O(1) — each decrement cancels a prior
+        // increment, so total decrement work <= total inserts
+        val dead = List.newBuilder[String]
+        counters.foreach { case (it, c) =>
+          if (c == 1L) dead += it else counters.update(it, c - 1)
+        }
+        dead.result().foreach(counters.remove)
+    }
+  }
+
+  def merge(o: MgSketch): Unit = {
+    o.counters.foreach { case (it, c) =>
+      counters.update(it, counters.getOrElse(it, 0L) + c)
+    }
+    n += o.n
+    if (counters.size > k) {
+      val vals = counters.values.toArray
+      java.util.Arrays.sort(vals)
+      val sub = vals(vals.length - (k + 1)) // (k+1)-th largest count
+      val dead = counters.iterator.collect { case (it, c) if c <= sub => it }.toList
+      dead.foreach(counters.remove)
+      counters.keysIterator.toList.foreach { it =>
+        counters.update(it, counters(it) - sub)
+      }
+    }
+  }
+
+  /** (item, estimate) pairs, (estimate DESC, item ASC) — deterministic
+    * given the counter multiset.
+    */
+  def topItems: Array[(String, Long)] =
+    counters.toArray.sortBy { case (it, c) => (-c, it) }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(k); out.writeLong(n); out.writeInt(counters.size)
+    counters.foreach { case (it, c) => out.writeUTF(it); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object MgSketch {
+  def deserialize(bytes: Array[Byte]): MgSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val s = new MgSketch(in.readInt())
+    s.n = in.readLong()
+    val size = in.readInt()
+    var i = 0
+    while (i < size) {
+      val it = in.readUTF()
+      s.counters.update(it, in.readLong())
+      i += 1
+    }
+    s
+  }
+}
+
+/** `mg_freq(item, k)` — distributed heavy-hitters candidates as a
+  * first-class Catalyst aggregate: per-partition Misra-Gries summaries
+  * build map-side (update) and combine on the reduce side (merge), so a
+  * corpus-wide frequent-tokens pass shuffles O(k)-entry sketches instead
+  * of one partial count per DISTINCT KEY — the difference that matters
+  * when the key domain is huge (all n-grams of 100 TB of text) and a
+  * hash aggregate's partial map would spill or blow the shuffle. Returns
+  * array<struct<item,est>> ordered (est DESC, item ASC).
+  */
+case class MgFreq(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgSketch] {
+
+  private lazy val sketchK: Int = {
+    require(kExpr.foldable, "mg_freq k must be a literal")
+    kExpr.eval().asInstanceOf[Int]
+  }
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && kExpr.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_freq expects (STRING, INT), got " +
+        s"(${child.dataType.sql}, ${kExpr.dataType.sql})")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "mg_freq"
+
+  override def createAggregationBuffer(): MgSketch = new MgSketch(sketchK)
+
+  override def update(buffer: MgSketch, input: InternalRow): MgSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: MgSketch, other: MgSketch): MgSketch = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: MgSketch): Any =
+    new GenericArrayData(buffer.topItems.map { case (it, c) =>
+      InternalRow(UTF8String.fromString(it), c)
+    })
+
+  override def serialize(buffer: MgSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): MgSketch =
+    MgSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): MgFreq =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MgFreq =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MgFreq =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+object FrequentItems {
+  /** Idempotent session-local registration of `mg_freq`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_freq",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          s"mg_freq expects 2 arguments (item, k), got ${exprs.length}")
+        MgFreq(exprs(0), exprs(1))
+      },
+      "scala_udf")
+
+  /** DataFrame-side helper: `mgFreq("token", 64)`. */
+  def mgFreq(colName: String, k: Int): Column = expr(s"mg_freq($colName, $k)")
+}

@@ -498,13 +498,75 @@ object Similarity {
       |  MAX(max_abs_err_row) AS max_abs_err
       |FROM s GROUP BY label""".stripMargin
 
+  /** SemDeDup similarity threshold: chosen so the synthetic clustered
+    * embeddings (intra-cluster cosines top out near 0.47) yield a real
+    * prune rate (~5% at sf0.01, ~18% at sf0.1) — the rule, not the value,
+    * is the operator.
+    */
+  private val SemDedupTau = 0.35
+
+  /** SemDeDup prune step (Abbas et al. 2023, arXiv:2303.09540): within
+    * each cluster, drop every vector that has a LOWER-id neighbor above
+    * the cosine threshold, so the lowest-index member of each duplicate
+    * group survives as its representative. [[qKmeansReassign]] (q94) is
+    * the companion clustering step; together they are the embedding-dedup
+    * scale path: pairwise cosine work is Σ|cluster|² — never corpus² —
+    * and the self-join key is the cluster id, which at production scale
+    * has ~corpus/avg_cluster_size values, so the shuffle partitions
+    * evenly and no all-pairs path exists. Output is one row per vector:
+    * the keep decision plus the lower-id near-dup count as evidence.
+    * Cosines ride the q51-proven bit-exact machinery, so the threshold
+    * comparison is engine-independent.
+    */
+  def qSemdedupPrune(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pruned = a.join(b, Seq("label"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosineCol(s, "va", "vb"))
+      .where(col("sim") > lit(SemDedupTau))
+      .groupBy(col("id_b"))
+      .agg(count(lit(1)).as("n_dups_lower"))
+      .withColumnRenamed("id_b", "vec_id")
+    e.select(col("vec_id"), col("label"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"),
+        col("n_dups_lower").isNull.as("keep"))
+  }
+
+  /** DuckDB re-derivation of [[qSemdedupPrune]]: same intra-cluster
+    * lower-id pair rule over the q51-proven list_sum cosine.
+    */
+  val qSemdedupPruneSql: String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+         |         i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+         |         i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+    s"""WITH p AS (
+       |  SELECT b.vec_id AS vec_id, COUNT(*) AS n_dups_lower
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.embedding", "b.embedding")} > CAST($SemDedupTau AS DOUBLE)
+       |  GROUP BY b.vec_id)
+       |SELECT e.vec_id, e.label,
+       |  COALESCE(p.n_dups_lower, 0) AS n_dups_lower,
+       |  p.vec_id IS NULL AS keep
+       |FROM embeddings e LEFT JOIN p ON p.vec_id = e.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_ann_brute_force" -> (qAnnBruteForce _),
     "q52_centroids" -> (qCentroids _),
     "q53_ann_lsh" -> (qAnnLsh _),
     "q54_ann_ivf" -> (qAnnIvf _),
     "q91_quantize_embeddings" -> (qQuantizeEmbeddings _),
-    "q94_kmeans_reassign" -> (qKmeansReassign _))
+    "q94_kmeans_reassign" -> (qKmeansReassign _),
+    "q102_semdedup_prune" -> (qSemdedupPrune _))
 
   val oracle: Map[String, String] = Map(
     "q51_ann_brute_force" -> qAnnBruteForceSql,
@@ -512,5 +574,6 @@ object Similarity {
     "q53_ann_lsh" -> qAnnLshSql,
     "q54_ann_ivf" -> qAnnIvfSql,
     "q91_quantize_embeddings" -> qQuantizeEmbeddingsSql,
-    "q94_kmeans_reassign" -> qKmeansReassignSql)
+    "q94_kmeans_reassign" -> qKmeansReassignSql,
+    "q102_semdedup_prune" -> qSemdedupPruneSql)
 }

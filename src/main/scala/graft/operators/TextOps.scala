@@ -1310,7 +1310,40 @@ object TextOps {
        |FROM f""".stripMargin
   }
 
+  /** Two-pass exact heavy hitters: pass 1 collapses the token stream into
+    * ONE Misra-Gries sketch ([[graft.functions.MgFreq]]) — each partition
+    * ships O(k) counters instead of one partial count per distinct key —
+    * and pass 2 recounts ONLY the ≤k candidates exactly (broadcast
+    * semi-join reaches the scan as a filter before any shuffle). The MG
+    * guarantee (every item with count > n/(k+1) survives) makes the
+    * candidate set a superset of any top-20 whose floor clears n/65, so
+    * the final answer is exact and partition-independent even though the
+    * intermediate sketch is not. This is the shape that matters when the
+    * key domain is huge (all 5-grams of a 100 TB corpus): q41's single
+    * hash-aggregate would spill on |domain| partial counts; this never
+    * materializes more than k. Oracle: plain exact top-20.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val toksDf = t(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val cands = toksDf.agg(expr("mg_freq(token, 64)").as("sk"))
+      .select(explode(expr("transform(sk, x -> x.item)")).as("token"))
+    toksDf.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+  }
+
+  val qHeavyHittersSql: String =
+    """SELECT token, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_heavy_hitters" -> (qHeavyHitters _),
     "q100_regex_tokens" -> (qRegexTokens _),
     "q101_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q96_stopword_scrub" -> (qStopwordScrub _),
@@ -1340,6 +1373,7 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q103_heavy_hitters" -> qHeavyHittersSql,
     "q100_regex_tokens" -> qRegexTokensSql,
     "q101_winnow_fingerprint" -> qWinnowFingerprintSql,
     "q96_stopword_scrub" -> qStopwordScrubSql,

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The Misra-Gries aggregate's contract: the n/(k+1) survival guarantee
+  * holds under eviction pressure (vocab ≫ k) at any partitioning, state
+  * round-trips through serde, and the two-pass heavy-hitters query is
+  * EXACT despite the approximate intermediate. Exact counter values are
+  * intentionally not pinned — they vary with merge order inside the
+  * guarantee; the guarantee is the spec.
+  */
+class FrequentItemsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Zipf-ish skew over a 10k-item domain with k=32 — far past eviction:
+    * item i (1-based) appears ~N/i times for the head, tail items once.
+    */
+  private def skewed(parts: Int) = {
+    import spark.implicits._
+    // head: item h repeated (1000 / h) times, h in 1..50; tail: 10k singletons
+    val head = (1 to 50).flatMap(h => Seq.fill(1000 / h)(s"head_$h"))
+    val tail = (1 to 10000).map(i => f"tail_$i%05d")
+    (head ++ tail).toDF("item").repartition(parts)
+  }
+
+  test("every item above n/(k+1) survives, at several partitionings") {
+    GraftFunctions.register(spark)
+    val truth = skewed(4).groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val k = 32
+    Seq(1, 8, 37).foreach { parts =>
+      val sk = skewed(parts).agg(expr(s"mg_freq(item, $k)").as("sk"))
+        .select(expr("transform(sk, x -> x.item)").as("items"))
+        .head().getSeq[String](0).toSet
+      assert(sk.size <= k, s"sketch holds ${sk.size} > k=$k at parts=$parts")
+      val mustSurvive = truth.filter { case (_, c) => c > n / (k + 1) }.keySet
+      val lost = mustSurvive -- sk
+      assert(lost.isEmpty,
+        s"guarantee violated at parts=$parts: lost $lost (floor ${n / (k + 1)})")
+    }
+  }
+
+  test("estimates undercount by at most n/(k+1)") {
+    GraftFunctions.register(spark)
+    val truth = skewed(4).groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val k = 32
+    val ests = skewed(8).agg(expr(s"mg_freq(item, $k)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    ests.foreach { case (item, est) =>
+      val c = truth(item)
+      assert(est <= c, s"$item overcounts: est=$est > true=$c")
+      assert(c - est <= n / (k + 1),
+        s"$item undercounts past the bound: est=$est true=$c floor=${n / (k + 1)}")
+    }
+  }
+
+  test("sketch serde round-trips") {
+    val s = new MgSketch(4)
+    Seq("a", "a", "b", "c", "d", "e", "a").foreach(s.update)
+    val back = MgSketch.deserialize(s.serialize())
+    assert(back.k === s.k)
+    assert(back.count === s.count)
+    assert(back.topItems.toSeq === s.topItems.toSeq)
+  }
+
+  test("merge preserves the guarantee across disjoint halves") {
+    val k = 4
+    val left = new MgSketch(k)
+    val right = new MgSketch(k)
+    // 'x' dominates both halves; fillers force evictions
+    (1 to 100).foreach(_ => left.update("x"))
+    (1 to 30).foreach(i => left.update(s"l$i"))
+    (1 to 100).foreach(_ => right.update("x"))
+    (1 to 30).foreach(i => right.update(s"r$i"))
+    left.merge(right)
+    val items = left.topItems.map(_._1).toSet
+    assert(left.topItems.length <= k)
+    assert(items.contains("x"), "dominant item evicted by merge")
+    val estX = left.topItems.find(_._1 == "x").get._2
+    assert(estX <= 200 && 200 - estX <= left.count / (k + 1))
+  }
+
+  test("two-pass heavy hitters is exact under eviction pressure") {
+    GraftFunctions.register(spark)
+    // same shape as q103 over the 10k-item skewed domain. k must honor the
+    // guarantee for the whole top-10: the 10th count is 100, so the floor
+    // n/(k+1) must sit below it — k=256 gives ~56. (k=32's floor ~439
+    // would NOT cover it; exactness is conditional on k, by design.)
+    val toksDf = skewed(16).withColumnRenamed("item", "token")
+    val cands = toksDf.agg(expr("mg_freq(token, 256)").as("sk"))
+      .select(explode(expr("transform(sk, x -> x.item)")).as("token"))
+    val got = toksDf.join(broadcast(cands), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(10).collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = toksDf.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === want.toSeq)
+  }
+}

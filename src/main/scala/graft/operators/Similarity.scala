@@ -559,7 +559,79 @@ object Similarity {
        |FROM embeddings e LEFT JOIN p ON p.vec_id = e.vec_id""".stripMargin
   }
 
+  /** Cluster-quality audit (centroid-margin silhouette): per vector, the
+    * cosine to its OWN centroid vs the best OTHER centroid; per cluster,
+    * the mean of both, the mean margin, and how many vectors sit closer
+    * to a foreign centroid. The go/no-go report before trusting a
+    * clustering for SemDeDup-style pruning (q94 assigns, q102 prunes,
+    * this grades). Work = corpus × nClusters against a broadcast centroid
+    * table — one narrow pass, one bounded-key aggregate; means accumulate
+    * as decimals ([[Relational.davg]]) so partition order never shows.
+    */
+  def qClusterSilhouette(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val cents = centroidVectors(e).select(col("label").as("clabel"), col("cvec"))
+    val per = e.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", call_function("cosine_similarity", col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("sim"))).as("own_cos"),
+        max(when(col("clabel") =!= col("label"), col("sim"))).as("best_other"))
+    per.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        Relational.davg(col("own_cos")).as("mean_own_cos"),
+        Relational.davg(col("best_other")).as("mean_best_other"),
+        Relational.davg(col("own_cos") - col("best_other")).as("mean_margin"),
+        sum(when(col("best_other") > col("own_cos"), 1L).otherwise(0L))
+          .as("n_misassigned"))
+  }
+
+  /** DuckDB re-derivation of [[qClusterSilhouette]]: the q94 decimal-exact
+    * centroid pattern, conditional-max own/other split, davg means.
+    */
+  val qClusterSilhouetteSql: String = {
+    def cos(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, len($a)),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+         |         i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+         |         i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+    import Relational.davgSql
+    s"""WITH comp AS (
+       |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+       |    unnest(embedding) AS v
+       |  FROM embeddings),
+       |cm AS (
+       |  SELECT label, pos,
+       |    CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM comp GROUP BY label, pos),
+       |cents AS (
+       |  SELECT label AS clabel,
+       |    list_transform(list(m ORDER BY pos ASC), x -> CAST(x AS FLOAT)) AS cvec
+       |  FROM cm GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.clabel,
+       |    ${cos("e.embedding", "c.cvec")} AS sim
+       |  FROM embeddings e CROSS JOIN cents c),
+       |per AS (
+       |  SELECT vec_id, label,
+       |    MAX(CASE WHEN clabel = label THEN sim END) AS own_cos,
+       |    MAX(CASE WHEN clabel <> label THEN sim END) AS best_other
+       |  FROM scored GROUP BY vec_id, label)
+       |SELECT label, COUNT(*) AS n_vectors,
+       |  ${davgSql("own_cos")} AS mean_own_cos,
+       |  ${davgSql("best_other")} AS mean_best_other,
+       |  ${davgSql("own_cos - best_other")} AS mean_margin,
+       |  CAST(SUM(CASE WHEN best_other > own_cos THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_misassigned
+       |FROM per GROUP BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_cluster_silhouette" -> (qClusterSilhouette _),
     "q51_ann_brute_force" -> (qAnnBruteForce _),
     "q52_centroids" -> (qCentroids _),
     "q53_ann_lsh" -> (qAnnLsh _),
@@ -569,6 +641,7 @@ object Similarity {
     "q102_semdedup_prune" -> (qSemdedupPrune _))
 
   val oracle: Map[String, String] = Map(
+    "q104_cluster_silhouette" -> qClusterSilhouetteSql,
     "q51_ann_brute_force" -> qAnnBruteForceSql,
     "q52_centroids" -> qCentroidsSql,
     "q53_ann_lsh" -> qAnnLshSql,

@@ -1310,6 +1310,74 @@ object TextOps {
        |FROM f""".stripMargin
   }
 
+  /** Cross-source contamination matrix: the q55 simhash near-dup pairs
+    * joined back to each side's `source`, counted per unordered source
+    * pair — the report that tells a corpus curator WHERE duplication
+    * comes from (mirror sites, cross-source scrapes, books republished
+    * on the web) and which source to keep canonical. Rides the banded
+    * q55 pipeline (never all-pairs); the two doc_id joins are standard
+    * equi-joins against a near-dup-sized left side.
+    */
+  def qDupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qSimhashNearDupPairs(s, dir)
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val qDupSourceMatrixSql: String =
+    s"""WITH pairs AS (
+       |${qSimhashNearDupPairsSql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT least(da.source, db.source) AS source_x,
+       |  greatest(da.source, db.source) AS source_y,
+       |  COUNT(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = pairs.doc_a
+       |JOIN documents db ON db.doc_id = pairs.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
+  /** CCNet-style per-language length-band filter: exact p25/p75 of the
+    * token count per language, then the kept-fraction report for the
+    * middle band — the pre-training length screen that drops boilerplate
+    * stubs and runaway concatenations without a global (cross-language)
+    * threshold. The quantile frame is |languages|-sized, so it broadcasts
+    * back; at 100 TB the exact `percentile` (per-group buffered) swaps
+    * for approx_percentile — the q18-documented trade — with the rest of
+    * the plan unchanged.
+    */
+  def qLengthFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), size(toks(col("text"))).as("n_tokens"))
+    val qs = d.groupBy(col("lang"))
+      .agg(expr("percentile(n_tokens, array(0.25, 0.75))").as("qs"))
+      .select(col("lang"), col("qs")(0).as("p25"), col("qs")(1).as("p75"))
+    d.join(broadcast(qs), Seq("lang"))
+      .groupBy(col("lang"), col("p25"), col("p75"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") >= col("p25") && col("n_tokens") <= col("p75"), 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
+  val qLengthFilterSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |q AS (
+      |  SELECT lang,
+      |    percentile_cont(0.25) WITHIN GROUP (ORDER BY n_tokens) AS p25,
+      |    percentile_cont(0.75) WITHIN GROUP (ORDER BY n_tokens) AS p75
+      |  FROM d GROUP BY lang)
+      |SELECT d.lang, q.p25, q.p75, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.n_tokens >= q.p25 AND d.n_tokens <= q.p75
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM d JOIN q ON q.lang = d.lang
+      |GROUP BY d.lang, q.p25, q.p75""".stripMargin
+
   /** Two-pass exact heavy hitters: pass 1 collapses the token stream into
     * ONE Misra-Gries sketch ([[graft.functions.MgFreq]]) — each partition
     * ships O(k) counters instead of one partial count per distinct key —
@@ -1344,6 +1412,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_heavy_hitters" -> (qHeavyHitters _),
+    "q105_dup_source_matrix" -> (qDupSourceMatrix _),
+    "q106_length_filter" -> (qLengthFilter _),
     "q100_regex_tokens" -> (qRegexTokens _),
     "q101_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q96_stopword_scrub" -> (qStopwordScrub _),
@@ -1374,6 +1444,8 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q103_heavy_hitters" -> qHeavyHittersSql,
+    "q105_dup_source_matrix" -> qDupSourceMatrixSql,
+    "q106_length_filter" -> qLengthFilterSql,
     "q100_regex_tokens" -> qRegexTokensSql,
     "q101_winnow_fingerprint" -> qWinnowFingerprintSql,
     "q96_stopword_scrub" -> qStopwordScrubSql,

@@ -887,34 +887,44 @@ object TextOps {
     * twice, so the value can exceed 1.0 — by design, since a >1 reading is
     * itself a maximal-repetition signal and the monotone threshold filters
     * built on it (Gopher Table A1) are unaffected by the normalization.
-    * The bigram mode is the one part that genuinely needs
-    * an aggregation — explode → (doc, bigram) hash-count → per-doc top-1 by
-    * window (deterministic (cnt, bigram) tiebreak); shuffle key is
-    * (doc_id, bigram), so skew is bounded by document length, not corpus
-    * size. Filters like "drop docs whose top bigram covers > 18% of tokens"
-    * (Gopher Table A1) are a WHERE over this output.
+    * The bigram mode is computed ROW-LOCALLY (round 6 rewrite): sort the
+    * doc's bigram array, then one fold finds the longest equal-run —
+    * O(L log L) per document, ZERO shuffles in the whole query, where the
+    * previous spelling paid an explode → (doc, bigram) hash-count → per-doc
+    * window → join chain (three exchanges). The fold closes each run as the
+    * scan leaves it and replaces the best on `run >= best`, which — under
+    * an ascending scan — reproduces the (cnt DESC, bigram DESC) tiebreak
+    * exactly. Filters like "drop docs whose top bigram covers > 18% of
+    * tokens" (Gopher Table A1) are a WHERE over this output.
     */
   def qRepetitionStats(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = t(s, dir, "documents")
+    val topBigram = expr(
+      """aggregate(
+        |  array_sort(transform(sequence(1, size(toks) - 1),
+        |                       i -> concat_ws(' ', slice(toks, i, 2)))),
+        |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
+        |               'best', CAST(0 AS BIGINT), 'bestkey', ''),
+        |  (a, x) -> CASE WHEN x = a.prev
+        |    THEN named_struct('prev', x, 'run', a.run + CAST(1 AS BIGINT),
+        |                      'best', a.best, 'bestkey', a.bestkey)
+        |    ELSE named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+        |      'best', CASE WHEN a.run >= a.best THEN a.run ELSE a.best END,
+        |      'bestkey', CASE WHEN a.run >= a.best THEN a.prev ELSE a.bestkey END)
+        |    END,
+        |  a -> named_struct(
+        |    'cnt', CASE WHEN a.run >= a.best THEN a.run ELSE a.best END,
+        |    'bigram', CASE WHEN a.run >= a.best THEN a.prev ELSE a.bestkey END))"""
+        .stripMargin)
+    t(s, dir, "documents")
       .withColumn("toks", toks(col("text")))
       .where(size(col("toks")) >= 2)
-    val base = d.select(col("doc_id"),
-      size(col("toks")).as("n_tokens"),
-      (lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
-        .as("dup_token_frac"))
-    val bg = d.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"))
-        .as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, col("bigram").desc)
-    val top = bg.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("doc_id"), col("bigram").as("top_bigram"), col("cnt").as("top_bigram_cnt"))
-    base.join(top, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
-        col("top_bigram"), col("top_bigram_cnt"),
-        (col("top_bigram_cnt") * 2.0 / col("n_tokens")).as("top_bigram_frac"))
+      .withColumn("tb", topBigram)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("dup_token_frac"),
+        col("tb.bigram").as("top_bigram"), col("tb.cnt").as("top_bigram_cnt"),
+        (col("tb.cnt") * 2.0 / size(col("toks"))).as("top_bigram_frac"))
   }
 
   val qRepetitionStatsSql: String =

@@ -1388,6 +1388,58 @@ object TextOps {
       |FROM d JOIN q ON q.lang = d.lang
       |GROUP BY d.lang, q.p25, q.p75""".stripMargin
 
+  /** Per-source distribution-drift report: chi-square of each source's
+    * token-count histogram against the corpus-wide distribution — the
+    * monitoring stat a corpus pipeline alarms on when one ingestion
+    * source starts emitting truncated or runaway documents. Bins are
+    * row-local fixed-width (q21 family, 13 buckets); every aggregate
+    * keys on a bounded domain (source, bin) and the bin/total frames
+    * broadcast back, so the plan is three bounded hash aggregates plus
+    * narrow math at any corpus size. Chi-square terms sum as decimals
+    * ([[Relational.dsum]]) so the double is partition-order free.
+    */
+  def qChisqDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"),
+        least(floor(size(toks(col("text"))).cast("double") / 10), lit(12L)).as("bin"))
+    val obs = d.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("obs"))
+    val corpus = d.groupBy(col("bin")).agg(count(lit(1)).as("cbin"))
+    val totals = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val n = d.agg(count(lit(1)).as("n_total"))
+    val diff = coalesce(col("obs"), lit(0L)).cast("double") -
+      col("n_docs").cast("double") * col("cbin") / col("n_total")
+    val expCnt = col("n_docs").cast("double") * col("cbin") / col("n_total")
+    totals.crossJoin(broadcast(corpus))
+      .join(obs, Seq("source", "bin"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("term", diff * diff / expCnt)
+      .groupBy(col("source"), col("n_docs"))
+      .agg(Relational.dsum(col("term")).as("chi2"))
+      .select(col("source"), col("n_docs"), col("chi2"))
+  }
+
+  val qChisqDriftSql: String = {
+    val expCnt = "CAST(n_docs AS DOUBLE) * cbin / n_total"
+    s"""WITH d AS (
+       |  SELECT source,
+       |    LEAST(CAST(FLOOR(CAST(len(string_split(text, ' ')) AS DOUBLE) / 10)
+       |               AS BIGINT), 12) AS bin
+       |  FROM documents),
+       |obs AS (SELECT source, bin, COUNT(*) AS obs FROM d GROUP BY 1, 2),
+       |corpus AS (SELECT bin, COUNT(*) AS cbin FROM d GROUP BY 1),
+       |totals AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_total FROM d),
+       |terms AS (
+       |  SELECT t.source, t.n_docs,
+       |    (CAST(COALESCE(o.obs, 0) AS DOUBLE) - $expCnt)
+       |      * (CAST(COALESCE(o.obs, 0) AS DOUBLE) - $expCnt) / ($expCnt) AS term
+       |  FROM totals t CROSS JOIN corpus c
+       |  LEFT JOIN obs o ON o.source = t.source AND o.bin = c.bin
+       |  CROSS JOIN n)
+       |SELECT source, n_docs, ${Relational.dsumSql("term")} AS chi2
+       |FROM terms GROUP BY source, n_docs""".stripMargin
+  }
+
   /** Two-pass exact heavy hitters: pass 1 collapses the token stream into
     * ONE Misra-Gries sketch ([[graft.functions.MgFreq]]) — each partition
     * ships O(k) counters instead of one partial count per distinct key —
@@ -1424,6 +1476,7 @@ object TextOps {
     "q103_heavy_hitters" -> (qHeavyHitters _),
     "q105_dup_source_matrix" -> (qDupSourceMatrix _),
     "q106_length_filter" -> (qLengthFilter _),
+    "q107_chisq_drift" -> (qChisqDrift _),
     "q100_regex_tokens" -> (qRegexTokens _),
     "q101_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q96_stopword_scrub" -> (qStopwordScrub _),
@@ -1456,6 +1509,7 @@ object TextOps {
     "q103_heavy_hitters" -> qHeavyHittersSql,
     "q105_dup_source_matrix" -> qDupSourceMatrixSql,
     "q106_length_filter" -> qLengthFilterSql,
+    "q107_chisq_drift" -> qChisqDriftSql,
     "q100_regex_tokens" -> qRegexTokensSql,
     "q101_winnow_fingerprint" -> qWinnowFingerprintSql,
     "q96_stopword_scrub" -> qStopwordScrubSql,

@@ -88,6 +88,70 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(estX <= 200 && 200 - estX <= left.count / (k + 1))
   }
 
+  test("property: guarantee holds for random streams and random split points") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      k <- Gen.choose(2, 8)
+      items <- Gen.listOfN(400, Gen.frequency(
+        (5, Gen.const("hot")),
+        (2, Gen.oneOf("w1", "w2", "w3")),
+        (3, Gen.choose(0, 200).map(i => s"cold_$i"))))
+      cut <- Gen.choose(0, items.length)
+    } yield (k, items, cut)
+    (1 to 200).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { case (k, items, cut) =>
+        val (l, r) = items.splitAt(cut)
+        val left = new MgSketch(k)
+        val right = new MgSketch(k)
+        l.foreach(left.update)
+        r.foreach(right.update)
+        left.merge(right)
+        val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = items.length.toLong
+        val floor = n / (k + 1)
+        val ests = left.topItems.toMap
+        assert(left.topItems.length <= k)
+        truth.foreach { case (it, c) =>
+          if (c > floor) assert(ests.contains(it), s"seed=$i k=$k lost $it (c=$c floor=$floor)")
+        }
+        ests.foreach { case (it, est) =>
+          val c = truth(it)
+          assert(est <= c && c - est <= floor, s"seed=$i k=$k $it est=$est true=$c")
+        }
+      }
+    }
+  }
+
+  test("mg_freq aggregates under Structured Streaming, exact when vocab <= k") {
+    GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = spark.read.parquet(s"$dir/documents.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_mg_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/documents.parquet"))
+    val stream = spark.readStream.schema(batchDf.schema).parquet(streamDir)
+    def toksOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("token")).where(col("token") =!= "")
+    val q = toksOf(stream).agg(expr("mg_freq(token, 64)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("mg_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // 31-token vocab <= k=64: no eviction ever fires, so the sketch holds
+    // the EXACT count of every token — streaming must equal batch truth
+    val truth = toksOf(batchDf).groupBy("token").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == truth)
+  }
+
   test("two-pass heavy hitters is exact under eviction pressure") {
     GraftFunctions.register(spark)
     // same shape as q103 over the 10k-item skewed domain. k must honor the

@@ -1388,6 +1388,76 @@ object TextOps {
       |FROM d JOIN q ON q.lang = d.lang
       |GROUP BY d.lang, q.p25, q.p75""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    * IPL 2006) with hash-derived uniforms instead of RNG state: each doc
+    * draws u ∈ (0,1] from its md5 (48-bit mantissa, exact in both
+    * engines), and the top-k by key = ln(u)/weight IS a weighted sample
+    * without replacement (monotone transform of u^(1/w)). Weight here is
+    * the token count — the "sample long documents proportionally" move.
+    * Coordination-free and reproducible on any cluster size: the key is
+    * row-local, the top-k is TakeOrderedAndProject (each partition
+    * forwards ≤ k rows — no global sort). Keys round to DECIMAL(18,9)
+    * (the q93 ln convention) so the oracle compares exactly.
+    */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(toks(col("text"))).as("n_tokens"))
+      .where(col("n_tokens") >= 1)
+      .withColumn("u",
+        (expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+          .cast("double") + 1.0) / lit(281474976710656.0)) // 2^48
+      .withColumn("es_key", (log(col("u")) / col("n_tokens")).cast(DecimalType(18, 9)))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(20)
+      .select(col("doc_id"), col("n_tokens"), col("es_key").cast("double").as("es_key"))
+  }
+
+  val qWeightedSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    (CAST(CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      |          AS UBIGINT) AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0 AS u
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 1)
+      |SELECT doc_id, n_tokens,
+      |  CAST(CAST(CAST(ln(u) / n_tokens AS DECIMAL(18,9)) AS VARCHAR) AS DOUBLE)
+      |    AS es_key
+      |FROM d
+      |ORDER BY CAST(ln(u) / n_tokens AS DECIMAL(18,9)) DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
+  /** Deterministic epoch shuffle: every doc gets a salted-hash shard and
+    * an in-shard position — the "global shuffle before each training
+    * epoch" that needs NO global sort: shard is a row-local hash bucket,
+    * position is a row_number PARTITIONED BY shard (each shard orders
+    * independently, in parallel). Changing the salt ('e0:') reshuffles
+    * the epoch; same salt = identical order on any cluster. Output is
+    * the (doc_id → shard, position) manifest a data loader consumes.
+    */
+  def qShuffleShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("e0:"), col("doc_id").cast("string")).cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", hexDigit(col("h"), 1) % 8)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val qShuffleShardsSql: String = {
+    val h = "md5('e0:' || CAST(doc_id AS VARCHAR))"
+    s"""WITH d AS (
+       |  SELECT doc_id, $h AS h,
+       |    ${hexDigitSql(h, 1)} % 8 AS shard
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC)
+       |       AS INTEGER) AS pos
+       |FROM d""".stripMargin
+  }
+
   /** Per-source distribution-drift report: chi-square of each source's
     * token-count histogram against the corpus-wide distribution — the
     * monitoring stat a corpus pipeline alarms on when one ingestion
@@ -1477,6 +1547,8 @@ object TextOps {
     "q105_dup_source_matrix" -> (qDupSourceMatrix _),
     "q106_length_filter" -> (qLengthFilter _),
     "q107_chisq_drift" -> (qChisqDrift _),
+    "q108_weighted_sample" -> (qWeightedSample _),
+    "q109_shuffle_shards" -> (qShuffleShards _),
     "q100_regex_tokens" -> (qRegexTokens _),
     "q101_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q96_stopword_scrub" -> (qStopwordScrub _),
@@ -1510,6 +1582,8 @@ object TextOps {
     "q105_dup_source_matrix" -> qDupSourceMatrixSql,
     "q106_length_filter" -> qLengthFilterSql,
     "q107_chisq_drift" -> qChisqDriftSql,
+    "q108_weighted_sample" -> qWeightedSampleSql,
+    "q109_shuffle_shards" -> qShuffleShardsSql,
     "q100_regex_tokens" -> qRegexTokensSql,
     "q101_winnow_fingerprint" -> qWinnowFingerprintSql,
     "q96_stopword_scrub" -> qStopwordScrubSql,

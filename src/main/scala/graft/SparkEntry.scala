@@ -59,6 +59,8 @@ object SparkEntry {
     }),
     "q63_multimodal_features" ->
       ((s, dir) => graft.multimodal.Multimodal.qMultimodalFeatures(s, dir)),
+    "q110_frame_sample" ->
+      ((s, dir) => graft.multimodal.Multimodal.qFrameSample(s, dir)),
     "q64_facade_top_vendors" -> ((s, _) => {
       val (so, pr) = fixtureSilverParquet(s)
       new graft.analytics.LotteryAnalytics(so, pr).topVendors(10)
@@ -97,6 +99,7 @@ object SparkEntry {
 
   private val parseOracle: Map[String, String] = Map(
     "q63_multimodal_features" -> graft.multimodal.Multimodal.qMultimodalFeaturesSql,
+    "q110_frame_sample" -> graft.multimodal.Multimodal.qFrameSampleSql,
     "q60_parse_silver_premios" ->
       s"""SELECT CAST(numero_sorteo AS BIGINT) AS numero_sorteo,
          |  CAST(numero_premiado AS BIGINT) AS numero_premiado, letras,

@@ -92,6 +92,77 @@ object Multimodal {
         graft.operators.Relational.dsum(col("f0").cast("double")).as("sum_f0"))
   }
 
+  final case class FrameFeature(media_id: Long, kind: String, frame_no: Int, signature: Long)
+
+  /** Frame sampling: slice each payload into fixed-size frames and keep
+    * every `every`-th one, emitting ONE ROW PER SAMPLED FRAME — the 1→N
+    * expansion shape of video processing (a real decoder samples keyframes;
+    * the stub's frame signature is the frame's byte sum, integer-exact in
+    * both engines). flatMap keeps it narrow: no shuffle until a consumer
+    * aggregates, and a 100 TB video table fans out to frame rows without
+    * ever materializing per-media state.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 64,
+      every: Int = 4): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = r.payload.length / frameBytes
+      (0 until nFrames).withFilter(_ % every == 0).map { f =>
+        var s = 0L
+        var i = f * frameBytes
+        val end = i + frameBytes
+        while (i < end) { s += (r.payload(i) & 0xff); i += 1 }
+        FrameFeature(r.media_id, r.kind, f, s)
+      }
+    }
+  }
+
+  /** Per-kind rollup of the sampled-frame signal — proves the binary →
+    * frame-sample → aggregate path end-to-end (q63's sibling for the 1→N
+    * expansion). All integer math; oracle re-derives every sampled frame
+    * from the hex dump.
+    */
+  def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val frames = sampleFrames(mediaFromDocuments(Tables.load(s, dir, "documents"))).toDF()
+    frames.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("signature")).as("total_signature"),
+        max(col("signature")).as("max_signature"))
+  }
+
+  /** DuckDB re-derivation of [[qFrameSample]]: frame f covers bytes
+    * [64f+1, 64f+64] of the UTF-8 payload (hex digits 2p−1, 2p); sampled
+    * frames are f ≡ 0 (mod 4) below the full-frame count.
+    */
+  val qFrameSampleSql: String = {
+    def hexv(pos: String) = graft.operators.TextOps.hexDigitSql("fr.h", pos)
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INTEGER)
+       |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    lower(hex(encode(text))) AS h,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, kind, h,
+       |    unnest(generate_series(0, n // 64 - 1, 4)) AS f
+       |  FROM d WHERE n >= 64),
+       |b AS (
+       |  SELECT doc_id, kind, f,
+       |    unnest(generate_series(f * 64 + 1, f * 64 + 64)) AS p
+       |  FROM fr),
+       |sig AS (
+       |  SELECT b.doc_id, b.kind, b.f,
+       |    CAST(SUM(16 * ${hexv("2 * b.p - 1")} + ${hexv("2 * b.p")}) AS BIGINT)
+       |      AS signature
+       |  FROM b JOIN d fr ON fr.doc_id = b.doc_id
+       |  GROUP BY b.doc_id, b.kind, b.f)
+       |SELECT kind, COUNT(*) AS n_frames,
+       |  CAST(SUM(signature) AS BIGINT) AS total_signature,
+       |  MAX(signature) AS max_signature
+       |FROM sig GROUP BY kind""".stripMargin
+  }
+
   /** DuckDB re-derivation of the stub decode's lane 0: byte p of the UTF-8
     * payload is hex digits (2p−1, 2p) of `hex(encode(text))`; lane 0 sums
     * bytes at 1-based positions 1, 9, 17, … and integer-divides by the lane

@@ -31,6 +31,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.values.forall(_.forall(v => v >= 0 && !v.isNaN)))
   }
 
+  test("frame sampling: 1->N expansion, every 4th frame, signatures recomputable") {
+    val media = mediaFromDocuments(Tables.load(spark, dir, "documents")).repartition(4)
+    val frames = sampleFrames(media)
+    assert(frames.rdd.getNumPartitions == 4) // flatMap is narrow
+    val byMedia = frames.collect().groupBy(_.media_id)
+    val payloads = media.collect().map(r => r.media_id -> r.payload).toMap
+    assert(byMedia.nonEmpty)
+    byMedia.foreach { case (id, fs) =>
+      val payload = payloads(id)
+      val nFrames = payload.length / 64
+      val expected = (0 until nFrames).count(_ % 4 == 0)
+      assert(fs.length == expected, s"media $id: ${fs.length} != $expected frames")
+      fs.foreach { f =>
+        assert(f.frame_no % 4 == 0)
+        val sig = payload.slice(f.frame_no * 64, f.frame_no * 64 + 64)
+          .map(b => (b & 0xff).toLong).sum
+        assert(f.signature == sig)
+      }
+    }
+  }
+
   test("binary -> decode -> aggregate query runs end-to-end per kind") {
     val out = Multimodal.qMultimodalFeatures(spark, dir).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))

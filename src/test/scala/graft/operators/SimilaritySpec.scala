@@ -129,6 +129,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF mean recall@5 too low on clustered data: $recall")
   }
 
+  test("semdedup prune: keep rule matches a brute-force intra-cluster check") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.qSemdedupPrune(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getAs[Number]("label").longValue()))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (a.indices).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(out.size == vecs.length)
+    vecs.foreach { case (id, v, label) =>
+      val nDupsLower = vecs.count { case (id2, v2, l2) =>
+        l2 == label && id2 < id && cos(v2, v) > 0.35
+      }
+      val (got, keep) = out(id)
+      assert(got == nDupsLower, s"vec $id: n_dups_lower $got != $nDupsLower")
+      assert(keep == (nDupsLower == 0), s"vec $id: keep flag wrong")
+    }
+    // the rule must actually fire on this data: some vector is pruned
+    assert(out.values.exists(!_._2), "threshold never fired — test is vacuous")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val r = TextOps.qApproxDistinct(spark, "/root/testdata/sf0.001").collect().head
     val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))

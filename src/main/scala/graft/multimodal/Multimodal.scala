@@ -132,10 +132,13 @@ object Multimodal {
 
   /** DuckDB re-derivation of [[qFrameSample]]: frame f covers bytes
     * [64f+1, 64f+64] of the UTF-8 payload (hex digits 2p−1, 2p); sampled
-    * frames are f ≡ 0 (mod 4) below the full-frame count.
+    * frames are f ≡ 0 (mod 4) below the full-frame count. The signature
+    * is a ROW-LOCAL list_sum over the frame's positions — not a per-byte
+    * unnest + join + re-group, which computes the same value ~7× slower
+    * (the anchor must not be flattered by a slow oracle spelling).
     */
   val qFrameSampleSql: String = {
-    def hexv(pos: String) = graft.operators.TextOps.hexDigitSql("fr.h", pos)
+    def hexv(pos: String) = graft.operators.TextOps.hexDigitSql("h", pos)
     s"""WITH d AS (
        |  SELECT doc_id,
        |    CASE CAST(doc_id % 3 AS INTEGER)
@@ -147,16 +150,12 @@ object Multimodal {
        |  SELECT doc_id, kind, h,
        |    unnest(generate_series(0, n // 64 - 1, 4)) AS f
        |  FROM d WHERE n >= 64),
-       |b AS (
-       |  SELECT doc_id, kind, f,
-       |    unnest(generate_series(f * 64 + 1, f * 64 + 64)) AS p
-       |  FROM fr),
        |sig AS (
-       |  SELECT b.doc_id, b.kind, b.f,
-       |    CAST(SUM(16 * ${hexv("2 * b.p - 1")} + ${hexv("2 * b.p")}) AS BIGINT)
+       |  SELECT doc_id, kind, f,
+       |    CAST(list_sum(list_transform(generate_series(f * 64 + 1, f * 64 + 64),
+       |      p -> 16 * ${hexv("2 * p - 1")} + ${hexv("2 * p")})) AS BIGINT)
        |      AS signature
-       |  FROM b JOIN d fr ON fr.doc_id = b.doc_id
-       |  GROUP BY b.doc_id, b.kind, b.f)
+       |  FROM fr)
        |SELECT kind, COUNT(*) AS n_frames,
        |  CAST(SUM(signature) AS BIGINT) AS total_signature,
        |  MAX(signature) AS max_signature

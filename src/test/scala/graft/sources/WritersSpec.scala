@@ -38,4 +38,47 @@ class WritersSpec extends AnyFunSuite {
       Seq(4L, "new", 2020, 2))
     assert(got == want)
   }
+
+  test("compact collapses a many-small-files table without changing its rows") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 64 tiny files
+    spark.range(10000).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(64).write.parquet(path)
+    def files = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+    }
+    val before = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    assert(files == 64)
+    val n = Writers.compact(spark, path) // total bytes << 128 MiB => 1 file
+    assert(n == 1 && files == 1)
+    val after = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    assert(after == before)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact-old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact-staging")))
+  }
+
+  test("range-clustered write produces near-disjoint per-file key ranges") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_cluster").toString + "/t"
+    val df = spark.range(20000)
+      .select((xxhash64(col("id")) % 1000).as("k"), col("id").as("payload"))
+    Writers.writeRangeClustered(df, path, numFiles = 8, clusterCols = Seq("k"))
+    // per-file [min, max] spans must be (nearly) disjoint: total overlap-free
+    // coverage means footer stats prune a selective k predicate to ~1 file
+    val spans = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.length >= 4, s"expected several clustered files, got ${spans.length}")
+    spans.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(lo2 >= hi, s"file ranges overlap: hi=$hi lo2=$lo2")
+    case _ => ()
+    }
+    // and the data survives intact
+    assert(spark.read.parquet(path).count() == 20000)
+  }
 }

@@ -58,6 +58,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew-join splitting fires on a hot key (skew=true in the final plan)") {
+    import spark.implicits._
+    // one key owns ~95% of the rows; with the skew thresholds dropped to
+    // toy scale, AQE must split that partition at runtime — the mechanism
+    // PLANS.md's standing configuration relies on for unsalted skew
+    val big = spark.range(200000)
+      .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 97).as("k"),
+        col("id").as("payload"))
+    val right = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle-join path
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = big.join(right, Seq("k"))
+      // collect() drives THIS DataFrame's own query execution, so its
+      // AdaptiveSparkPlan is finalized (count() would plan separately)
+      assert(joined.collect().length === 200000) // every big-side row matches once
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE never marked the hot partition as skewed:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter injects a might_contain prefilter into the probe scan") {
     val conf = spark.conf
     val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")

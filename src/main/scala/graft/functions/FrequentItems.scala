@@ -80,7 +80,14 @@ final class MgSketch(val k: Int) extends Serializable {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(k); out.writeLong(n); out.writeInt(counters.size)
-    counters.foreach { case (it, c) => out.writeUTF(it); out.writeLong(c) }
+    counters.foreach { case (it, c) =>
+      // length-prefixed UTF-8, not writeUTF: a pathological >64 KB token
+      // must degrade to a big counter entry, never throw mid-aggregation
+      val bytes = it.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -94,7 +101,9 @@ object MgSketch {
     val size = in.readInt()
     var i = 0
     while (i < size) {
-      val it = in.readUTF()
+      val bytes = new Array[Byte](in.readInt())
+      in.readFully(bytes)
+      val it = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       s.counters.update(it, in.readLong())
       i += 1
     }

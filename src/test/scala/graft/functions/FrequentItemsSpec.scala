@@ -71,6 +71,14 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(back.topItems.toSeq === s.topItems.toSeq)
   }
 
+  test("sketch serde survives a >64KB item (writeUTF would throw)") {
+    val s = new MgSketch(4)
+    val huge = "x" * 100000 + "é" // non-ASCII tail: length != byte length
+    Seq(huge, huge, "b").foreach(s.update)
+    val back = MgSketch.deserialize(s.serialize())
+    assert(back.topItems.toSeq === s.topItems.toSeq)
+  }
+
   test("merge preserves the guarantee across disjoint halves") {
     val k = 4
     val left = new MgSketch(k)

@@ -16,6 +16,12 @@ run / fork := true
 // one-line JSON contract (the driver parses stdout for a bare `{...}`
 // line — every prior round's BENCH_r*.json shows `"parsed": null`).
 run / outputStrategy := Some(StdoutOutput)
+// ...and the OTHER half of that contract: sbt prints "[success] Total
+// time: ..." AFTER the forked JVM exits, so the JSON was never the final
+// stdout line and every round's BENCH_r*.json shows "parsed": null.
+// Suppressing the success banner makes Bench's JSON the last line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -127,18 +127,27 @@ case class MgFreq(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MgSketch] {
 
-  private lazy val sketchK: Int = {
-    require(kExpr.foldable, "mg_freq k must be a literal")
-    kExpr.eval().asInstanceOf[Int]
-  }
+  // Safe by the time execution reaches it: checkInputDataTypes has already
+  // rejected non-foldable, NULL, and non-positive k at analysis.
+  private lazy val sketchK: Int = kExpr.eval().asInstanceOf[Int]
 
   override def children: Seq[Expression] = Seq(child, kExpr)
+  // All k validation lives here so an invalid call fails AT ANALYSIS with
+  // a clear message — not as an executor-side require inside a lazy val
+  // (non-foldable k) or a confusing MgSketch require after a NULL literal
+  // unboxes to 0 (the pre-round-7 behavior).
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && kExpr.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"mg_freq expects (STRING, INT), got " +
-        s"(${child.dataType.sql}, ${kExpr.dataType.sql})")
+    if (child.dataType != StringType || kExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"mg_freq expects (STRING, INT), got " +
+          s"(${child.dataType.sql}, ${kExpr.dataType.sql})")
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("mg_freq k must be a literal")
+    else kExpr.eval() match {
+      case null => TypeCheckResult.TypeCheckFailure("mg_freq k must not be NULL")
+      case k: Int if k >= 1 => TypeCheckResult.TypeCheckSuccess
+      case k => TypeCheckResult.TypeCheckFailure(s"mg_freq k must be >= 1, got $k")
+    }
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("item", StringType, nullable = false),

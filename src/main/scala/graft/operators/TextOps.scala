@@ -1522,18 +1522,40 @@ object TextOps {
     * key domain is huge (all 5-grams of a 100 TB corpus): q41's single
     * hash-aggregate would spill on |domain| partial counts; this never
     * materializes more than k. Oracle: plain exact top-20.
+    *
+    * The exactness is conditional on the data: it requires every top-20
+    * count to clear the MG floor n/(k+1) (k=64 → n/65), which a future
+    * corpus could silently stop satisfying. So the plan embeds the
+    * margin check itself — a third, row-local scan counts n (no explode,
+    * no shuffle), and the output `cnt` column raises if any returned row
+    * sits at or under the floor. A violating corpus then fails LOUDLY at
+    * execution instead of flaking the oracle gate.
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val k = 64
     val toksDf = t(s, dir, "documents")
       .select(explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
-    val cands = toksDf.agg(expr("mg_freq(token, 64)").as("sk"))
+    val cands = toksDf.agg(expr(s"mg_freq(token, $k)").as("sk"))
       .select(explode(expr("transform(sk, x -> x.item)")).as("token"))
+    // total stream length n, computed WITHOUT re-running the sketch pass:
+    // row-local array count per document, one narrow scan, one-row result
+    val n = t(s, dir, "documents")
+      .agg(sum(size(filter(toks(col("text")), x => x =!= ""))).as("n"))
     toksDf.join(broadcast(cands), Seq("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(20)
+      .crossJoin(broadcast(n))
+      // guarantee check: non-candidates have true count <= n/(k+1), so the
+      // top-20 is provably exact iff every returned cnt clears that floor
+      .select(col("token"),
+        when(col("cnt") * (k + 1) > col("n"), col("cnt"))
+          .otherwise(raise_error(concat(
+            lit(s"q103 MG safety margin violated: cnt "), col("cnt"),
+            lit(s" <= n/${k + 1} with n = "), col("n"),
+            lit(s" — raise k above $k")))).as("cnt"))
   }
 
   val qHeavyHittersSql: String =

@@ -105,28 +105,90 @@ object Writers {
     * runs, streaming sinks) accumulate files far smaller than a scan's
     * ideal split; at warehouse scale the fix is this periodic rewrite —
     * read once, `repartition(n)` (round-robin, so output files are
-    * even-sized), atomic overwrite via a staging directory + rename so a
-    * concurrent reader never sees a half-written table. Returns the
-    * output file count.
+    * even-sized), then swap staging into place.
+    *
+    * UNPARTITIONED directories only: a Hive-partitioned table
+    * (`key=value` subdirectories) is refused, because a flat rewrite
+    * would demote the inferred partition columns to data columns and
+    * destroy partition pruning — use [[compactPartitioned]], which
+    * compacts each leaf partition in place. The swap is staging-write +
+    * two renames (dir → `.compact-old`, staging → dir) and is NOT a
+    * single atomic operation: a concurrent reader can observe a brief
+    * window where `path` is absent, and a crash between the renames
+    * leaves the live data at `<path>.compact-old` (recovery: rename it
+    * back — and the next compact() run clears any stale staging/backup
+    * leftovers before starting). If the second rename fails the
+    * original directory is restored in place, so the table never STAYS
+    * missing. Returns the output file count.
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    import scala.util.control.NonFatal
     val dir = Paths.get(path)
-    val bytes = Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(Files.size).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val partitionDirs = Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        .take(1).toList
+    }
+    require(partitionDirs.isEmpty,
+      s"compact() is for unpartitioned directories; $path has partition " +
+        s"subdirectory ${partitionDirs.head.getFileName} — use compactPartitioned()")
     val staging = Paths.get(path + ".compact-staging")
+    val backup = Paths.get(path + ".compact-old")
+    // clear leftovers from a previous crashed run (a stale backup would
+    // make the dir→backup rename below fail)
+    deleteTree(staging); deleteTree(backup)
+    val bytes = Using.resource(Files.walk(dir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(Files.size).sum
+    }
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(staging.toString)
-    val backup = Paths.get(path + ".compact-old")
     Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the displaced originals
-    Files.walk(backup).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    try Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch { case NonFatal(e) =>
+      // put the original back so the table path never stays missing
+      Files.move(backup, dir, StandardCopyOption.ATOMIC_MOVE)
+      throw e
+    }
+    // cleanup of the displaced originals; the table is already live, so a
+    // failure here must not fail the compact — a stray .compact-old is
+    // harmless and is cleared by the next run's pre-clean above
+    try deleteTree(backup) catch { case NonFatal(_) => () }
     n
+  }
+
+  /** [[compact]] for Hive-partitioned tables: finds every leaf directory
+    * that directly holds parquet files and compacts it in place, so the
+    * `key=value` layout (and partition pruning) survives. Returns the
+    * total output file count across leaves.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val leaves = Using.resource(Files.walk(Paths.get(path))) { s =>
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(_.getParent).toSet
+    }
+    leaves.toSeq.sortBy(_.toString).map(p => compact(spark, p.toString, targetBytes)).sum
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    if (Files.exists(root))
+      Using.resource(Files.walk(root)) { s =>
+        s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
   }
 
   /** Range-clustered sink: `repartitionByRange` + in-partition sort on

@@ -160,6 +160,42 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(streamed == truth)
   }
 
+  test("invalid k fails at analysis, not execution") {
+    import org.apache.spark.sql.AnalysisException
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("a", "b").toDF("item")
+    def analyze(kSpelling: String): Unit =
+      df.agg(expr(s"mg_freq(item, $kSpelling)")).queryExecution.analyzed
+
+    val nonFoldable = intercept[AnalysisException](analyze("length(item)"))
+    assert(nonFoldable.getMessage.contains("literal"))
+    val nullK = intercept[AnalysisException](analyze("CAST(NULL AS INT)"))
+    assert(nullK.getMessage.contains("NULL"))
+    val zeroK = intercept[AnalysisException](analyze("0"))
+    assert(zeroK.getMessage.contains(">= 1"))
+    val badType = intercept[AnalysisException](analyze("'four'"))
+    assert(badType.getMessage.contains("STRING"))
+  }
+
+  test("q103's embedded margin check raises on a corpus that breaks the MG floor") {
+    import spark.implicits._
+    // near-uniform corpus: 5000 distinct tokens, each twice => top-20 count 2,
+    // n = 10000, and 2 * 65 <= 10000 — exactness is NOT guaranteed, so the
+    // plan must refuse to return a silently-maybe-wrong top-20
+    val dir = java.nio.file.Files.createTempDirectory("graft_q103_flat").toString
+    (1 to 5000).map(i => (i.toLong, s"tok_$i tok_$i"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      graft.operators.TextOps.qHeavyHitters(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("q103 MG safety margin violated")),
+      s"wrong failure: $e")
+  }
+
   test("two-pass heavy hitters is exact under eviction pressure") {
     GraftFunctions.register(spark)
     // same shape as q103 over the 10k-item skewed domain. k must honor the

@@ -61,6 +61,52 @@ class WritersSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact-staging")))
   }
 
+  test("compact refuses a hive-partitioned directory; compactPartitioned keeps the layout") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    val df = Seq.tabulate(300)(i => (i.toLong, i % 3)).toDF("id", "year")
+    df.repartition(8).write.partitionBy("year").parquet(path)
+
+    val e = intercept[IllegalArgumentException](Writers.compact(spark, path))
+    assert(e.getMessage.contains("compactPartitioned"))
+
+    def parquetFiles = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(path))) { s =>
+        s.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p))
+          .map(_.toString).toList
+      }
+    }
+    val before = spark.read.parquet(path).select("id", "year")
+      .collect().map(_.toSeq).toSet
+    assert(parquetFiles.size > 3)
+    val n = Writers.compactPartitioned(spark, path)
+    assert(n == 3 && parquetFiles.size == 3) // one file per year leaf
+    // key=value layout intact: partition column still inferred from paths
+    assert(parquetFiles.forall(_.contains("year=")))
+    val after = spark.read.parquet(path).select("id", "year")
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+
+  test("compact clears stale staging/backup leftovers from a crashed run") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_compact_stale").toString + "/t"
+    spark.range(100).toDF("id").repartition(4).write.parquet(path)
+    // simulate a crash that stranded both work dirs
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path + ".compact-old"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path + ".compact-old/orphan"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path + ".compact-staging"))
+    val n = Writers.compact(spark, path)
+    assert(n == 1)
+    assert(spark.read.parquet(path).count() == 100)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact-old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact-staging")))
+  }
+
   test("range-clustered write produces near-disjoint per-file key ranges") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_cluster").toString + "/t"

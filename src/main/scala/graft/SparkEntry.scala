@@ -253,7 +253,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ graft.streaming.Events.queries ++
       TextOps.queries ++ Similarity.queries ++ Temporal.queries ++
-      Windows.queries ++ parseQueries ++ goldSqlQueries
+      Windows.queries ++ Curation.queries ++ parseQueries ++ goldSqlQueries
 
   /** Scale-default (xxhash64) spellings of queries whose ORACLE-GATED
     * versions use md5-portable hashing (q47/q48/q53/q56 — DuckDB can't
@@ -279,5 +279,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytics.oracle ++ graft.streaming.Events.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Temporal.oracle ++
-      Windows.oracle ++ parseOracle ++ goldSqlOracle
+      Windows.oracle ++ Curation.oracle ++ parseOracle ++ goldSqlOracle
 }

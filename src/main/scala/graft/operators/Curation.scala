@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators (round 7): the dedup-resolution and robust-
+  * screening passes a training-data pipeline runs AFTER candidate
+  * generation — paragraph(chunk)-level dedup retention accounting
+  * (RefinedWeb-style), keep-best duplicate resolution, robust per-source
+  * length statistics (median + MAD), per-group exact heavy hitters
+  * (Misra-Gries under groupBy), and tokenizer vocabulary coverage.
+  *
+  * Scale design notes per query are on each member; the shared shape is:
+  * row-local array work before any explode, aggregation keyed on content
+  * hashes or (source, token) — never all-pairs — and tiny per-source
+  * frames broadcast for the final joins.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** q111: chunk-level ("paragraph") exact-dedup retention accounting.
+    * Documents are cut into consecutive 10-token chunks (row-local
+    * `transform(sequence)` — no shuffle to build them); a chunk instance
+    * is KEPT iff it is the globally first occurrence of its content,
+    * ordered by (doc_id, idx) — the policy a paragraph-dedup pass like
+    * RefinedWeb's applies before rejoining surviving chunks. Output is
+    * the per-source accounting a curation run reports: instances vs
+    * survivors.
+    *
+    * Scale: one shuffle keyed on chunk content for the first-occurrence
+    * aggregate (min(struct) is combine-friendly — partial min map-side,
+    * so a boilerplate chunk repeated 10^9 times costs one partial row per
+    * partition, no skew blow-up), plus a per-source count; the final join
+    * is |sources| rows, broadcast.
+    */
+  def qChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1), " +
+            "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"))
+          .as(Seq("idx", "chunk")))
+    val totals = chunks.groupBy(col("source")).agg(count(lit(1)).as("n_chunks"))
+    val kept = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("idx"), col("source"))).as("first"))
+      .groupBy(col("first.source").as("source"))
+      .agg(count(lit(1)).as("n_kept"))
+    totals.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  val qChunkDedupSql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, toks,
+      |    unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS idx
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id, source, idx,
+      |    array_to_string(toks[(idx * 10 + 1):(idx * 10 + 10)], ' ') AS chunk
+      |  FROM c),
+      |tot AS (SELECT source, COUNT(*) AS n_chunks FROM ch GROUP BY source),
+      |k AS (
+      |  SELECT source, COUNT(*) AS n_kept FROM (
+      |    SELECT source, row_number() OVER (
+      |      PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      |    FROM ch)
+      |  WHERE rn = 1 GROUP BY source)
+      |SELECT tot.source, tot.n_chunks, COALESCE(k.n_kept, 0) AS n_kept
+      |FROM tot LEFT JOIN k USING (source)""".stripMargin
+
+  /** q112: keep-best duplicate resolution. Groups documents by a
+    * canonical key (here the first-5-token prefix — the URL-less stand-in
+    * for "same page, different crawl") and keeps the best row per group:
+    * longest text, ties to the smallest doc_id. This is the resolution
+    * half of dedup — candidate grouping says WHICH rows collide,
+    * keep-best decides WHO survives — and the policy is a one-line
+    * `row_number` ordering swap (newest crawl, highest quality score, …).
+    *
+    * Scale: one shuffle on the group key for the window; group sizes are
+    * duplicate multiplicities (bounded, small), so no window-skew.
+    * Per-source accounting joins two |sources|-row frames.
+    */
+  def qKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .withColumn("key", concat_ws(" ", slice(toks(col("text")), 1, 5)))
+    val rn = row_number().over(
+      Window.partitionBy(col("key"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc))
+    keyed.withColumn("rn", rn)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept"),
+        sum(when(col("rn") =!= 1, 1L).otherwise(0L)).as("dropped"),
+        sum(when(col("rn") === 1, col("n_chars")).otherwise(0L)).as("chars_kept"))
+  }
+
+  val qKeepBestSql: String =
+    """WITH keyed AS (
+      |  SELECT source, n_chars, row_number() OVER (
+      |      PARTITION BY array_to_string(string_split(text, ' ')[1:5], ' ')
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      |  CAST(SUM(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+      |FROM keyed GROUP BY source""".stripMargin
+
+  /** q113: robust per-source length statistics — exact median and MAD
+    * (median absolute deviation), the outlier-screen pair that doesn't
+    * chase the tail the way mean/stddev do. Two exact-percentile
+    * aggregations: medians per source, then deviations against the
+    * broadcast medians. Both interpolate linearly on clean integer /
+    * half-integer values, so the doubles bit-match DuckDB's
+    * quantile_cont.
+    *
+    * Scale: `percentile` holds per-group buffers of the group's values —
+    * fine for bounded per-source screening batches; for unbounded groups
+    * the documented swap is `approx_percentile` (same call shape), or
+    * [[Analytics.exactQuantilesByHistogram]] when exactness must survive
+    * cardinality.
+    */
+  def qMadRobust(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val med = docs.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+    docs.join(broadcast(med), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("med")).as("med"),
+        expr("percentile(abs(n_chars - med), 0.5D)").as("mad"))
+  }
+
+  val qMadRobustSql: String =
+    """WITH m AS (SELECT source, median(n_chars) AS med FROM documents
+      |           GROUP BY source)
+      |SELECT d.source, COUNT(*) AS n_docs, MAX(m.med) AS med,
+      |  median(abs(d.n_chars - m.med)) AS mad
+      |FROM documents d JOIN m ON d.source = m.source
+      |GROUP BY d.source""".stripMargin
+
+  /** q114: per-group exact heavy hitters — q103's two-pass Misra-Gries
+    * shape composed under `groupBy(source)`: one MG sketch PER SOURCE
+    * (the [[graft.functions.MgFreq]] aggregate is an ordinary Catalyst
+    * aggregate, so per-group sketching is just a grouped agg), candidate
+    * recount, top-5 per source. The same embedded margin guard as q103,
+    * but against each source's own stream length: a source raises unless
+    * it returns exactly 5 certified rows, each clearing n_src/(k+1).
+    * Starting the final join from the per-source totals frame (which has
+    * a row for EVERY source) means a source whose sketch came back empty
+    * — or short — reaches the guard instead of silently vanishing from
+    * the output. Conservative by design: a source with genuinely fewer
+    * than 5 distinct tokens also raises, since without a full distinct
+    * count the two cases can't be told apart from the sketch alone.
+    *
+    * Scale: sketch pass shuffles O(k) counters per (source, partition);
+    * recount shuffles only candidate (source, token) pairs; the window
+    * ranks ≤ k rows per source.
+    */
+  def qGroupHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val k = 64
+    val toksDf = t(s, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+    val cands = toksDf.groupBy(col("source"))
+      .agg(expr(s"mg_freq(token, $k)").as("sk"))
+      .select(col("source"), explode(expr("transform(sk, x -> x.item)")).as("token"))
+    val nPerSrc = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(filter(toks(col("text")), x => x =!= ""))).as("n"))
+    val rn = row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("token").asc))
+    val top = toksDf.join(broadcast(cands), Seq("source", "token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", rn).where(col("rank") <= 5)
+      .withColumn("rows_in_src",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+    nPerSrc.join(top, Seq("source"), "left")
+      .select(col("source"), col("rank"), col("token"),
+        when(col("rows_in_src") === 5 && col("cnt") * (k + 1) > col("n"), col("cnt"))
+          .otherwise(raise_error(concat(
+            lit("q114 MG safety margin violated for source "), col("source"),
+            lit(": rows_in_src "),
+            coalesce(col("rows_in_src").cast("string"), lit("0")),
+            lit(", cnt "), coalesce(col("cnt").cast("string"), lit("null")),
+            lit(s", floor n/${k + 1} with n = "), col("n"),
+            lit(s" — raise k above $k")))).as("cnt"))
+  }
+
+  val qGroupHeavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (
+      |  SELECT source, token, COUNT(*) AS cnt FROM toks
+      |  WHERE token <> '' GROUP BY source, token),
+      |ranked AS (
+      |  SELECT source, token, cnt, row_number() OVER (
+      |    PARTITION BY source ORDER BY cnt DESC, token ASC) AS rank
+      |  FROM counts)
+      |SELECT source, rank, token, cnt FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** The closed vocabulary q115 screens against — a stand-in for a real
+    * tokenizer's lexicon (literal so the DuckDB oracle shares it exactly).
+    */
+  private[operators] val vocab: Seq[String] =
+    Seq("the", "a", "table", "row", "value", "key", "scan", "part")
+
+  /** q115: tokenizer vocabulary coverage — per source: stream length,
+    * out-of-vocabulary token instances, and distinct OOV types. The
+    * instance counts are fully row-local (higher-order `filter` over the
+    * token array, no explode); only the distinct-type count pays an
+    * explode + distinct, keyed (source, token).
+    */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocabArr = array(vocab.map(lit): _*)
+    val nonEmpty = filter(toks(col("text")), x => x =!= "")
+    val inst = docs.groupBy(col("source")).agg(
+      sum(size(nonEmpty)).as("n_tokens"),
+      sum(size(filter(nonEmpty, x => not(array_contains(vocabArr, x)))))
+        .as("oov_tokens"))
+    val types = docs
+      .select(col("source"), explode(nonEmpty).as("token"))
+      .where(not(array_contains(vocabArr, col("token"))))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("token")).as("distinct_oov"))
+    inst.join(broadcast(types), Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("oov_tokens"),
+        coalesce(col("distinct_oov"), lit(0L)).as("distinct_oov"))
+  }
+
+  val qOovRateSql: String = {
+    val vocabList = vocab.map(v => s"'$v'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |ne AS (SELECT source, token FROM toks WHERE token <> ''),
+       |inst AS (
+       |  SELECT source, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN token NOT IN $vocabList THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS oov_tokens
+       |  FROM ne GROUP BY source),
+       |ty AS (
+       |  SELECT source, COUNT(DISTINCT token) AS distinct_oov FROM ne
+       |  WHERE token NOT IN $vocabList GROUP BY source)
+       |SELECT inst.source, inst.n_tokens, inst.oov_tokens,
+       |  COALESCE(ty.distinct_oov, 0) AS distinct_oov
+       |FROM inst LEFT JOIN ty USING (source)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_chunk_dedup" -> (qChunkDedup _),
+    "q112_keep_best" -> (qKeepBest _),
+    "q113_mad_robust" -> (qMadRobust _),
+    "q114_group_heavy_hitters" -> (qGroupHeavyHitters _),
+    "q115_oov_rate" -> (qOovRate _))
+
+  val oracle: Map[String, String] = Map(
+    "q111_chunk_dedup" -> qChunkDedupSql,
+    "q112_keep_best" -> qKeepBestSql,
+    "q113_mad_robust" -> qMadRobustSql,
+    "q114_group_heavy_hitters" -> qGroupHeavyHittersSql,
+    "q115_oov_rate" -> qOovRateSql)
+}

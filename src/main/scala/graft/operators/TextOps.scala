@@ -1528,8 +1528,12 @@ object TextOps {
     * corpus could silently stop satisfying. So the plan embeds the
     * margin check itself — a third, row-local scan counts n (no explode,
     * no shuffle), and the output `cnt` column raises if any returned row
-    * sits at or under the floor. A violating corpus then fails LOUDLY at
-    * execution instead of flaking the oracle gate.
+    * sits at or under the floor, OR if fewer than 20 certified rows come
+    * back at all (an under-filled sketch means tokens outside the
+    * candidate set could belong in the top-20 — the result starts from
+    * the always-1-row totals frame so even an EMPTY candidate set reaches
+    * the guard instead of returning an empty frame). A violating corpus
+    * then fails LOUDLY at execution instead of flaking the oracle gate.
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -1543,18 +1547,23 @@ object TextOps {
     // row-local array count per document, one narrow scan, one-row result
     val n = t(s, dir, "documents")
       .agg(sum(size(filter(toks(col("text")), x => x =!= ""))).as("n"))
-    toksDf.join(broadcast(cands), Seq("token"))
+    val top = toksDf.join(broadcast(cands), Seq("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(20)
-      .crossJoin(broadcast(n))
-      // guarantee check: non-candidates have true count <= n/(k+1), so the
-      // top-20 is provably exact iff every returned cnt clears that floor
+    // guarantee check: non-candidates have true count <= n/(k+1), so the
+    // top-20 is provably exact iff 20 rows return AND every cnt clears
+    // the floor. The left join from `n` keeps one null row when `top` is
+    // empty, so the guard fires even then.
+    broadcast(n).join(top, lit(true), "left")
+      .withColumn("rows_out", count(col("token")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
       .select(col("token"),
-        when(col("cnt") * (k + 1) > col("n"), col("cnt"))
+        when(col("rows_out") === 20 && col("cnt") * (k + 1) > col("n"), col("cnt"))
           .otherwise(raise_error(concat(
-            lit(s"q103 MG safety margin violated: cnt "), col("cnt"),
-            lit(s" <= n/${k + 1} with n = "), col("n"),
+            lit("q103 MG safety margin violated: rows_out "), col("rows_out"),
+            lit(", cnt "), coalesce(col("cnt").cast("string"), lit("null")),
+            lit(s", floor n/${k + 1} with n = "), col("n"),
             lit(s" — raise k above $k")))).as("cnt"))
   }
 

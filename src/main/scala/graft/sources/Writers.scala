@@ -206,4 +206,48 @@ object Writers {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Morton spread: the low 31 bits of a non-negative long, with one zero
+    * bit inserted between consecutive bits (2-D interleave masks — NOT the
+    * every-third-bit 3-D ladder) — classic mask-and-shift, expressed in
+    * Column ops so it stays inside whole-stage codegen (no UDF).
+    */
+  private def spreadBits(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    var x = c.bitwiseAND(lit(0x7FFFFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    x
+  }
+
+  /** Z-value (Morton interleave) of two non-negative integer columns,
+    * each truncated to 31 bits. Exposed for tests.
+    */
+  private[sources] def zValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.shiftleft
+    spreadBits(a.cast("long")).bitwiseOR(shiftleft(spreadBits(b.cast("long")), 1))
+  }
+
+  /** Z-order clustered sink: range-partition + sort on the Morton
+    * interleave of TWO cluster keys, so each output file covers a small
+    * RECTANGLE in (a, b) space and parquet footer min/max stats prune
+    * selective predicates on EITHER dimension — the multi-dimensional
+    * upgrade of [[writeRangeClustered]], whose single-key sort prunes
+    * only its leading key. Keys must be non-negative integers under 2^31
+    * (hash or bucketize wider domains first). The helper z column is
+    * dropped before the write, so the on-disk schema is unchanged.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zValue(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

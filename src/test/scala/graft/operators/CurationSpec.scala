@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantics of the curation pass beyond the DuckDB gate: the keep-best
+  * policy picks the documented survivor, chunk-dedup accounting balances
+  * globally, the per-group MG margin guard actually fires, and OOV
+  * screening hits its boundary cases.
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** documents.parquet in a temp dir with just the columns curation uses. */
+  private def docsDir(rows: Seq[(Long, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_curation").toString
+    rows.toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("keep-best keeps the longest doc per prefix key, ties to smallest doc_id") {
+    val dir = docsDir(Seq(
+      // same 5-token prefix "a b c d e": lengths 30 < 40 = 40 (tie)
+      (10L, "a b c d e x", "s1", 30L),
+      (11L, "a b c d e y y", "s1", 40L),
+      (12L, "a b c d e z z", "s2", 40L),
+      // singleton group
+      (20L, "p q r s t", "s2", 25L)))
+    val got = Curation.qKeepBest(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // group "a b c d e": max n_chars = 40 twice -> doc 11 (smaller id) wins
+    val want = Set(
+      ("s1", 2L, 1L, 1L, 40L),   // doc 11 kept, doc 10 dropped
+      ("s2", 2L, 1L, 1L, 25L))   // doc 20 kept, doc 12 dropped (lost tie)
+    assert(got == want)
+  }
+
+  test("chunk-dedup accounting balances: kept sums to distinct, totals to instances") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Curation.qChunkDedup(spark, dir).collect()
+    val chunks = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1), " +
+          "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))")).as("chunk"))
+    assert(out.map(_.getLong(1)).sum == chunks.count())
+    assert(out.map(_.getLong(2)).sum == chunks.distinct().count())
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("chunk-dedup credits the first occurrence by (doc_id, idx)") {
+    // doc 1 owns both chunks; doc 2 (other source) repeats doc 1's text
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, text, "first", 100L),
+      (2L, text, "second", 100L)))
+    val got = Curation.qChunkDedup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("first", 2L, 2L), ("second", 2L, 0L)))
+  }
+
+  test("q114's per-source margin guard raises when a source breaks the MG floor") {
+    // source "flat": 2000 distinct tokens twice each -> top-5 cnt = 2,
+    // n_src = 4000, 2 * 65 <= 4000 -> exactness unprovable -> must raise
+    val flatDocs = (1 to 200).map { d =>
+      val t0 = (d - 1) * 10
+      (d.toLong, (1 to 10).map(i => s"tok_${t0 + i} tok_${t0 + i}").mkString(" "),
+        "flat", 100L)
+    }
+    val dir = docsDir(flatDocs)
+    val e = intercept[Exception] {
+      Curation.qGroupHeavyHitters(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("q114 MG safety margin violated")),
+      s"wrong failure: $e")
+  }
+
+  test("OOV boundary cases: all-vocab doc scores 0, all-OOV doc scores full") {
+    val dir = docsDir(Seq(
+      (1L, "the a table row", "vocab_only", 15L),
+      (2L, "zz yy zz", "oov_only", 8L)))
+    val got = Curation.qOovRate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("vocab_only", 4L, 0L, 0L),
+      ("oov_only", 3L, 3L, 2L)))
+  }
+
+  test("median and MAD are exact on a hand-computed group") {
+    // n_chars 10, 20, 100 -> median 20, |x-20| = {10, 0, 80} -> MAD 10
+    val dir = docsDir(Seq(
+      (1L, "x", "s", 10L), (2L, "x", "s", 20L), (3L, "x", "s", 100L)))
+    val r = Curation.qMadRobust(spark, dir).collect().head
+    assert(r.getString(0) == "s" && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 20.0 && r.getDouble(3) == 10.0)
+  }
+}

@@ -272,7 +272,8 @@ object SparkEntry {
     "x53_ann_lsh_xxhash" -> (Similarity.qAnnLshXx _),
     "x56_minhash_candidates_xxhash" ->
       ((s, dir) => TextOps.minhashCandidates(
-        TextOps.minhashSignatures(graft.Tables.load(s, dir, "documents")))))
+        TextOps.minhashSignatures(graft.Tables.load(s, dir, "documents")))),
+    "x111_chunk_dedup_xxhash" -> (Curation.chunkDedupXx _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

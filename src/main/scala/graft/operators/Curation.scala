@@ -58,6 +58,35 @@ object Curation {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Scale-default spelling of [[qChunkDedup]]: groups on
+    * `xxhash64(chunk)` so the first-occurrence shuffle moves 8-byte keys
+    * instead of ~60-byte chunk strings (the oracle-gated q111 groups on
+    * the raw string because DuckDB can't evaluate xxhash64). A 64-bit
+    * collision conflates two chunk contents — at 10^12 chunks the
+    * expected collision count is ~0.03, acceptable for dedup accounting;
+    * use the string spelling when exactness must be unconditional. Bench
+    * runs this alongside the gated q111 (SparkEntry.benchOnly).
+    */
+  def chunkDedupXx(s: SparkSession, dir: String): DataFrame = {
+    val chunks = t(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1), " +
+            "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"))
+          .as(Seq("idx", "chunk")))
+      .withColumn("chunk_key", xxhash64(col("chunk")))
+    val totals = chunks.groupBy(col("source")).agg(count(lit(1)).as("n_chunks"))
+    val kept = chunks
+      .groupBy(col("chunk_key"))
+      .agg(min(struct(col("doc_id"), col("idx"), col("source"))).as("first"))
+      .groupBy(col("first.source").as("source"))
+      .agg(count(lit(1)).as("n_kept"))
+    totals.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   val qChunkDedupSql: String =
     """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
       |           FROM documents),
@@ -189,7 +218,7 @@ object Curation {
       .withColumn("rank", rn).where(col("rank") <= 5)
       .withColumn("rows_in_src",
         count(lit(1)).over(Window.partitionBy(col("source"))))
-    nPerSrc.join(top, Seq("source"), "left")
+    nPerSrc.join(broadcast(top), Seq("source"), "left")
       .select(col("source"), col("rank"), col("token"),
         when(col("rows_in_src") === 5 && col("cnt") * (k + 1) > col("n"), col("cnt"))
           .otherwise(raise_error(concat(

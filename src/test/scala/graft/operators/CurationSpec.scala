@@ -66,6 +66,14 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Set(("first", 2L, 2L), ("second", 2L, 0L)))
   }
 
+  test("xxhash64 chunk-dedup spelling matches the string-keyed oracle spelling") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Curation.chunkDedupXx(spark, dir)) ==
+      rows(Curation.qChunkDedup(spark, dir)))
+  }
+
   test("q114's per-source margin guard raises when a source breaks the MG floor") {
     // source "flat": 2000 distinct tokens twice each -> top-5 cnt = 2,
     // n_src = 4000, 2 * 65 <= 4000 -> exactness unprovable -> must raise

@@ -125,5 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[KllQuantiles].getName, "kll_quantiles"),
       { exprs: Seq[Expression] => KllQuantiles(exprs(0), exprs(1), exprs(2)) }))
+    extensions.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("mg_freq"),
+      new ExpressionInfo(classOf[MgFreq].getName, "mg_freq"),
+      { exprs: Seq[Expression] => MgFreq(exprs(0), exprs(1)) }))
   }
 }

@@ -290,17 +290,107 @@ object Curation {
        |FROM inst LEFT JOIN ty USING (source)""".stripMargin
   }
 
+  /** Blocked fuzzy matching over the corpus 3-gram shingle vocabulary —
+    * the entity-resolution primitive (typo'd titles, OCR variants, crawl
+    * artifacts) expressed relationally: never an all-pairs levenshtein.
+    * Three rotated blocking passes (fix words {1,2}, {2,3}, {1,3}; vary
+    * the remaining position) jointly cover every single-position
+    * substitution; pairs differing in 2+ positions are out of recall BY
+    * DESIGN — the standard blocking tradeoff, bounded and documented
+    * rather than quadratic.
+    *
+    * Scale: the distinct vocabulary is built once and persisted; each
+    * pass self-joins only within its block. Hot blocks (a ubiquitous
+    * fixed-word pair) are dropped via a broadcast anti-join when they
+    * exceed maxBlock members — q49's hot-shingle cap applied to blocks,
+    * keeping the worst block quadratic cost ≤ maxBlock² regardless of
+    * corpus size (the oracle mirrors the cap, so semantics stay exact
+    * over the capped universe).
+    */
+  def fuzzyShinglePairs(docs: DataFrame, maxDist: Int = 2,
+      maxBlock: Int = 10000): DataFrame = {
+    val sh = docs.withColumn("toks", toks(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(explode(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("shingle"))
+      .distinct()
+      .withColumn("w", split(col("shingle"), " "))
+      .persist()
+    def pass(i: Int, j: Int): DataFrame = {
+      val blocked = sh.select(
+        concat_ws(" ", col("w").getItem(i), col("w").getItem(j)).as("bk"),
+        col("shingle"))
+      val hot = blocked.groupBy(col("bk")).agg(count(lit(1)).as("members"))
+        .where(col("members") > maxBlock).select(col("bk"))
+      val keep = blocked.join(broadcast(hot), Seq("bk"), "left_anti")
+      keep.select(col("bk"), col("shingle").as("sa"))
+        .join(keep.select(col("bk"), col("shingle").as("sb")), Seq("bk"))
+        .where(col("sa") < col("sb") &&
+          levenshtein(col("sa"), col("sb")) <= maxDist)
+        .select(col("sa"), col("sb"))
+    }
+    pass(0, 1).unionByName(pass(1, 2)).unionByName(pass(0, 2))
+      .distinct()
+      .select(col("sa").as("shingle_a"), col("sb").as("shingle_b"),
+        levenshtein(col("sa"), col("sb")).as("dist"))
+  }
+
+  /** q116: top-50 fuzzy shingle pairs, (dist, a, b)-ordered. */
+  def qFuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    fuzzyShinglePairs(t(s, dir, "documents"))
+      .orderBy(col("dist").asc, col("shingle_a").asc, col("shingle_b").asc)
+      .limit(50)
+
+  val qFuzzyPairsSql: String = {
+    def pass(i: Int, j: Int): String =
+      s"""SELECT a.shingle AS sa, b.shingle AS sb
+         |  FROM (SELECT shingle, w[$i] || ' ' || w[$j] AS bk FROM kept$i$j) a
+         |  JOIN (SELECT shingle, w[$i] || ' ' || w[$j] AS bk FROM kept$i$j) b
+         |    USING (bk)
+         |  WHERE a.shingle < b.shingle
+         |    AND levenshtein(a.shingle, b.shingle) <= 2""".stripMargin
+    def kept(i: Int, j: Int): String =
+      s"""kept$i$j AS (
+         |  SELECT shingle, w FROM v
+         |  WHERE w[$i] || ' ' || w[$j] NOT IN (
+         |    SELECT w[$i] || ' ' || w[$j] FROM v
+         |    GROUP BY 1 HAVING COUNT(*) > 10000))""".stripMargin
+    s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT unnest(list_transform(
+       |         generate_series(1, len(toks) - 2),
+       |         i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+       |       FROM d),
+       |v AS (SELECT shingle, string_split(shingle, ' ') AS w FROM sh),
+       |${kept(1, 2)},
+       |${kept(2, 3)},
+       |${kept(1, 3)},
+       |u AS (
+       |${pass(1, 2)}
+       |UNION
+       |${pass(2, 3)}
+       |UNION
+       |${pass(1, 3)})
+       |SELECT sa AS shingle_a, sb AS shingle_b,
+       |  levenshtein(sa, sb) AS dist
+       |FROM u
+       |ORDER BY dist ASC, shingle_a ASC, shingle_b ASC LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_chunk_dedup" -> (qChunkDedup _),
     "q112_keep_best" -> (qKeepBest _),
     "q113_mad_robust" -> (qMadRobust _),
     "q114_group_heavy_hitters" -> (qGroupHeavyHitters _),
-    "q115_oov_rate" -> (qOovRate _))
+    "q115_oov_rate" -> (qOovRate _),
+    "q116_fuzzy_pairs" -> (qFuzzyPairs _))
 
   val oracle: Map[String, String] = Map(
     "q111_chunk_dedup" -> qChunkDedupSql,
     "q112_keep_best" -> qKeepBestSql,
     "q113_mad_robust" -> qMadRobustSql,
     "q114_group_heavy_hitters" -> qGroupHeavyHittersSql,
-    "q115_oov_rate" -> qOovRateSql)
+    "q115_oov_rate" -> qOovRateSql,
+    "q116_fuzzy_pairs" -> qFuzzyPairsSql)
 }

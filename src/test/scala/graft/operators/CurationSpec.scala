@@ -104,6 +104,36 @@ class CurationSpec extends AnyFunSuite {
       ("oov_only", 3L, 3L, 2L)))
   }
 
+  test("fuzzy pairs: each rotated block catches its substitution position; 2-word diffs are out of recall") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc"),   // vs doc2: 3rd word differs -> block (w1,w2)
+      (2L, "aa bb cx"),
+      (3L, "aa by cc"),   // vs doc1: 2nd word differs -> block (w1,w3)
+      (4L, "ax bb cc"),   // vs doc1: 1st word differs -> block (w2,w3)
+      (5L, "aa bz cz")    // vs doc1: 2 words differ -> no block, by design
+    ).toDF("doc_id", "text")
+    val got = Curation.fuzzyShinglePairs(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got.contains(("aa bb cc", "aa bb cx", 1)), "tail-substitution missed")
+    assert(got.contains(("aa bb cc", "aa by cc", 1)), "middle-substitution missed")
+    assert(got.contains(("aa bb cc", "ax bb cc", 1)), "head-substitution missed")
+    assert(!got.exists(p => p._1 == "aa bz cz" || p._2 == "aa bz cz"),
+      "2-position diff should be outside blocking recall")
+  }
+
+  test("fuzzy pairs: hot blocks above maxBlock are capped out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb c1"), (2L, "aa bb c2"), (3L, "aa bb c3"))
+      .toDF("doc_id", "text")
+    // block (aa, bb) has 3 members: capped at maxBlock=2, and the rotated
+    // blocks each hold singletons, so nothing can pair
+    assert(Curation.fuzzyShinglePairs(docs, maxDist = 2, maxBlock = 2).count() == 0)
+    // without the cap the same corpus pairs freely
+    assert(Curation.fuzzyShinglePairs(docs, maxDist = 2, maxBlock = 100).count() == 3)
+  }
+
   test("median and MAD are exact on a hand-computed group") {
     // n_chars 10, 20, 100 -> median 20, |x-20| = {10, 0, 80} -> MAD 10
     val dir = docsDir(Seq(

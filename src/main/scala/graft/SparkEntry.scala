@@ -253,7 +253,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytics.queries ++ graft.streaming.Events.queries ++
       TextOps.queries ++ Similarity.queries ++ Temporal.queries ++
-      Windows.queries ++ Curation.queries ++ parseQueries ++ goldSqlQueries
+      Windows.queries ++ Curation.queries ++ CrossCorpus.queries ++
+      parseQueries ++ goldSqlQueries
 
   /** Scale-default (xxhash64) spellings of queries whose ORACLE-GATED
     * versions use md5-portable hashing (q47/q48/q53/q56 — DuckDB can't
@@ -280,5 +281,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytics.oracle ++ graft.streaming.Events.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Temporal.oracle ++
-      Windows.oracle ++ Curation.oracle ++ parseOracle ++ goldSqlOracle
+      Windows.oracle ++ Curation.oracle ++ CrossCorpus.oracle ++
+      parseOracle ++ goldSqlOracle
 }

@@ -105,10 +105,36 @@ object GraftFunctions {
       s"cosine_similarity expects 2 arguments, got ${exprs.length}")
   }
 
+  /** Graft spellings of the internal expressions Spark's runtime
+    * bloom-filter join plans with (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`) — exposed as first-class functions so the
+    * cross-corpus dedup prefilter ([[graft.operators.CrossCorpus]]) can
+    * build and probe corpus blooms declaratively. Usage:
+    * `bloom_agg(longCol, estItemsL, numBitsL)` → binary;
+    * `bloom_might_contain(bloomBinary, longCol)` → boolean.
+    */
+  private[functions] val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(child, est, bits) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        child, est, bits)
+    case exprs => throw new IllegalArgumentException(
+      s"bloom_agg expects 3 arguments (value, estItems, numBits), got ${exprs.length}")
+  }
+  private[functions] val bloomMightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(bloom, value) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, value)
+    case exprs => throw new IllegalArgumentException(
+      s"bloom_might_contain expects 2 arguments (bloom, value), got ${exprs.length}")
+  }
+
   /** Idempotent session-local registration (all graft functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", bloomAggBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", bloomMightContainBuilder, "scala_udf")
     QuantileSketch.register(spark)
     FrequentItems.register(spark)
   }
@@ -129,5 +155,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("mg_freq"),
       new ExpressionInfo(classOf[MgFreq].getName, "mg_freq"),
       { exprs: Seq[Expression] => MgFreq(exprs(0), exprs(1)) }))
+    extensions.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      GraftFunctions.bloomAggBuilder))
+    extensions.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      GraftFunctions.bloomMightContainBuilder))
   }
 }

@@ -56,4 +56,39 @@ object Scale {
   def bucketedJoin(spark: SparkSession, tableA: String, tableB: String,
       key: String): DataFrame =
     spark.table(tableA).join(spark.table(tableB), Seq(key))
+
+  /** File-level (block) sampling: read a deterministic hash-selected
+    * subset of a parquet directory's FILES instead of row-sampling the
+    * whole table. `df.sample(0.01)` still SCANS 100 TB to keep 1 TB; this
+    * reads ~frac of the bytes, which is the only affordable way to cut an
+    * exploratory slice of a warehouse-scale table. Selection hashes file
+    * names with a seed, so it is reproducible, seed-rotatable, and
+    * independent of listing order. Rows within selected files are
+    * complete — block sampling is cluster sampling, so per-file row
+    * correlation is the documented tradeoff vs row sampling.
+    */
+  def sampleFiles(spark: SparkSession, path: String, frac: Double,
+      seed: Long = 0L): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val files = Using.resource(Files.walk(Paths.get(path))) { s =>
+      s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(_.toString).toSeq.sorted
+    }
+    // threshold on a file-name hash mapped uniformly into [0, 2^32) —
+    // every file decides independently, so the sample composes across
+    // partition directories and is stable as files are added
+    val bound = (frac * (1L << 32)).toLong
+    val picked = files.filter { f =>
+      (scala.util.hashing.MurmurHash3.stringHash(s"$f:$seed").toLong
+        & 0xFFFFFFFFL) < bound
+    }
+    if (picked.isEmpty) spark.read.parquet(path).limit(0)
+    // basePath keeps key=value partition columns alive when the selected
+    // files sit under a Hive-partitioned layout
+    else spark.read.option("basePath", path).parquet(picked: _*)
+  }
 }

@@ -89,6 +89,33 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("file-level sampling reads a stable file subset, not the whole table") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_blocksample")
+      .toString + "/t"
+    // 40 files, 100 rows each, file id recoverable from the rows
+    spark.range(4000).withColumn("bucket", col("id") % 40)
+      .repartition(40, col("bucket"))
+      .write.partitionBy("bucket").parquet(path)
+    val sampled = Scale.sampleFiles(spark, path, frac = 0.3, seed = 7L)
+    val buckets = sampled.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    // cluster sampling: whole files in or out, roughly frac of them
+    assert(buckets.size >= 4 && buckets.size <= 20,
+      s"expected ~12 of 40 files, got ${buckets.size}")
+    val perBucket = sampled.groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perBucket.values.forall(_ == 100L),
+      "selected files must arrive complete (block = cluster sample)")
+    // deterministic: same seed -> same subset; different seed -> rotates
+    val again = Scale.sampleFiles(spark, path, frac = 0.3, seed = 7L)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(again == buckets)
+    val rotated = Scale.sampleFiles(spark, path, frac = 0.3, seed = 8L)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(rotated != buckets, "seed rotation should select a different subset")
+  }
+
   test("runtime bloom filter injects a might_contain prefilter into the probe scan") {
     val conf = spark.conf
     val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -630,7 +630,72 @@ object Similarity {
        |FROM per GROUP BY label""".stripMargin
   }
 
+  /** Deterministic ±1 sign matrix for [[qRandomProjection]] — Achlioptas-
+    * style Johnson-Lindenstrauss projection entries, derived from md5 so
+    * both engines (and every run) share the identical matrix as literals.
+    */
+  private val rpDims = 8
+  private[operators] def rpSign(k: Int, j: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_$k:$j".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1 else -1
+  }
+
+  /** q118: random-projection compression of the embedding table — the JL
+    * dimensionality-reduction step an embedding pipeline runs before
+    * storing/indexing at scale (64 → 8 dims here; sibling of q91's int8
+    * quantization, which shrinks precision where this shrinks dimension).
+    * Projection is a distributed sparse matmul: one posexplode per
+    * component joined to the BROADCAST sign matrix, partial-aggregated on
+    * (vec_id, k) — the 100 TB shape, no per-row lambda math whose float
+    * addition order could drift. Every sum is decimal-accumulated, so the
+    * per-label projection means and L1 mass are bit-stable at any
+    * partitioning and hash-comparable to DuckDB.
+    */
+  def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val r = Seq.tabulate(rpDims, 64)((k, j) => (j, k, rpSign(k, j)))
+      .flatten.toDF("pos", "k", "sign")
+    val proj = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(r), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("k"))
+      .agg(sum((col("v").cast("double") * col("sign"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("proj"))
+    proj.groupBy(col("label"), col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        Relational.davg(col("proj")).as("mean_proj"),
+        Relational.dsum(abs(col("proj"))).as("l1_mass"))
+      .select(col("label"), col("k"), col("n"), col("mean_proj"), col("l1_mass"))
+  }
+
+  val qRandomProjectionSql: String = {
+    val rRows = (for (k <- 0 until rpDims; j <- 0 until 64)
+      yield s"($j, $k, ${rpSign(k, j)})").mkString(", ")
+    s"""WITH r(pos, k, sign) AS (SELECT * FROM (VALUES $rRows)),
+       |comp AS (
+       |  SELECT vec_id, label,
+       |    generate_subscripts(embedding, 1) - 1 AS pos,
+       |    unnest(embedding) AS v
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, label, k,
+       |    CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) * sign AS DECIMAL(18,6)))
+       |         AS VARCHAR) AS DOUBLE) AS proj
+       |  FROM comp JOIN r USING (pos)
+       |  GROUP BY vec_id, label, k)
+       |SELECT label, k, COUNT(*) AS n,
+       |  ${Relational.davgSql("proj")} AS mean_proj,
+       |  ${Relational.dsumSql("abs(proj)")} AS l1_mass
+       |FROM proj GROUP BY label, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_random_projection" -> (qRandomProjection _),
     "q104_cluster_silhouette" -> (qClusterSilhouette _),
     "q51_ann_brute_force" -> (qAnnBruteForce _),
     "q52_centroids" -> (qCentroids _),
@@ -641,6 +706,7 @@ object Similarity {
     "q102_semdedup_prune" -> (qSemdedupPrune _))
 
   val oracle: Map[String, String] = Map(
+    "q118_random_projection" -> qRandomProjectionSql,
     "q104_cluster_silhouette" -> qClusterSilhouetteSql,
     "q51_ann_brute_force" -> qAnnBruteForceSql,
     "q52_centroids" -> qCentroidsSql,

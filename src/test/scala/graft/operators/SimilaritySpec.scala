@@ -156,6 +156,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.values.exists(!_._2), "threshold never fired — test is vacuous")
   }
 
+  test("random projection is the exact sign-matrix linear map (hand-checked vector)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rp").toString
+    val v = Array.tabulate(64)(j => (j + 1) * 0.25f) // 0.25, 0.5, ... 16.0
+    Seq((1L, v.toSeq, 3)).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.qRandomProjection(spark, dir)
+      .collect().map(r => r.getInt(1) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    (0 until 8).foreach { k =>
+      // single vector: mean_proj == proj == sum_j sign(k,j) * v_j (exact in
+      // decimal: v_j are exact quarters, well inside DECIMAL(18,6))
+      val expected = (0 until 64).map(j => Similarity.rpSign(k, j) * ((j + 1) * 0.25)).sum
+      val (mean, l1) = got(k)
+      assert(mean == expected, s"k=$k: $mean != $expected")
+      assert(l1 == math.abs(expected))
+    }
+    // determinism of the matrix itself
+    assert(Similarity.rpSign(3, 17) == Similarity.rpSign(3, 17))
+    assert((0 until 8).flatMap(k => (0 until 64).map(j =>
+      Similarity.rpSign(k, j))).forall(s => s == 1 || s == -1))
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val r = TextOps.qApproxDistinct(spark, "/root/testdata/sf0.001").collect().head
     val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))

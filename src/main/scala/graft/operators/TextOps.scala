@@ -1029,6 +1029,78 @@ object TextOps {
       |  ROUND(CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / COUNT(*), 2) AS xent
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  /** q119: bigram conditional cross-entropy per source — the LM-quality
+    * screen one step up from q93's unigram model: score held-out (odd
+    * doc_id) text under add-one-smoothed corpus bigram statistics
+    * P(w2|w1) = (C(w1,w2)+1)/(C(w1·)+V) trained on even doc_ids.
+    * Low-entropy sources are templated/repetitive; high-entropy ones are
+    * noisy — both tails are what a mixture rebalancer downweights.
+    *
+    * Scale: bigrams form row-local (adjacent zip over the non-empty token
+    * array — no self-join); the model tables shuffle on bigram / context
+    * key with map-side combine; scoring joins are plain equi-joins AQE
+    * can re-plan (the context table is |vocab|-sized — broadcastable for
+    * real-world vocabularies, shuffled when not). Log terms accumulate as
+    * DECIMAL(18,9) so the per-source mean is partition-order-free.
+    */
+  def qBigramXent(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bg = t(s, dir, "documents")
+      .withColumn("ne", filter(toks(col("text")), x => x =!= ""))
+      .where(size(col("ne")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(1, size(ne) - 1), " +
+          "i -> struct(element_at(ne, i) AS w1, element_at(ne, i + 1) AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.w1"), col("bg.w2"))
+    val train = bg.where(col("doc_id") % 2 === 0)
+    val bgCounts = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val ctxCounts = train.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
+    val v = train.select(col("w2")).union(train.select(col("w1")))
+      .distinct().agg(count(lit(1)).as("v"))
+    bg.where(col("doc_id") % 2 === 1)
+      .join(bgCounts, Seq("w1", "w2"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("q",
+        (-log((coalesce(col("cb"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("cc"), lit(0L)) + col("v")).cast("double")))
+          .cast(DecimalType(18, 9)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 2).as("xent"))
+  }
+
+  val qBigramXentSql: String =
+    """WITH ne AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS ne
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source, b[1] AS w1, b[2] AS w2 FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_transform(generate_series(1, len(ne) - 1),
+      |        i -> [ne[i], ne[i + 1]])) AS b
+      |    FROM ne WHERE len(ne) >= 2)),
+      |train AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+      |bgc AS (SELECT w1, w2, COUNT(*) AS cb FROM train GROUP BY 1, 2),
+      |ctx AS (SELECT w1, COUNT(*) AS cc FROM train GROUP BY 1),
+      |vv AS (SELECT COUNT(*) AS v FROM (
+      |  SELECT DISTINCT w2 AS w FROM train
+      |  UNION SELECT DISTINCT w1 AS w FROM train)),
+      |scored AS (
+      |  SELECT t.source,
+      |    CAST(-ln((CAST(COALESCE(b.cb, 0) AS DOUBLE) + 1.0) /
+      |             CAST(COALESCE(c.cc, 0) + vv.v AS DOUBLE)) AS DECIMAL(18,9)) AS q
+      |  FROM bg t
+      |  LEFT JOIN bgc b ON b.w1 = t.w1 AND b.w2 = t.w2
+      |  LEFT JOIN ctx c ON c.w1 = t.w1
+      |  CROSS JOIN vv
+      |  WHERE t.doc_id % 2 = 1)
+      |SELECT source, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) / COUNT(*), 2) AS xent
+      |FROM scored GROUP BY source""".stripMargin
+
   /** Benchmark decontamination scan: flag training documents sharing
     * 3-gram shingles with a held-out benchmark set (docs 0–4 stand in for
     * an eval suite) — the contamination check every serious pretraining
@@ -1587,6 +1659,7 @@ object TextOps {
     "q98_sequence_pack" -> (qSequencePack _),
     "q99_zipf_slope" -> (qZipfSlope _),
     "q93_unigram_xent" -> (qUnigramXent _),
+    "q119_bigram_xent" -> (qBigramXent _),
     "q95_decontaminate" -> (qDecontaminate _),
     "q89_repetition_stats" -> (qRepetitionStats _),
     "q90_boilerplate_ngrams" -> (qBoilerplateNgrams _),
@@ -1622,6 +1695,7 @@ object TextOps {
     "q98_sequence_pack" -> qSequencePackSql,
     "q99_zipf_slope" -> qZipfSlopeSql,
     "q93_unigram_xent" -> qUnigramXentSql,
+    "q119_bigram_xent" -> qBigramXentSql,
     "q95_decontaminate" -> qDecontaminateSql,
     "q89_repetition_stats" -> qRepetitionStatsSql,
     "q90_boilerplate_ngrams" -> qBoilerplateNgramsSql,

@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Hand-checked LM-statistics semantics (the oracle gate proves
+  * Spark==DuckDB; this proves both match the MATH).
+  */
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bigram xent matches hand-computed add-one smoothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bgx").toString
+    // train (even id): "a b a b a" -> C(a,b)=2, C(b,a)=2, C(a.)=2, V=2
+    // test  (odd id):  "a b" -> P(b|a) = (2+1)/(2+2) = 0.75
+    Seq(
+      (0L, "a b a b a", "s"),
+      (1L, "a b", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.qBigramXent(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "s" && row.getLong(1) == 1L)
+    val expected = BigDecimal(-math.log(0.75))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(2) == math.rint(expected * 100) / 100,
+      s"xent ${row.getDouble(2)}")
+    assert(row.getDouble(2) == 0.29)
+  }
+
+  test("unseen context falls back to uniform 1/(0+V)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bgx2").toString
+    // train vocab {a, b}; test bigram (z, z): P = (0+1)/(0+2) = 0.5
+    Seq(
+      (0L, "a b", "s"),
+      (1L, "z z", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val row = TextOps.qBigramXent(spark, dir).collect().head
+    // -ln(0.5) = 0.693... -> 0.69
+    assert(row.getLong(1) == 1L && row.getDouble(2) == 0.69)
+  }
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Compliance pass of a training-data pipeline: PII detection/redaction
+  * and rule-based quality screening (the C4/Gopher-style filters a corpus
+  * runs before packing).
+  *
+  * Both operators are strictly row-local — regexp/HOF work per document,
+  * then one bounded-domain `groupBy(source)` — so the plan is a narrow
+  * scan + tiny hash aggregate: the shape that scales linearly to 100 TB
+  * with zero shuffle pressure (the aggregate moves |sources| rows per
+  * partition after map-side combine).
+  *
+  * The synthetic documents corpus contains no organic PII, so q120 stamps
+  * deterministic synthetic PII (email / phone / IPv4 derived from doc_id)
+  * into a subset of rows FIRST, identically on the Spark and oracle
+  * sides — the detector/redactor mechanics are what's under test, and the
+  * patterns stick to character classes + `\b` that Java regex and
+  * DuckDB's RE2 match identically.
+  */
+object Privacy {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  private val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** doc_id-derived PII stamping, shared by the Spark query and (in its
+    * DuckDB spelling) the oracle: every 7th doc gains an email, every
+    * 11th a phone, every 13th an IPv4.
+    */
+  private val augmentedText: Column = concat(
+    col("text"),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" contact user"), col("doc_id"), lit("@mail"),
+        col("doc_id") % 5, lit(".example.com"))).otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0,
+      concat(lit(" host 10."), (col("doc_id") % 256).cast("string"), lit("."),
+        expr("(doc_id DIV 7) % 256"), lit("."),
+        expr("(doc_id DIV 11) % 256"))).otherwise(lit("")))
+
+  /** q120: PII scan + redaction accounting per source. Emails are redacted
+    * before IPv4 so a dotted mail host can never be half-claimed by the IP
+    * pattern; counts come from `regexp_extract_all(..., 0)` (full-match
+    * group) on the pre-redaction text. `distinct_redacted` fingerprints
+    * the redacted corpus (md5) so the oracle confirms the REPLACEMENT
+    * bytes, not just the match counts.
+    */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    // Column-based regexp_extract_all: the pattern reaches the regex
+    // engine verbatim (an expr() spelling would run the SQL lexer's
+    // escape processing, turning '\b' into a backspace character).
+    def hits(re: String) = size(regexp_extract_all(col("atext"), lit(re), lit(0)))
+    val scanned = t(s, dir, "documents")
+      .withColumn("atext", augmentedText)
+      .withColumn("n_emails", hits(EmailRe))
+      .withColumn("n_phones", hits(PhoneRe))
+      .withColumn("n_ips", hits(Ipv4Re))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("atext"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+    scanned.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_emails")).as("n_emails"),
+      sum(col("n_phones")).as("n_phones"),
+      sum(col("n_ips")).as("n_ips"),
+      sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1L)
+        .otherwise(0L)).as("docs_with_pii"),
+      countDistinct(md5(col("redacted"))).as("distinct_redacted"))
+  }
+
+  val qPiiRedactSql: String = {
+    // One physical line per concat term: the interpolated snippet passes
+    // through the OUTER string's .stripMargin too, which would eat a pipe
+    // from any line-leading '||'.
+    val atext =
+      "text || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@mail' || (doc_id % 5) || '.example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.' || ((doc_id // 11) % 256) ELSE '' END"
+    s"""WITH a AS (
+       |  SELECT source, $atext AS atext FROM documents),
+       |d AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(atext, '$EmailRe', 0)) AS n_emails,
+       |    len(regexp_extract_all(atext, '$PhoneRe', 0)) AS n_phones,
+       |    len(regexp_extract_all(atext, '$Ipv4Re', 0)) AS n_ips,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(atext, '$EmailRe', '<EMAIL>', 'g'),
+       |        '$PhoneRe', '<PHONE>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g') AS redacted
+       |  FROM a)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       |  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+       |  CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+       |  CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS docs_with_pii,
+       |  COUNT(DISTINCT md5(redacted)) AS distinct_redacted
+       |FROM d GROUP BY source""".stripMargin
+  }
+
+  /** q121: rule-based quality screen (C4/Gopher shape) with per-source
+    * pass accounting. Every rule is integer-exact (cross-multiplied
+    * thresholds — `2*sumlen <= 9*n` instead of `mean <= 4.5`) so no float
+    * enters the comparison until the final ROUND'd keep percentage:
+    *
+    *  - r_len:  20 <= word count <= 60
+    *  - r_mwl:  mean word length in [3, 4.5]
+    *  - r_stop: stopword ('the'/'a') fraction >= 0.1
+    *  - r_ttr:  type-token ratio >= 0.5 (distinct/total — repetition screen)
+    */
+  def qQualityRules(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents")
+      .withColumn("toksq", split(col("text"), " "))
+      .withColumn("n_words", size(col("toksq")).cast("long"))
+      .withColumn("sumlen",
+        expr("aggregate(toksq, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("n_stop",
+        expr("size(filter(toksq, x -> x = 'the' OR x = 'a'))").cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toksq"))).cast("long"))
+      .withColumn("r_len", col("n_words") >= 20 && col("n_words") <= 60)
+      .withColumn("r_mwl",
+        col("sumlen") >= lit(3) * col("n_words") &&
+          lit(2) * col("sumlen") <= lit(9) * col("n_words"))
+      .withColumn("r_stop", lit(10) * col("n_stop") >= col("n_words"))
+      .withColumn("r_ttr", lit(2) * col("n_distinct") >= col("n_words"))
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"p_${c.drop(2)}")
+    m.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        cnt("r_len"), cnt("r_mwl"), cnt("r_stop"), cnt("r_ttr"),
+        sum(when(col("r_len") && col("r_mwl") && col("r_stop") && col("r_ttr"),
+          1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_pct",
+        round(lit(100.0) * col("n_keep") / col("n_docs"), 2))
+  }
+
+  val qQualityRulesSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    len(toks) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sumlen,
+      |    len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop,
+      |    len(list_distinct(toks)) AS n_distinct
+      |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
+      |r AS (
+      |  SELECT source,
+      |    (n_words BETWEEN 20 AND 60) AS r_len,
+      |    (sumlen >= 3 * n_words AND 2 * sumlen <= 9 * n_words) AS r_mwl,
+      |    (10 * n_stop >= n_words) AS r_stop,
+      |    (2 * n_distinct >= n_words) AS r_ttr
+      |  FROM m)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS p_len,
+      |  CAST(SUM(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS p_mwl,
+      |  CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS p_stop,
+      |  CAST(SUM(CASE WHEN r_ttr THEN 1 ELSE 0 END) AS BIGINT) AS p_ttr,
+      |  CAST(SUM(CASE WHEN r_len AND r_mwl AND r_stop AND r_ttr THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_keep,
+      |  ROUND(CAST(100.0 AS DOUBLE) * SUM(CASE WHEN r_len AND r_mwl AND r_stop
+      |        AND r_ttr THEN 1 ELSE 0 END) / COUNT(*), 2) AS keep_pct
+      |FROM r GROUP BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_pii_redact" -> (qPiiRedact _),
+    "q121_quality_rules" -> (qQualityRules _))
+
+  val oracle: Map[String, String] = Map(
+    "q120_pii_redact" -> qPiiRedactSql,
+    "q121_quality_rules" -> qQualityRulesSql)
+}

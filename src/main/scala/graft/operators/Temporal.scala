@@ -164,13 +164,175 @@ object Temporal {
       |    AS valid_to_ns
       |FROM runs""".stripMargin
 
+  /** q122: MERGE INTO (Delta/Iceberg upsert) semantics on a plain lake —
+    * base snapshot ⟗ CDC batch on the key, one full-outer sort-merge
+    * join, then per-row action resolution:
+    *
+    *  - no CDC row        → carry the base row
+    *  - op 'D'            → drop
+    *  - op 'U'            → base row with updated price, status 'U'
+    *  - op 'I'            → new row from the CDC payload, status 'N'
+    *
+    * The CDC batch is derived deterministically from orders (delete keys
+    * %10=4, insert keys %10=9 — absent from the base by construction —
+    * update keys %3=0 otherwise) so both engines build identical inputs.
+    *
+    * Scale: ONE shuffle on the merge key for both sides (sort-merge
+    * full-outer) — the exact plan a MERGE compiles to; with a small CDC
+    * batch the join broadcast-hints down to a single-sided shuffle. The
+    * output here rolls up per final status (counts + exact key/price
+    * sums) so the gate pins the full merged row set without dumping it.
+    */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import Relational.dsum
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.where(col("o_orderkey") % 10 =!= 9)
+    val changes = o
+      .withColumn("op",
+        when(col("o_orderkey") % 10 === 4, "D")
+          .when(col("o_orderkey") % 10 === 9, "I")
+          .when(col("o_orderkey") % 3 === 0, "U"))
+      .where(col("op").isNotNull)
+      .select(col("o_orderkey"), col("op"),
+        col("o_totalprice").as("c_price"),
+        (col("o_totalprice") + lit(100.0)).as("u_price"))
+    val merged = base.join(changes, Seq("o_orderkey"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("o_orderkey"),
+        when(col("op") === "I", "N").when(col("op") === "U", "U")
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("op") === "I", col("c_price"))
+          .when(col("op") === "U", col("u_price"))
+          .otherwise(col("o_totalprice")).as("price"))
+    merged.groupBy(col("status")).agg(
+      count(lit(1)).as("n"),
+      sum(col("o_orderkey")).as("key_sum"),
+      dsum(col("price")).as("price_sum"))
+  }
+
+  val qMergeUpsertSql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |base AS (SELECT * FROM o WHERE o_orderkey % 10 <> 9),
+      |chg AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 4 THEN 'D'
+      |         WHEN o_orderkey % 10 = 9 THEN 'I'
+      |         WHEN o_orderkey % 3 = 0 THEN 'U' END AS op,
+      |    o_totalprice AS c_price,
+      |    o_totalprice + CAST(100.0 AS DOUBLE) AS u_price
+      |  FROM o
+      |  WHERE o_orderkey % 10 IN (4, 9) OR o_orderkey % 3 = 0),
+      |m AS (
+      |  SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |    CASE WHEN c.op = 'I' THEN 'N' WHEN c.op = 'U' THEN 'U'
+      |         ELSE b.o_orderstatus END AS status,
+      |    CASE WHEN c.op = 'I' THEN c.c_price WHEN c.op = 'U' THEN c.u_price
+      |         ELSE b.o_totalprice END AS price
+      |  FROM base b FULL JOIN chg c USING (o_orderkey)
+      |  WHERE c.op IS NULL OR c.op <> 'D')
+      |SELECT status, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+      |FROM m GROUP BY status""".stripMargin
+
+  private val DayUs = 86400000000L
+
+  /** q126: max concurrent sessions per day — the interval-overlap sweep
+    * (+1 at session start, −1 at session end, running sum) decomposed so
+    * it scales: a GLOBAL ordered cumsum is a single-partition window, so
+    * instead the sweep runs per day (partitioned window) and each day's
+    * starting concurrency ("carry" = sessions already active at
+    * midnight) is computed separately. A session contributes carry to
+    * days (day(start), day(end)] — emitted via a row-local sequence()
+    * that is EMPTY for the overwhelmingly-common same-day session, so
+    * the carry frame stays tiny and the whole plan is one window shuffle
+    * on day + two bounded aggregates. Sessions are q33's 30-minute-gap
+    * sessions ([min ts, max ts] closed intervals); ties process starts
+    * before ends, so touching sessions count as concurrent.
+    */
+  def qMaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes").as("w"))
+      .agg(unix_micros(min(col("ts_utc"))).as("s_us"),
+        unix_micros(max(col("ts_utc"))).as("e_us"))
+      .select(col("s_us"), col("e_us"),
+        expr(s"s_us DIV $DayUs").as("s_day"),
+        expr(s"e_us DIV $DayUs").as("e_day"))
+    val deltas =
+      sess.select(col("s_us").as("ts"), lit(1L).as("d"), col("s_day").as("day_idx"))
+        .unionByName(
+          sess.select(col("e_us").as("ts"), lit(-1L).as("d"), col("e_day").as("day_idx")))
+    val w = Window.partitionBy(col("day_idx"))
+      .orderBy(col("ts").asc, col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayMax = deltas.withColumn("run", sum(col("d")).over(w))
+      .groupBy(col("day_idx")).agg(max(col("run")).as("max_run"))
+    val carry = sess.where(col("e_day") > col("s_day"))
+      .select(explode(expr(s"sequence(s_day + 1, e_day)")).as("day_idx"))
+      .groupBy(col("day_idx")).agg(count(lit(1)).as("carry"))
+    val days = sess.agg(min(col("s_day")).as("mn"), max(col("e_day")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("day_idx"))
+    days
+      .join(broadcast(dayMax), Seq("day_idx"), "left")
+      .join(broadcast(carry), Seq("day_idx"), "left")
+      .select(col("day_idx"),
+        (coalesce(col("carry"), lit(0L)) +
+          greatest(lit(0L), coalesce(col("max_run"), lit(0L)))).as("max_conc"))
+  }
+
+  val qMaxConcurrencySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+       |      (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM events),
+       |sn AS (
+       |  SELECT *, SUM(new_session) OVER
+       |    (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING)
+       |    AS session_id
+       |  FROM e),
+       |s AS (
+       |  SELECT MIN(us) AS s_us, MAX(us) AS e_us,
+       |    MIN(us) // $DayUs AS s_day, MAX(us) // $DayUs AS e_day
+       |  FROM sn GROUP BY user_id, session_id),
+       |d AS (
+       |  SELECT s_us AS ts, 1 AS d, s_day AS day_idx FROM s
+       |  UNION ALL
+       |  SELECT e_us AS ts, -1 AS d, e_day AS day_idx FROM s),
+       |mx AS (
+       |  SELECT day_idx, MAX(run) AS max_run FROM (
+       |    SELECT day_idx, SUM(d) OVER (PARTITION BY day_idx
+       |      ORDER BY ts, d DESC ROWS UNBOUNDED PRECEDING) AS run
+       |    FROM d)
+       |  GROUP BY day_idx),
+       |c AS (
+       |  SELECT unnest(generate_series(s_day + 1, e_day)) AS day_idx
+       |  FROM s WHERE e_day > s_day),
+       |cc AS (SELECT day_idx, COUNT(*) AS carry FROM c GROUP BY day_idx),
+       |days AS (
+       |  SELECT unnest(generate_series(MIN(s_day), MAX(e_day))) AS day_idx
+       |  FROM s)
+       |SELECT days.day_idx,
+       |  CAST(COALESCE(cc.carry, 0) + GREATEST(0, COALESCE(mx.max_run, 0))
+       |    AS BIGINT) AS max_conc
+       |FROM days
+       |LEFT JOIN mx ON mx.day_idx = days.day_idx
+       |LEFT JOIN cc ON cc.day_idx = days.day_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_range_join" -> (qRangeJoin _),
     "q58_asof_join" -> (qAsofJoin _),
-    "q74_scd2_history" -> (qScd2History _))
+    "q74_scd2_history" -> (qScd2History _),
+    "q122_merge_upsert" -> (qMergeUpsert _),
+    "q126_max_concurrency" -> (qMaxConcurrency _))
 
   val oracle: Map[String, String] = Map(
     "q57_range_join" -> qRangeJoinSql,
     "q58_asof_join" -> qAsofJoinSql,
-    "q74_scd2_history" -> qScd2HistorySql)
+    "q74_scd2_history" -> qScd2HistorySql,
+    "q122_merge_upsert" -> qMergeUpsertSql,
+    "q126_max_concurrency" -> qMaxConcurrencySql)
 }

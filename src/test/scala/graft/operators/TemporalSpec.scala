@@ -57,4 +57,45 @@ class TemporalSpec extends AnyFunSuite {
     val got = Temporal.asofLatest(build, probe).collect().head.getString(2)
     assert(got == "Y") // attr ascending → last row wins
   }
+
+  test("merge upsert resolves carry/update/insert/delete to the hand-computed rollup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    (1L to 20L).map(k => (k, "O", 10.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    // base = keys %10 != 9 (18 keys); D: {4,14}; I: {9,19}; U: {3,6,12,15,18}
+    val got = Temporal.qMergeUpsert(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      "O" -> ((11L, 110L, 110.0)), // carried untouched
+      "U" -> ((5L, 54L, 550.0)),   // 5 × (10 + 100)
+      "N" -> ((2L, 28L, 20.0))))   // inserted 9 + 19 at payload price
+  }
+
+  test("max concurrency: per-day sweep + midnight carry matches the hand trace") {
+    import spark.implicits._
+    val H = 3600L * 1000 * 1000 * 1000 // one hour in NANOS (raw events.ts unit)
+    val D = 24 * H
+    // user 1: [d0 01:00, 01:10]; user 2: point at d0 01:05 (overlap → 2)
+    // user 3: 23:00→d1 00:20 in <30m steps: ONE session spanning midnight
+    // user 4: point at d1 00:10 (overlaps u3's carried session → 2)
+    // user 5: [d2 02:00, 02:30]; user 6: point at d4 (leaves d3 empty → 0)
+    val evs = Seq(
+      (1L, 1 * H), (1L, 1 * H + H / 6),
+      (2L, 1 * H + H / 12),
+      (3L, 23 * H), (3L, 23 * H + H / 3), (3L, 23 * H + 2 * H / 3),
+      (3L, D + H / 12), (3L, D + H / 3),
+      (4L, D + H / 6),
+      (5L, 2 * D + 2 * H), (5L, 2 * D + 2 * H + H / 2),
+      (6L, 4 * D + H))
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    evs.zipWithIndex.map { case ((u, ts), i) => (i.toLong, ts, u) }
+      .toDF("event_id", "ts", "user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Temporal.qMaxConcurrency(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
 }

@@ -378,7 +378,45 @@ object Curation {
        |ORDER BY dist ASC, shingle_a ASC, shingle_b ASC LIMIT 50""".stripMargin
   }
 
+  /** q123: sliding-window chunking with overlap — the training-window cut
+    * (window 30 tokens, stride 20, so consecutive chunks share 10): chunk
+    * i covers tokens [i*20+1, i*20+30] for i in 0..⌊(n−1)/20⌋ (the last
+    * window may run short; every token is covered at least once). The cut
+    * itself is row-local (`transform(sequence)`) — the only shuffle is
+    * the distinct-chunk count keyed on chunk content, which is what turns
+    * this from bookkeeping into the overlap-dedup signal a packing run
+    * needs (overlapped windows of duplicated text collapse).
+    */
+  def qOverlapChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("toks", toks(col("text")))
+    val chunks = docs.select(col("source"),
+      explode(expr(
+        "transform(sequence(0, (size(toks) - 1) DIV 20), " +
+          "i -> concat_ws(' ', slice(toks, i * 20 + 1, 30)))")).as("chunk"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val agg = chunks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(size(split(col("chunk"), " "))).as("n_chunk_tokens"),
+      countDistinct(md5(col("chunk"))).as("n_distinct_chunks"))
+    nd.join(broadcast(agg), Seq("source"))
+  }
+
+  val qOverlapChunksSql: String =
+    """WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |ch AS (
+      |  SELECT source, unnest(list_transform(
+      |    generate_series(0, (len(toks) - 1) // 20),
+      |    i -> array_to_string(toks[i*20+1 : i*20+30], ' '))) AS chunk
+      |  FROM d),
+      |nd AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source)
+      |SELECT source, nd.n_docs, COUNT(*) AS n_chunks,
+      |  CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS n_chunk_tokens,
+      |  COUNT(DISTINCT md5(chunk)) AS n_distinct_chunks
+      |FROM ch JOIN nd USING (source)
+      |GROUP BY source, nd.n_docs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_overlap_chunks" -> (qOverlapChunks _),
     "q111_chunk_dedup" -> (qChunkDedup _),
     "q112_keep_best" -> (qKeepBest _),
     "q113_mad_robust" -> (qMadRobust _),
@@ -387,6 +425,7 @@ object Curation {
     "q116_fuzzy_pairs" -> (qFuzzyPairs _))
 
   val oracle: Map[String, String] = Map(
+    "q123_overlap_chunks" -> qOverlapChunksSql,
     "q111_chunk_dedup" -> qChunkDedupSql,
     "q112_keep_best" -> qKeepBestSql,
     "q113_mad_robust" -> qMadRobustSql,

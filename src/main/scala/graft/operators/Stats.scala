@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Grouped statistical modeling primitives: per-group OLS trend and
+  * higher-moment distribution shape (mode / skewness / kurtosis).
+  *
+  * Float determinism follows the repo convention: every Σ that feeds a
+  * float result accumulates in exact DECIMAL (partial-aggregatable,
+  * partition-order-free), the closed-form arithmetic then runs on
+  * bit-identical doubles in both engines, and m2^1.5 is spelled
+  * `m2 * sqrt(m2)` because sqrt is IEEE-exact in both engines while
+  * pow() is libm-dependent.
+  */
+object Stats {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** q124: per-priority OLS trend of order value over time (slope in
+    * price-units/day, intercept at epoch). x = epoch-day (int), y = price;
+    * Σx, Σx² are exact BIGINT sums, Σy and Σxy exact decimal sums — one
+    * hash aggregate over a bounded group domain, everything map-side
+    * combinable: the 100 TB shape for regression-per-segment.
+    */
+  def qGroupOls(s: SparkSession, dir: String): DataFrame = {
+    val xy = t(s, dir, "orders").select(
+      col("o_orderpriority").as("priority"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("x"),
+      col("o_totalprice").cast(DecimalType(18, 6)).as("y"))
+    val agg = xy.groupBy(col("priority")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(28, 6))).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    agg.select(
+      col("priority"),
+      col("n").cast("bigint").as("n_orders"),
+      round((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+        / col("n"), 6).as("intercept"))
+  }
+
+  val qGroupOlsSql: String =
+    """WITH xy AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS x,
+      |    CAST(o_totalprice AS DECIMAL(18,6)) AS y
+      |  FROM orders),
+      |a AS (
+      |  SELECT priority, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM xy GROUP BY priority)
+      |SELECT priority, CAST(n AS BIGINT) AS n_orders,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS intercept
+      |FROM a""".stripMargin
+
+  /** q125: per-segment distribution shape — modal nation (most frequent,
+    * tie to smallest key) and population skewness/kurtosis of account
+    * balance from exact decimal power sums. Intermediate powers round to
+    * DECIMAL(18,6)/(24,6) — the SAME rounding on both engines (half away
+    * from zero), so Σx, Σx², Σx³, Σx⁴ are bit-identical; the central-
+    * moment arithmetic then runs in double. At unbounded scale the x⁴
+    * sum needs the shifted-data spelling (subtract an approximate mean
+    * first) to stay inside decimal range; at ±10⁴ balances the raw sums
+    * fit DECIMAL(24,6) through petabyte row counts.
+    */
+  def qModeMoments(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val modes = c.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("cnt").desc, col("c_nationkey").asc)))
+      .where(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"),
+        col("cnt").as("mode_n"))
+    val xd = col("c_acctbal").cast(DecimalType(18, 6))
+    val powers = c.select(col("c_mktsegment"), xd.as("x1"))
+      .withColumn("x2", (col("x1") * col("x1")).cast(DecimalType(18, 6)))
+      .withColumn("x3", (col("x2") * col("x1")).cast(DecimalType(18, 6)))
+      .withColumn("x4", (col("x2") * col("x2")).cast(DecimalType(24, 6)))
+    val sums = powers.groupBy(col("c_mktsegment")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).cast("double").as("s1"),
+      sum(col("x2")).cast("double").as("s2"),
+      sum(col("x3")).cast("double").as("s3"),
+      sum(col("x4")).cast("double").as("s4"))
+    val mean = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - mean * mean
+    val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n")) +
+      lit(6.0) * mean * mean * (col("s2") / col("n")) -
+      lit(3.0) * mean * mean * mean * mean
+    sums
+      .select(col("c_mktsegment"), col("n").cast("bigint").as("n_customers"),
+        round(mean, 6).as("mean_acctbal"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+      .join(modes, Seq("c_mktsegment"))
+  }
+
+  val qModeMomentsSql: String =
+    """WITH modes AS (
+      |  SELECT c_mktsegment, c_nationkey AS mode_nation, cnt AS mode_n FROM (
+      |    SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+      |      row_number() OVER (PARTITION BY c_mktsegment
+      |        ORDER BY COUNT(*) DESC, c_nationkey ASC) AS rn
+      |    FROM customer GROUP BY c_mktsegment, c_nationkey)
+      |  WHERE rn = 1),
+      |p AS (
+      |  -- Every multiply operand is declared p>=19: DuckDB multiplies
+      |  -- int64-backed (p<=18) decimals in int64 and range-checks against
+      |  -- the narrow width, so squaring a (18,6) balance overflows; p>=19
+      |  -- operands take the int128 path. Values are identical to the
+      |  -- Spark side's (18,6)/(24,6) — only storage width differs.
+      |  SELECT c_mktsegment, x1,
+      |    CAST(x1 * x1 AS DECIMAL(19,6)) AS x2,
+      |    CAST(CAST(x1 * x1 AS DECIMAL(19,6)) * x1 AS DECIMAL(19,6)) AS x3,
+      |    CAST(CAST(x1 * x1 AS DECIMAL(19,6)) * CAST(x1 * x1 AS DECIMAL(19,6))
+      |      AS DECIMAL(25,6)) AS x4
+      |  FROM (SELECT c_mktsegment, CAST(c_acctbal AS DECIMAL(19,6)) AS x1
+      |        FROM customer)),
+      |s AS (
+      |  SELECT c_mktsegment, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(x1) AS VARCHAR) AS DOUBLE) AS s1,
+      |    CAST(CAST(SUM(x2) AS VARCHAR) AS DOUBLE) AS s2,
+      |    CAST(CAST(SUM(x3) AS VARCHAR) AS DOUBLE) AS s3,
+      |    CAST(CAST(SUM(x4) AS VARCHAR) AS DOUBLE) AS s4
+      |  FROM p GROUP BY c_mktsegment)
+      |SELECT s.c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+      |  ROUND(s1 / n, 6) AS mean_acctbal,
+      |  ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+      |    / ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6)
+      |    AS skewness,
+      |  ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+      |         + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+      |         - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+      |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
+      |    AS kurtosis,
+      |  modes.mode_nation, modes.mode_n
+      |FROM s JOIN modes USING (c_mktsegment)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_group_ols" -> (qGroupOls _),
+    "q125_mode_moments" -> (qModeMoments _))
+
+  val oracle: Map[String, String] = Map(
+    "q124_group_ols" -> qGroupOlsSql,
+    "q125_mode_moments" -> qModeMomentsSql)
+}

@@ -42,6 +42,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("overlap chunking: window/stride coverage arithmetic and dup collapse") {
+    // 30 toks -> chunks [1..30],[21..30]: 2 chunks, 40 chunk-tokens
+    // 20 toks -> 1 chunk of 20; 41 toks -> [1..30],[21..41],[41]: 30+21+1
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, words(30), "s1", 1L), (2L, words(20), "s1", 1L),
+      (3L, words(41), "s2", 1L),
+      (4L, words(30), "s3", 1L), (5L, words(30), "s3", 1L))) // identical docs
+    val got = Curation.qOverlapChunks(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("s1") == ((2L, 3L, 60L, 3L)))   // 2+1 chunks, 40+20 tokens, all distinct
+    assert(got("s2") == ((1L, 3L, 52L, 3L)))
+    assert(got("s3") == ((2L, 4L, 80L, 2L)))   // dup doc -> 4 chunks, 2 distinct
+  }
+
   test("chunk-dedup accounting balances: kept sums to distinct, totals to instances") {
     val dir = "/root/testdata/sf0.001"
     val out = Curation.qChunkDedup(spark, dir).collect()

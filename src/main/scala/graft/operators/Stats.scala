@@ -156,11 +156,70 @@ object Stats {
       |  modes.mode_nation, modes.mode_n
       |FROM s JOIN modes USING (c_mktsegment)""".stripMargin
 
+  private val DayNs = 86400000000000L
+
+  /** q127: rolling z-score anomaly screen — each (event_type, day)'s value
+    * total scored against the trailing 7-day window (mean/σ from exact
+    * decimal window sums), flagging |z| ≥ 2 with ≥5 days of baseline. The
+    * window partitions by event_type (bounded groups, never a global
+    * sort); v² goes through `round(v*v, 6)` in DOUBLE before the decimal
+    * window sum — a decimal×decimal spelling would bind to different
+    * intermediate scales in the two engines (Spark caps precision at 38
+    * by shaving scale; DuckDB keeps it) and double-round differently.
+    */
+  def qRollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import Relational.dsum
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
+      .agg(dsum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(-7, -1)
+    val scored = daily
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("s", sum(col("v").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .withColumn("ss",
+        sum(round(col("v") * col("v"), 6).cast(DecimalType(28, 6))).over(w)
+          .cast("double"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("variance", col("ss") / col("n") - col("mean") * col("mean"))
+      .where(col("n") >= 5.0 && col("variance") > 0.0)
+      .withColumn("z", (col("v") - col("mean")) / sqrt(col("variance")))
+      .where(abs(col("z")) >= 2.0)
+    scored.select(col("event_type"), col("day_idx"), col("v"),
+      round(col("z"), 6).as("z"))
+  }
+
+  val qRollingAnomalySql: String = {
+    import Relational.dsumSql
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_idx,
+       |    ${dsumSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |win AS (
+       |  SELECT event_type, day_idx, v,
+       |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+       |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS s,
+       |    CAST(CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(28,6))) OVER w AS VARCHAR)
+       |      AS DOUBLE) AS ss
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+       |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       |  SELECT event_type, day_idx, v,
+       |    (v - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS z
+       |  FROM win
+       |  WHERE n >= 5.0 AND ss / n - (s / n) * (s / n) > 0.0)
+       |SELECT event_type, day_idx, v, ROUND(z, 6) AS z
+       |FROM scored WHERE abs(z) >= 2.0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_group_ols" -> (qGroupOls _),
-    "q125_mode_moments" -> (qModeMoments _))
+    "q125_mode_moments" -> (qModeMoments _),
+    "q127_rolling_anomaly" -> (qRollingAnomaly _))
 
   val oracle: Map[String, String] = Map(
     "q124_group_ols" -> qGroupOlsSql,
-    "q125_mode_moments" -> qModeMomentsSql)
+    "q125_mode_moments" -> qModeMomentsSql,
+    "q127_rolling_anomaly" -> qRollingAnomalySql)
 }

@@ -322,17 +322,64 @@ object Temporal {
        |LEFT JOIN mx ON mx.day_idx = days.day_idx
        |LEFT JOIN cc ON cc.day_idx = days.day_idx""".stripMargin
 
+  /** q128: event-sequence pattern matching (the MATCH_RECOGNIZE analog) —
+    * each user's event stream becomes a per-user string of type initials
+    * in (ts, event_id) order, and conversions are counted as
+    * non-overlapping matches of `v[^p]*p` (a view eventually followed by
+    * a purchase, no intervening purchase claimed twice). Output is the
+    * conversion-count histogram over users.
+    *
+    * Scale: one shuffle on user_id; the per-user sequence is bounded by
+    * per-user activity (collect_list + sort_array is per-group, not
+    * global — a pathological single user's history is the same state any
+    * sequence matcher must hold). Both regex engines (Java, RE2) produce
+    * identical non-overlapping leftmost matches for this pattern: the
+    * `[^p]*` segment cannot cross a 'p', so each match closes at the
+    * first purchase after its opening view.
+    */
+  def qEventPattern(s: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", expr(
+        "transform(sort_array(collect_list(struct(ts, event_id, c))), x -> x.c)"))
+        .as("seq"))
+    seqs
+      .withColumn("n_conv",
+        size(regexp_extract_all(col("seq"), lit("v[^p]*p"), lit(0))).cast("long"))
+      .groupBy(col("n_conv"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(length(col("seq"))).cast("bigint").as("n_events"))
+  }
+
+  val qEventPatternSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY epoch_ns(ts), event_id) AS seq
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT len(regexp_extract_all(seq, 'v[^p]*p', 0)) AS n_conv,
+      |    len(seq) AS n_ev
+      |  FROM s)
+      |SELECT CAST(n_conv AS BIGINT) AS n_conv, COUNT(*) AS n_users,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events
+      |FROM m GROUP BY n_conv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_range_join" -> (qRangeJoin _),
     "q58_asof_join" -> (qAsofJoin _),
     "q74_scd2_history" -> (qScd2History _),
     "q122_merge_upsert" -> (qMergeUpsert _),
-    "q126_max_concurrency" -> (qMaxConcurrency _))
+    "q126_max_concurrency" -> (qMaxConcurrency _),
+    "q128_event_pattern" -> (qEventPattern _))
 
   val oracle: Map[String, String] = Map(
     "q57_range_join" -> qRangeJoinSql,
     "q58_asof_join" -> qAsofJoinSql,
     "q74_scd2_history" -> qScd2HistorySql,
     "q122_merge_upsert" -> qMergeUpsertSql,
-    "q126_max_concurrency" -> qMaxConcurrencySql)
+    "q126_max_concurrency" -> qMaxConcurrencySql,
+    "q128_event_pattern" -> qEventPatternSql)
 }

@@ -50,4 +50,26 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getInt(5) == 7)             // mode nation (cnt 2)
     assert(r.getLong(6) == 2L)           // mode count
   }
+
+  test("rolling anomaly flags a spike against its trailing window, skips flat/short baselines") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_anom").toString
+    val DayNs = 86400000000000L
+    // days 0..6 alternate 9/11 (live variance); day 7 spikes to 100.
+    // Day 6's own score (baseline days 0..5, z = -1) must NOT flag;
+    // days 0..4 lack the 5-day baseline and must be skipped entirely.
+    val vals = Seq(9.0, 11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 100.0)
+    vals.zipWithIndex.map { case (v, d) =>
+      (d.toLong, d * DayNs + 1000L, 1L, "click", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Stats.qRollingAnomaly(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getDouble(2)) == (("click", 7L, 100.0)))
+    // hand-computed: n=7, s=69, ss=687 -> z = (100 - 69/7)/sqrt(687/7 - (69/7)^2)
+    val mean = 69.0 / 7
+    val z = (100.0 - mean) / math.sqrt(687.0 / 7 - mean * mean)
+    assert(math.abs(r.getDouble(3) - math.rint(z * 1e6) / 1e6) < 1e-9)
+  }
 }

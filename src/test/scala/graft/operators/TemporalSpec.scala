@@ -98,4 +98,20 @@ class TemporalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
   }
+
+  test("event pattern: non-overlapping v..p conversions, no double-claimed purchase") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pat").toString
+    // user 1: v c p v p -> "vcpvp": two conversions (each p claimed once)
+    // user 2: p v v c   -> "pvvc": zero (no purchase after a view)
+    val evs = Seq(
+      (1L, "view"), (1L, "click"), (1L, "purchase"), (1L, "view"), (1L, "purchase"),
+      (2L, "purchase"), (2L, "view"), (2L, "view"), (2L, "click"))
+    evs.zipWithIndex.map { case ((u, t), i) => (i.toLong, i.toLong * 1000, u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Temporal.qEventPattern(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(2L -> ((1L, 5L)), 0L -> ((1L, 4L))))
+  }
 }

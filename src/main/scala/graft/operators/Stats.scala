@@ -213,13 +213,82 @@ object Stats {
        |FROM scored WHERE abs(z) >= 2.0""".stripMargin
   }
 
+  /** q129: exact two-sample Kolmogorov–Smirnov drift — each source's
+    * document-length distribution vs the rest of the corpus, D = max_l
+    * |CDF_src(l) − CDF_rest(l)|. The CDFs live on the bounded length
+    * domain (a histogram, not per-row ranks — THE trick that makes exact
+    * KS distributed: cumsums are windows over ≤|length domain| rows
+    * partitioned by source, never a global sort). The max runs on the
+    * cross-multiplied integer form |A·n_rest − B·n_src| so no float
+    * enters until the final division (at petabyte row counts the
+    * products need DECIMAL(38,0); BIGINT holds to ~3·10⁹ docs/side).
+    */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val lens = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("l"))
+    val bySrcLen = lens.groupBy(col("source"), col("l")).agg(count(lit(1)).as("c_sl"))
+    val byLen = lens.groupBy(col("l")).agg(count(lit(1)).as("c_l"))
+    val nSrc = lens.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val nAll = lens.agg(count(lit(1)).as("n_all"))
+    val grid = nSrc.crossJoin(broadcast(byLen)) // sources × length domain
+      .join(bySrcLen, Seq("source", "l"), "left")
+      .na.fill(0L, Seq("c_sl"))
+    val w = Window.partitionBy(col("source")).orderBy(col("l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_s", sum(col("c_sl")).over(w))
+      .withColumn("cum_all", sum(col("c_l")).over(w))
+      .crossJoin(broadcast(nAll))
+      .withColumn("d_num", abs(
+        col("cum_s") * (col("n_all") - col("n_src")) -
+          (col("cum_all") - col("cum_s")) * col("n_src")))
+      .groupBy(col("source"), col("n_src"), col("n_all"))
+      .agg(max(col("d_num")).as("max_d"))
+      .select(col("source"), col("n_src").as("n_docs"),
+        round(col("max_d").cast("double")
+          / (col("n_src") * (col("n_all") - col("n_src"))).cast("double"), 6)
+          .as("ks"))
+  }
+
+  val qKsDriftSql: String =
+    """WITH lens AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+      |  FROM documents),
+      |by_src_len AS (
+      |  SELECT source, l, COUNT(*) AS c_sl FROM lens GROUP BY source, l),
+      |by_len AS (SELECT l, COUNT(*) AS c_l FROM lens GROUP BY l),
+      |n_src AS (SELECT source, COUNT(*) AS n_src FROM lens GROUP BY source),
+      |n_all AS (SELECT COUNT(*) AS n_all FROM lens),
+      |grid AS (
+      |  SELECT n_src.source, by_len.l, n_src.n_src, by_len.c_l,
+      |    COALESCE(by_src_len.c_sl, 0) AS c_sl
+      |  FROM n_src CROSS JOIN by_len
+      |  LEFT JOIN by_src_len
+      |    ON by_src_len.source = n_src.source AND by_src_len.l = by_len.l),
+      |cums AS (
+      |  SELECT source, n_src,
+      |    SUM(c_sl) OVER w AS cum_s, SUM(c_l) OVER w AS cum_all
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY source ORDER BY l
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |d AS (
+      |  SELECT source, n_src, n_all,
+      |    abs(cum_s * (n_all - n_src) - (cum_all - cum_s) * n_src) AS d_num
+      |  FROM cums CROSS JOIN n_all)
+      |SELECT source, n_src AS n_docs,
+      |  ROUND(CAST(MAX(d_num) AS DOUBLE)
+      |        / CAST(n_src * (n_all - n_src) AS DOUBLE), 6) AS ks
+      |FROM d GROUP BY source, n_src, n_all""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_group_ols" -> (qGroupOls _),
     "q125_mode_moments" -> (qModeMoments _),
-    "q127_rolling_anomaly" -> (qRollingAnomaly _))
+    "q127_rolling_anomaly" -> (qRollingAnomaly _),
+    "q129_ks_drift" -> (qKsDrift _))
 
   val oracle: Map[String, String] = Map(
     "q124_group_ols" -> qGroupOlsSql,
     "q125_mode_moments" -> qModeMomentsSql,
-    "q127_rolling_anomaly" -> qRollingAnomalySql)
+    "q127_rolling_anomaly" -> qRollingAnomalySql,
+    "q129_ks_drift" -> qKsDriftSql)
 }

@@ -1645,7 +1645,48 @@ object TextOps {
       |WHERE token <> ''
       |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
 
+  /** q130: per-source token (Shannon) entropy — the corpus-diversity
+    * signal next to the cross-entropy screens (q93/q119): H = ln(n) −
+    * (Σ c·ln c)/n over the source's token counts. One (source, token)
+    * shuffle with map-side combine; each c·ln c term rounds to 6dp in
+    * DOUBLE before the exact decimal sum (c is exact, ln(c) bit-identical
+    * in both engines, so the rounded product is too).
+    */
+  def qSourceEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = t(s, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(round(col("c") * log(col("c").cast("double")), 6)
+          .cast(DecimalType(28, 6))).cast("double").as("sclnc"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens").cast("double"))
+          - col("sclnc") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
+
+  val qSourceEntropySql: String =
+    """WITH c AS (
+      |  SELECT source, token, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> '' GROUP BY source, token),
+      |a AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_types,
+      |    CAST(CAST(SUM(CAST(round(c * ln(CAST(c AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sclnc
+      |  FROM c GROUP BY source)
+      |SELECT source, n_tokens, n_types,
+      |  ROUND(ln(CAST(n_tokens AS DOUBLE)) - sclnc / CAST(n_tokens AS DOUBLE), 6)
+      |    AS entropy
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_source_entropy" -> (qSourceEntropy _),
     "q103_heavy_hitters" -> (qHeavyHitters _),
     "q105_dup_source_matrix" -> (qDupSourceMatrix _),
     "q106_length_filter" -> (qLengthFilter _),
@@ -1682,6 +1723,7 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q130_source_entropy" -> qSourceEntropySql,
     "q103_heavy_hitters" -> qHeavyHittersSql,
     "q105_dup_source_matrix" -> qDupSourceMatrixSql,
     "q106_length_filter" -> qLengthFilterSql,

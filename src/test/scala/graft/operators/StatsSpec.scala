@@ -51,6 +51,21 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 2L)           // mode count
   }
 
+  test("KS drift matches the hand-computed max CDF gap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ks").toString
+    // A lengths {1,1,2}, B lengths {2,3,3}: max |CDF_A - CDF_B| = 2/3 at l=1
+    Seq(
+      (1L, "w", "A"), (2L, "w", "A"), (3L, "w w", "A"),
+      (4L, "w w", "B"), (5L, "w w w", "B"), (6L, "w w w", "B"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Stats.qKsDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = BigDecimal(6.0 / 9.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map("A" -> ((3L, want)), "B" -> ((3L, want))))
+  }
+
   test("rolling anomaly flags a spike against its trailing window, skips flat/short baselines") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_anom").toString

@@ -12,6 +12,21 @@ import graft.TestSpark
 class TextStatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("source entropy matches the hand-computed Shannon value") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ent").toString
+    Seq((0L, "a a b", "s")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.qSourceEntropy(spark, dir).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    // H = ln 3 − round(2·ln 2, 6)/3, rounded to 6dp
+    val expected = BigDecimal(math.log(3.0) -
+      BigDecimal(2 * math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == expected)
+  }
+
   test("bigram xent matches hand-computed add-one smoothing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bgx").toString

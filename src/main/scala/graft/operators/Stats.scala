@@ -80,26 +80,33 @@ object Stats {
     * fit DECIMAL(24,6) through petabyte row counts.
     */
   def qModeMoments(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer")
-    val modes = c.groupBy(col("c_mktsegment"), col("c_nationkey"))
-      .agg(count(lit(1)).as("cnt"))
+    // ONE scan: (segment, nation) partials carry both the mode counts and
+    // the decimal power sums; modes and segment-level sums then derive
+    // from that bounded frame (decimal sums re-aggregate exactly).
+    val xd = col("c_acctbal").cast(DecimalType(18, 6))
+    val partials = t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"), xd.as("x1"))
+      .withColumn("x2", (col("x1") * col("x1")).cast(DecimalType(18, 6)))
+      .withColumn("x3", (col("x2") * col("x1")).cast(DecimalType(18, 6)))
+      .withColumn("x4", (col("x2") * col("x2")).cast(DecimalType(24, 6)))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x1")).as("p1"), sum(col("x2")).as("p2"),
+        sum(col("x3")).as("p3"), sum(col("x4")).as("p4"))
+      .persist()
+    val modes = partials
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("c_mktsegment"))
           .orderBy(col("cnt").desc, col("c_nationkey").asc)))
       .where(col("rn") === 1)
       .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"),
         col("cnt").as("mode_n"))
-    val xd = col("c_acctbal").cast(DecimalType(18, 6))
-    val powers = c.select(col("c_mktsegment"), xd.as("x1"))
-      .withColumn("x2", (col("x1") * col("x1")).cast(DecimalType(18, 6)))
-      .withColumn("x3", (col("x2") * col("x1")).cast(DecimalType(18, 6)))
-      .withColumn("x4", (col("x2") * col("x2")).cast(DecimalType(24, 6)))
-    val sums = powers.groupBy(col("c_mktsegment")).agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(col("x1")).cast("double").as("s1"),
-      sum(col("x2")).cast("double").as("s2"),
-      sum(col("x3")).cast("double").as("s3"),
-      sum(col("x4")).cast("double").as("s4"))
+    val sums = partials.groupBy(col("c_mktsegment")).agg(
+      sum(col("cnt")).cast("double").as("n"),
+      sum(col("p1")).cast("double").as("s1"),
+      sum(col("p2")).cast("double").as("s2"),
+      sum(col("p3")).cast("double").as("s3"),
+      sum(col("p4")).cast("double").as("s4"))
     val mean = col("s1") / col("n")
     val m2 = col("s2") / col("n") - mean * mean
     val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
@@ -224,12 +231,16 @@ object Stats {
     * products need DECIMAL(38,0); BIGINT holds to ~3·10⁹ docs/side).
     */
   def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    // ONE scan + one shuffle builds the (source, length) histogram; the
+    // marginals (per-length, per-source, grand total) all derive from
+    // that bounded frame instead of re-scanning the corpus.
     val lens = t(s, dir, "documents")
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("l"))
     val bySrcLen = lens.groupBy(col("source"), col("l")).agg(count(lit(1)).as("c_sl"))
-    val byLen = lens.groupBy(col("l")).agg(count(lit(1)).as("c_l"))
-    val nSrc = lens.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-    val nAll = lens.agg(count(lit(1)).as("n_all"))
+      .persist()
+    val byLen = bySrcLen.groupBy(col("l")).agg(sum(col("c_sl")).as("c_l"))
+    val nSrc = bySrcLen.groupBy(col("source")).agg(sum(col("c_sl")).as("n_src"))
+    val nAll = bySrcLen.agg(sum(col("c_sl")).as("n_all"))
     val grid = nSrc.crossJoin(broadcast(byLen)) // sources × length domain
       .join(bySrcLen, Seq("source", "l"), "left")
       .na.fill(0L, Seq("c_sl"))
@@ -256,9 +267,12 @@ object Stats {
       |  FROM documents),
       |by_src_len AS (
       |  SELECT source, l, COUNT(*) AS c_sl FROM lens GROUP BY source, l),
-      |by_len AS (SELECT l, COUNT(*) AS c_l FROM lens GROUP BY l),
-      |n_src AS (SELECT source, COUNT(*) AS n_src FROM lens GROUP BY source),
-      |n_all AS (SELECT COUNT(*) AS n_all FROM lens),
+      |by_len AS (
+      |  SELECT l, CAST(SUM(c_sl) AS BIGINT) AS c_l FROM by_src_len GROUP BY l),
+      |n_src AS (
+      |  SELECT source, CAST(SUM(c_sl) AS BIGINT) AS n_src
+      |  FROM by_src_len GROUP BY source),
+      |n_all AS (SELECT CAST(SUM(c_sl) AS BIGINT) AS n_all FROM by_src_len),
       |grid AS (
       |  SELECT n_src.source, by_len.l, n_src.n_src, by_len.c_l,
       |    COALESCE(by_src_len.c_sl, 0) AS c_sl

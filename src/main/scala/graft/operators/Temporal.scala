@@ -253,6 +253,9 @@ object Temporal {
     * before ends, so touching sessions count as concurrent.
     */
   def qMaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    // Persisted: three consumers (deltas, carry, day scaffold) would each
+    // re-run the sessionize shuffle otherwise — the same
+    // materialize-the-heavy-intermediate move as q49's posting list.
     val sess = Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes").as("w"))
       .agg(unix_micros(min(col("ts_utc"))).as("s_us"),
@@ -260,6 +263,7 @@ object Temporal {
       .select(col("s_us"), col("e_us"),
         expr(s"s_us DIV $DayUs").as("s_day"),
         expr(s"e_us DIV $DayUs").as("e_day"))
+      .persist()
     val deltas =
       sess.select(col("s_us").as("ts"), lit(1L).as("d"), col("s_day").as("day_idx"))
         .unionByName(

@@ -99,6 +99,40 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q122 merge compiles to one full-outer sort-merge join on the key") {
+    val p = executedPlan("q122_merge_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+  }
+
+  test("q126 concurrency: sessionize persisted once, window partitioned by day") {
+    // NOTE: can't count scans in the plan STRING — InMemoryTableScan
+    // re-prints its cached child per consumer; the persist node itself is
+    // the single-materialization guarantee.
+    val p = executedPlan("q126_max_concurrency")
+    assert(p.contains("InMemoryTableScan"),
+      "session frame must be persisted, not recomputed per consumer")
+    assert(p.contains("windowspecdefinition(day_idx"), p)
+  }
+
+  test("q127 anomaly window partitions by event_type, never a global sort") {
+    val p = executedPlan("q127_rolling_anomaly")
+    assert(p.contains("windowspecdefinition(event_type"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q129 KS: marginals derive from the persisted histogram, windows partition by source") {
+    val p = executedPlan("q129_ks_drift")
+    assert(p.contains("InMemoryTableScan"),
+      "histogram must be persisted — marginals must not re-scan the corpus")
+    assert(p.contains("windowspecdefinition(source"), p)
+  }
+
+  test("q125 moments: persisted (segment, nation) partials feed both modes and power sums") {
+    val p = executedPlan("q125_mode_moments")
+    assert(p.contains("InMemoryTableScan"),
+      "partials must be persisted — modes and sums must not re-scan customer")
+  }
+
   test("no registered query plans a UDF or python-eval node") {
     // Structural codegen guard over the WHOLE surface: Scala UDFs plan as
     // ScalaUDF (opaque to codegen), python paths as BatchEvalPython /

@@ -415,7 +415,58 @@ object Curation {
       |FROM ch JOIN nd USING (source)
       |GROUP BY source, nd.n_docs""".stripMargin
 
+  /** q132: global token-offset manifest — each document's starting offset
+    * in the virtual concatenation of the corpus in (source, doc_id)
+    * order, the index a packed-training-file writer emits. A naive global
+    * cumsum is a single-partition window; this is the scalable two-phase
+    * prefix sum instead: (1) within-source running totals via a window
+    * partitioned by source, (2) per-source base offsets from the BOUNDED
+    * per-source totals frame (cumsum over |sources| rows), broadcast back.
+    * Same decomposition as q126's day-carry: heavy work partitioned,
+    * cross-partition state reduced to a tiny frame.
+    */
+  def qTokenManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val within = docs.withColumn("local_off",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bases = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_total"))
+      .withColumn("base", coalesce(sum(col("src_total")).over(wSrc), lit(0L)))
+      .select(col("source"), col("base"))
+    within.join(broadcast(bases), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("base") + col("local_off")).as("offset"))
+  }
+
+  val qTokenManifestSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |within AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_off
+      |  FROM d),
+      |bases AS (
+      |  SELECT source,
+      |    COALESCE(SUM(src_total) OVER (ORDER BY source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      |  FROM (SELECT source, SUM(n_tokens) AS src_total FROM d GROUP BY source))
+      |SELECT doc_id, within.source, n_tokens,
+      |  CAST(base + local_off AS BIGINT) AS offset
+      |FROM within JOIN bases ON within.source = bases.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_token_manifest" -> (qTokenManifest _),
     "q123_overlap_chunks" -> (qOverlapChunks _),
     "q111_chunk_dedup" -> (qChunkDedup _),
     "q112_keep_best" -> (qKeepBest _),
@@ -425,6 +476,7 @@ object Curation {
     "q116_fuzzy_pairs" -> (qFuzzyPairs _))
 
   val oracle: Map[String, String] = Map(
+    "q132_token_manifest" -> qTokenManifestSql,
     "q123_overlap_chunks" -> qOverlapChunksSql,
     "q111_chunk_dedup" -> qChunkDedupSql,
     "q112_keep_best" -> qKeepBestSql,

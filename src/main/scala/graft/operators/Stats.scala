@@ -294,15 +294,70 @@ object Stats {
       |        / CAST(n_src * (n_all - n_src) AS DOUBLE), 6) AS ks
       |FROM d GROUP BY source, n_src, n_all""".stripMargin
 
+  /** q133: one-way ANOVA of document length across sources — does source
+    * explain length variance? F = (SSB/(k−1)) / (SSW/(N−k)) plus the
+    * effect size η². Lengths and their squares are INTEGERS, so the
+    * per-source sufficient statistics (n_j, Σl, Σl²) are exact BIGINT
+    * sums from one map-side-combinable aggregate; the F arithmetic then
+    * runs on bit-identical doubles over the bounded per-source frame.
+    */
+  def qAnova(s: SparkSession, dir: String): DataFrame = {
+    val lens = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("l"))
+    val perSrc = lens.groupBy(col("source")).agg(
+      count(lit(1)).as("n_j"), sum(col("l")).as("s_j"),
+      sum(col("l") * col("l")).as("q_j"))
+    perSrc.agg(
+        count(lit(1)).cast("double").as("k"),
+        sum(col("n_j")).cast("double").as("n"),
+        sum(col("s_j")).cast("double").as("s"),
+        sum(col("q_j")).cast("double").as("q"),
+        // Σ s_j²/n_j: each term is a double from exact integers (same bits
+        // both engines), rounded to 6dp before an exact decimal sum — a
+        // raw float sum would be partition-order-dependent
+        sum(round(col("s_j").cast("double") * col("s_j").cast("double")
+          / col("n_j").cast("double"), 6).cast(DecimalType(28, 6)))
+          .cast("double").as("b"))
+      .select(
+        col("k").cast("bigint").as("n_sources"),
+        col("n").cast("bigint").as("n_docs"),
+        round(((col("b") - col("s") * col("s") / col("n")) / (col("k") - lit(1.0)))
+          / ((col("q") - col("b")) / (col("n") - col("k"))), 6).as("f_stat"),
+        round((col("b") - col("s") * col("s") / col("n"))
+          / (col("q") - col("s") * col("s") / col("n")), 6).as("eta_sq"))
+  }
+
+  val qAnovaSql: String =
+    """WITH lens AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+      |  FROM documents),
+      |per_src AS (
+      |  SELECT source, COUNT(*) AS n_j, SUM(l) AS s_j, SUM(l * l) AS q_j
+      |  FROM lens GROUP BY source),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+      |    CAST(CAST(SUM(n_j) AS VARCHAR) AS DOUBLE) AS n,
+      |    CAST(CAST(SUM(s_j) AS VARCHAR) AS DOUBLE) AS s,
+      |    CAST(CAST(SUM(q_j) AS VARCHAR) AS DOUBLE) AS q,
+      |    CAST(CAST(SUM(CAST(round(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)
+      |      / CAST(n_j AS DOUBLE), 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS b
+      |  FROM per_src)
+      |SELECT CAST(k AS BIGINT) AS n_sources, CAST(n AS BIGINT) AS n_docs,
+      |  ROUND(((b - s * s / n) / (k - 1.0)) / ((q - b) / (n - k)), 6) AS f_stat,
+      |  ROUND((b - s * s / n) / (q - s * s / n), 6) AS eta_sq
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_group_ols" -> (qGroupOls _),
     "q125_mode_moments" -> (qModeMoments _),
     "q127_rolling_anomaly" -> (qRollingAnomaly _),
-    "q129_ks_drift" -> (qKsDrift _))
+    "q129_ks_drift" -> (qKsDrift _),
+    "q133_anova" -> (qAnova _))
 
   val oracle: Map[String, String] = Map(
     "q124_group_ols" -> qGroupOlsSql,
     "q125_mode_moments" -> qModeMomentsSql,
     "q127_rolling_anomaly" -> qRollingAnomalySql,
-    "q129_ks_drift" -> qKsDriftSql)
+    "q129_ks_drift" -> qKsDriftSql,
+    "q133_anova" -> qAnovaSql)
 }

@@ -1685,7 +1685,48 @@ object TextOps {
       |    AS entropy
       |FROM a""".stripMargin
 
+  /** q131: one BPE counting step — the pair-frequency table a tokenizer
+    * trainer builds each merge round, computed the way real BPE trainers
+    * do it: aggregate the corpus to its WORD-frequency table first (the
+    * shuffle moves |vocab| rows, not |corpus| tokens), then expand each
+    * distinct word into its adjacent character pairs row-locally and
+    * weight by word frequency. Overlapping pairs count once per position
+    * ("aaa" → (a,a) twice), the standard counting phase. Top-5 by
+    * (count desc, pair asc).
+    */
+  def qBpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    val wordFreq = t(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    wordFreq
+      // length >= 2: Spark's sequence(1, 0) runs DESCENDING, not empty
+      .where(length(col("word")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> concat(substring(word, i, 1), substring(word, i + 1, 1)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair").asc)
+      .limit(5)
+  }
+
+  val qBpeMergeStepSql: String =
+    """WITH wf AS (
+      |  SELECT word, COUNT(*) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |pairs AS (
+      |  SELECT wc, unnest(list_transform(
+      |    generate_series(1, len(word) - 1),
+      |    i -> substr(word, i, 2))) AS pair
+      |  FROM wf WHERE len(word) >= 2)
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_pair
+      |FROM pairs GROUP BY pair
+      |ORDER BY n_pair DESC, pair ASC LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_bpe_merge_step" -> (qBpeMergeStep _),
     "q130_source_entropy" -> (qSourceEntropy _),
     "q103_heavy_hitters" -> (qHeavyHitters _),
     "q105_dup_source_matrix" -> (qDupSourceMatrix _),
@@ -1723,6 +1764,7 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q131_bpe_merge_step" -> qBpeMergeStepSql,
     "q130_source_entropy" -> qSourceEntropySql,
     "q103_heavy_hitters" -> qHeavyHittersSql,
     "q105_dup_source_matrix" -> qDupSourceMatrixSql,

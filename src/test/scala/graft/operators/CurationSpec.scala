@@ -42,6 +42,17 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("token manifest: offsets chain within source and across source bases") {
+    val dir = docsDir(Seq(
+      (1L, "a b c", "A", 1L), (3L, "d e", "A", 1L),   // A: 3 + 2 tokens
+      (2L, "p q r s t", "B", 1L)))                     // B starts at 5
+    val got = Curation.qTokenManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> (("A", 3L, 0L)), 3L -> (("A", 2L, 3L)), 2L -> (("B", 5L, 5L))))
+  }
+
   test("overlap chunking: window/stride coverage arithmetic and dup collapse") {
     // 30 toks -> chunks [1..30],[21..30]: 2 chunks, 40 chunk-tokens
     // 20 toks -> 1 chunk of 20; 41 toks -> [1..30],[21..41],[41]: 30+21+1

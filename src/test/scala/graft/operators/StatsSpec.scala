@@ -66,6 +66,20 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Map("A" -> ((3L, want)), "B" -> ((3L, want))))
   }
 
+  test("ANOVA matches the hand-computed F and effect size") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_anova").toString
+    // lengths A:{1,3}, B:{5,7} -> SSB=16, SSW=4, F=(16/1)/(4/2)=8, eta=0.8
+    Seq(
+      (1L, "w", "A"), (2L, "w w w", "A"),
+      (3L, "w w w w w", "B"), (4L, "w w w w w w w", "B"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Stats.qAnova(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      == ((2L, 4L, 8.0, 0.8)))
+  }
+
   test("rolling anomaly flags a spike against its trailing window, skips flat/short baselines") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_anom").toString

@@ -12,6 +12,17 @@ import graft.TestSpark
 class TextStatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("BPE pair counting: overlapping pairs, word-frequency weighting, 1-char words skipped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bpe").toString
+    // wf: aaa:2, ab:1, a:1 -> pairs: aa = 2 per "aaa" x freq 2 = 4; ab = 1
+    Seq((0L, "aaa ab aaa a", "s")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.qBpeMergeStep(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("aa", 4L), ("ab", 1L)))
+  }
+
   test("source entropy matches the hand-computed Shannon value") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ent").toString

@@ -280,7 +280,79 @@ object Relational {
        |GROUP BY YEAR(o.o_orderdate), MONTH(o.o_orderdate)""".stripMargin
 
   /** All gold-query entries, keyed for SparkEntry. */
+  /** q134: the canonical selective star join (TPC-H Q3 shape) — segment-
+    * filtered customers ⋈ date-filtered orders ⋈ date-filtered lineitem,
+    * revenue per order, top-10. The plan this MUST compile to at scale:
+    * both dimension filters pushed into the parquet scans, customer side
+    * broadcast (segment cut makes it small), ONE shuffle on the
+    * fact-side join key, TakeOrderedAndProject (never a global sort).
+    * Guarded in PlanSpec.
+    */
+  def qStarJoinTopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cut = "1998-06-30"
+    val c = t(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(s, dir, "orders")
+      .where(col("o_orderdate") < lit(cut).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = t(s, dir, "lineitem")
+      .where(col("l_shipdate") > lit(cut).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val qStarJoinTopRevenueSql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-30'
+       |  AND l_shipdate > TIMESTAMP '1998-06-30'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** q135: decorrelated correlated subquery — orders priced above 1.5×
+    * their own customer's average ("whales per priority"). The correlated
+    * `> (SELECT avg ... WHERE custkey = outer)` decorrelates to a window
+    * aggregate over ONE shuffle on custkey — never a per-row subquery or
+    * a self-join that reshuffles the table twice.
+    */
+  def qAboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .withColumn("cust_avg",
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w).cast("double")
+          / count(lit(1)).over(w))
+      .where(col("o_totalprice") > lit(1.5) * col("cust_avg"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"), dsum(col("o_totalprice")).as("price_sum"))
+  }
+
+  val qAboveCustomerAvgSql: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+      |      OVER (PARTITION BY o_custkey) AS VARCHAR) AS DOUBLE)
+      |      / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n_above,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |    AS price_sum
+      |FROM w WHERE o_totalprice > 1.5 * cust_avg
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_star_join" -> (qStarJoinTopRevenue _),
+    "q135_above_cust_avg" -> (qAboveCustomerAvg _),
     "q01_agg_multikey" -> (q1Agg _),
     "q02_draw_summary" -> (qDrawSummary _),
     "q03_number_frequency" -> (qNumberFrequency _),
@@ -291,6 +363,8 @@ object Relational {
     "q08_time_series" -> (qTimeSeries _))
 
   val oracle: Map[String, String] = Map(
+    "q134_star_join" -> qStarJoinTopRevenueSql,
+    "q135_above_cust_avg" -> qAboveCustomerAvgSql,
     "q01_agg_multikey" -> q1Sql,
     "q02_draw_summary" -> qDrawSummarySql,
     "q03_number_frequency" -> qNumberFrequencySql,

@@ -371,13 +371,49 @@ object Temporal {
       |  CAST(SUM(n_ev) AS BIGINT) AS n_events
       |FROM m GROUP BY n_conv""".stripMargin
 
+  private val DebounceNs = 300L * 1000 * 1000 * 1000 // 5 minutes
+
+  /** q136: event debouncing — the at-least-once-delivery cleanup every
+    * event pipeline runs: an event survives iff it is ≥5 minutes after
+    * the previous raw event of its (user, type) key (the previous-arrival
+    * anchor, the same semantic as watermarked streaming dropDuplicates;
+    * a last-KEPT-event anchor would need a stateful fold instead of one
+    * lag). One shuffle on (user_id, event_type); ties broken by event_id.
+    */
+  def qDebounce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.load(s, dir, "events")
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      .withColumn("kept", col("gap").isNull || col("gap") >= DebounceNs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  val qDebounceSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+       |      (PARTITION BY user_id, event_type
+       |       ORDER BY epoch_ns(ts), event_id) AS gap
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN gap IS NULL OR gap >= $DebounceNs
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN gap IS NULL OR gap >= $DebounceNs
+       |    THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+       |FROM g GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_range_join" -> (qRangeJoin _),
     "q58_asof_join" -> (qAsofJoin _),
     "q74_scd2_history" -> (qScd2History _),
     "q122_merge_upsert" -> (qMergeUpsert _),
     "q126_max_concurrency" -> (qMaxConcurrency _),
-    "q128_event_pattern" -> (qEventPattern _))
+    "q128_event_pattern" -> (qEventPattern _),
+    "q136_debounce" -> (qDebounce _))
 
   val oracle: Map[String, String] = Map(
     "q57_range_join" -> qRangeJoinSql,
@@ -385,5 +421,6 @@ object Temporal {
     "q74_scd2_history" -> qScd2HistorySql,
     "q122_merge_upsert" -> qMergeUpsertSql,
     "q126_max_concurrency" -> qMaxConcurrencySql,
-    "q128_event_pattern" -> qEventPatternSql)
+    "q128_event_pattern" -> qEventPatternSql,
+    "q136_debounce" -> qDebounceSql)
 }

@@ -99,6 +99,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q134 star join: pushed segment filter, broadcast customer, TakeOrdered top-k") {
+    val p = executedPlan("q134_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the customer scan")
+    assert(p.contains("LessThan(o_orderdate") || p.contains("GreaterThan(l_shipdate"),
+      "date filters must reach the fact scans")
+  }
+
   test("q122 merge compiles to one full-outer sort-merge join on the key") {
     val p = executedPlan("q122_merge_upsert")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)

@@ -99,6 +99,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("debounce: previous-raw-event anchor, per (user, type) key, boundary inclusive") {
+    import spark.implicits._
+    val S = 1000L * 1000 * 1000 // 1s in nanos
+    val dir = java.nio.file.Files.createTempDirectory("graft_deb").toString
+    // (u1, click): 0s kept; 100s dropped (<300s); 400s kept (gap vs 100s = 300s, boundary)
+    // (u1, view): single event kept — other key untouched
+    Seq(
+      (0L, 0L * S, 1L, "click"), (1L, 100L * S, 1L, "click"), (2L, 400L * S, 1L, "click"),
+      (3L, 50L * S, 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Temporal.qDebounce(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("click" -> ((3L, 2L, 1L)), "view" -> ((1L, 1L, 0L))))
+  }
+
   test("event pattern: non-overlapping v..p conversions, no double-claimed purchase") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pat").toString

@@ -186,7 +186,12 @@ object Similarity {
     * row-local shape as [[signBuckets]]: zero shuffles before the
     * candidate join.
     */
-  def portableSignBuckets(s: SparkSession, e: DataFrame, dim: Int): DataFrame =
+  /** Per-vector sign bits against the 16 portable hyperplanes — the raw
+    * material both band layouts ([[portableSignBuckets]]'s 2×8 for
+    * near-dup mining, [[qRecallAudit]]'s 4×4 for neighbor candidates)
+    * aggregate from.
+    */
+  def portableSignBits(s: SparkSession, e: DataFrame, dim: Int): DataFrame =
     e.select(col("vec_id"),
         expr("transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
           .as("vq"))
@@ -196,6 +201,10 @@ object Similarity {
           |  aggregate(zip_with(vq, warr, (a, b) -> a * b),
           |    CAST(0 AS BIGINT), (acc, x) -> acc + x) > 0
           |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select(col("vec_id"), col("bits"))
+
+  def portableSignBuckets(s: SparkSession, e: DataFrame, dim: Int): DataFrame =
+    portableSignBits(s, e, dim)
       .select(col("vec_id"),
         expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> acc + shiftleft(bits[i], i))").as("band0"),
         expr("aggregate(sequence(8, 15), CAST(0 AS BIGINT), (acc, i) -> acc + shiftleft(bits[i], i - 8))").as("band1"))
@@ -694,7 +703,100 @@ object Similarity {
        |FROM proj GROUP BY label, k""".stripMargin
   }
 
+  /** q137: in-engine ANN recall audit — for each q51 query vector, what
+    * fraction of its true (brute-force) top-5 neighbors would an LSH
+    * index find (≥1 shared band key)? This is the quality loop an ANN
+    * deployment runs continuously: ground truth on a small query sample,
+    * candidate-generation recall measured against it, no separate
+    * evaluation stack. Uses 4 bands × 4 bits over the same 16 portable
+    * planes — the NEIGHBOR-tuned layout (q53's 2×8 near-dup layout is
+    * deliberately too selective for top-5 neighbors and audits at ~0
+    * recall; narrower bands trade candidate volume for recall, and this
+    * query is exactly the tool that exposes that trade).
+    */
+  def qRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val truth = qAnnBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
+    def band(j: Int) = expr(
+      s"aggregate(sequence(${4 * j}, ${4 * j + 3}), CAST(0 AS BIGINT), " +
+        s"(acc, i) -> acc + shiftleft(bits[i], i - ${4 * j}))")
+    val b = portableSignBits(s, e, 64)
+      .select(col("vec_id"), band(0).as("b0"), band(1).as("b1"),
+        band(2).as("b2"), band(3).as("b3"))
+    val qb = b.select(col("vec_id").as("query_id"), col("b0").as("qb0"),
+      col("b1").as("qb1"), col("b2").as("qb2"), col("b3").as("qb3"))
+    val nb = b.select(col("vec_id").as("neighbor_id"), col("b0").as("nb0"),
+      col("b1").as("nb1"), col("b2").as("nb2"), col("b3").as("nb3"))
+    truth
+      .join(broadcast(qb), Seq("query_id"))
+      .join(nb, Seq("neighbor_id"))
+      .withColumn("hit",
+        col("qb0") === col("nb0") || col("qb1") === col("nb1") ||
+          col("qb2") === col("nb2") || col("qb3") === col("nb3"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall",
+        round(col("n_found").cast("double") / col("k").cast("double"), 6))
+  }
+
+  val qRecallAuditSql: String = {
+    val v48 = "CAST(CAST('0x' || substring(h, 1, 12) AS UBIGINT) AS BIGINT)"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < 10),
+       |p AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, len(q.qvec)),
+       |      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, len(q.qvec)),
+       |         i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+       |    AS cosine
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |    FROM p) WHERE rank <= 5),
+       |ph AS (
+       |  SELECT pp.plane, dd.dim0,
+       |    md5('plane:' || pp.plane || ':' || dd.dim0) AS h
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS plane) pp
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim0) dd),
+       |planes AS (
+       |  SELECT plane, dim0, (($v48) % 1000001) - 500000 AS w FROM ph),
+       |vq AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim0,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vq
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vq.vec_id, planes.plane, SUM(vq.vq * planes.w) AS proj
+       |  FROM vq JOIN planes ON planes.dim0 = vq.dim0
+       |  GROUP BY vq.vec_id, planes.plane),
+       |b AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN proj > 0 AND plane < 4 THEN (1 << plane) ELSE 0 END) AS b0,
+       |    SUM(CASE WHEN proj > 0 AND plane BETWEEN 4 AND 7 THEN (1 << (plane - 4)) ELSE 0 END) AS b1,
+       |    SUM(CASE WHEN proj > 0 AND plane BETWEEN 8 AND 11 THEN (1 << (plane - 8)) ELSE 0 END) AS b2,
+       |    SUM(CASE WHEN proj > 0 AND plane >= 12 THEN (1 << (plane - 12)) ELSE 0 END) AS b3
+       |  FROM proj GROUP BY vec_id),
+       |hits AS (
+       |  SELECT t.query_id,
+       |    CASE WHEN qb.b0 = nb.b0 OR qb.b1 = nb.b1 OR qb.b2 = nb.b2
+       |              OR qb.b3 = nb.b3 THEN 1 ELSE 0 END AS hit
+       |  FROM truth t
+       |  JOIN b qb ON qb.vec_id = t.query_id
+       |  JOIN b nb ON nb.vec_id = t.neighbor_id)
+       |SELECT query_id, COUNT(*) AS k,
+       |  CAST(SUM(hit) AS BIGINT) AS n_found,
+       |  ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+       |FROM hits GROUP BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_recall_audit" -> (qRecallAudit _),
     "q118_random_projection" -> (qRandomProjection _),
     "q104_cluster_silhouette" -> (qClusterSilhouette _),
     "q51_ann_brute_force" -> (qAnnBruteForce _),
@@ -706,6 +808,7 @@ object Similarity {
     "q102_semdedup_prune" -> (qSemdedupPrune _))
 
   val oracle: Map[String, String] = Map(
+    "q137_recall_audit" -> qRecallAuditSql,
     "q118_random_projection" -> qRandomProjectionSql,
     "q104_cluster_silhouette" -> qClusterSilhouetteSql,
     "q51_ann_brute_force" -> qAnnBruteForceSql,

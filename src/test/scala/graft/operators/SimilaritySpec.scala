@@ -185,4 +185,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(ap - ep).toDouble / ep < 0.10, s"parts sketch off: $ap vs $ep")
     assert(math.abs(at - et).toDouble / et < 0.10, s"texts sketch off: $at vs $et")
   }
+
+  test("recall audit: exact copies of a query are always found (recall 1), k bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_recall").toString
+    val rnd = new scala.util.Random(11)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    // query 0 + five exact copies (ids 10..14, its true top-5; identical
+    // bits -> every band matches) + 50 random fillers
+    val q0 = unit()
+    val rows = Seq((0L, q0, 0)) ++
+      (10L to 14L).map(i => (i, q0, 0)) ++
+      (100L until 150L).map(i => (i, unit(), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.qRecallAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(0L) == ((5L, 5L, 1.0)), s"exact copies must all be found: $got")
+    got.values.foreach { case (k, found, recall) =>
+      assert(found >= 0 && found <= k && recall >= 0.0 && recall <= 1.0)
+    }
+  }
 }

@@ -169,6 +169,42 @@ object Events {
       }
   }
 
+  final case class DebouncedEvent(
+      event_id: Long, user_id: Long, event_type: String, ts: Long)
+
+  /** Streaming twin of [[graft.operators.Temporal.qDebounce]]: drop events
+    * <5 min after the previous raw event of their (user, type) key, with
+    * the anchor carried ACROSS micro-batches as flatMapGroupsWithState
+    * state (one long per live key — the minimum any debouncer must hold).
+    * Within a batch, rows process in (ts, event_id) order so re-ordered
+    * arrivals inside a micro-batch debounce identically to the batch
+    * operator; StreamingSpec asserts exact parity per event id. A
+    * production deployment adds an event-time timeout so idle keys age
+    * out of the store; NoTimeout here keeps parity exact.
+    */
+  def debounceStream(events: DataFrame, gapNs: Long = 300L * 1000 * 1000 * 1000)
+      : org.apache.spark.sql.Dataset[DebouncedEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.selectExpr("event_id", "user_id", "event_type", "ts")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, DebouncedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), rows: Iterator[(Long, Long, String, Long)],
+            state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._1))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val kept = sorted.flatMap { case (eid, uid, et, ts) =>
+            val keep = last == Long.MinValue || ts - last >= gapNs
+            last = ts // previous-RAW-event anchor, same as the batch rule
+            if (keep) Some(DebouncedEvent(eid, uid, et, ts)) else None
+          }
+          if (last != Long.MinValue) state.update(last)
+          kept.iterator
+      }
+  }
+
   private val NsPerWeek = 7L * 24 * 3600 * 1000 * 1000 * 1000
   private val MsPerWeek = 7L * 24 * 3600 * 1000
 

@@ -214,6 +214,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKeys.size <= batchDf.select(col("text")).distinct().count())
   }
 
+  test("streaming debounce carries the anchor across micro-batches, exact parity with batch") {
+    import org.apache.spark.sql.functions.expr
+    val batchDf = Tables.load(spark, dir, "events")
+    // two TIME-ORDERED files -> maxFilesPerTrigger=1 forces the anchor to
+    // survive a real micro-batch boundary (a single batch would not
+    // exercise cross-batch state at all)
+    val cut = batchDf.selectExpr("percentile_approx(ts, 0.5)").collect().head.getLong(0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_deb_stream").toString
+    val scratch = java.nio.file.Files.createTempDirectory("graft_deb_scratch").toString
+    Seq(("b0", s"ts <= $cut"), ("b1", s"ts > $cut")).foreach { case (name, cond) =>
+      batchDf.where(expr(cond)).coalesce(1).write.parquet(s"$scratch/$name")
+      val part = new java.io.File(s"$scratch/$name").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$streamDir/$name.parquet"))
+    }
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val q = Events.debounceStream(stream).writeStream
+      .format("memory").queryName("deb_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamedIds = spark.table("deb_stream")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    // batch execution of the SAME function = the lag rule over all data
+    val batchIds = Events.debounceStream(batchDf)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(streamedIds.nonEmpty && streamedIds == batchIds)
+    // and both agree with the q136 per-type kept counts
+    val q136 = graft.operators.Temporal.qDebounce(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val streamedByType = spark.table("deb_stream").groupBy(col("event_type"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedByType == q136)
+  }
+
   test("sessionize: per-user sessions split on >=30min gaps (spot-check invariants)") {
     val sessions = Events.qSessionize(spark, dir).collect()
     assert(sessions.nonEmpty)

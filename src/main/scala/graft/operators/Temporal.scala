@@ -406,7 +406,58 @@ object Temporal {
        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
        |FROM g GROUP BY event_type""".stripMargin
 
+  /** q138: view→purchase conversion latency — for each purchase, the gap
+    * to the user's latest view at or before it (the as-of enrichment,
+    * q58's union + forward-fill: one shuffle on user_id, no join
+    * explosion), then exact latency percentiles per event volume. The
+    * percentile runs over conversions only (a bounded slice of the
+    * stream) with `percentile()` — bit-matching DuckDB's quantile_cont
+    * on integer nanos (the q113-proven pairing).
+    */
+  def qConversionLatency(s: SparkSession, dir: String): DataFrame = {
+    // microsecond axis: DuckDB's epoch_ns on this parquet truncates to
+    // us anyway (TIMESTAMP storage); us on both sides keeps raw output
+    // values comparable (q33 precedent)
+    val e = Tables.load(s, dir, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = e.withColumn("last_view_us",
+      last(when(col("event_type") === "view", col("ts_us")), ignoreNulls = true).over(w))
+    filled
+      .where(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+      .withColumn("latency_us", col("ts_us") - col("last_view_us"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        expr("percentile(latency_us, 0.5D)").as("p50_us"),
+        expr("percentile(latency_us, 0.9D)").as("p90_us"),
+        max(col("latency_us")).as("max_us"))
+  }
+
+  val qConversionLatencySql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |f AS (
+      |  SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts_us END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+      |  FROM e),
+      |conv AS (
+      |  SELECT ts_us - last_view_us AS latency_us FROM f
+      |  WHERE event_type = 'purchase' AND last_view_us IS NOT NULL)
+      |SELECT COUNT(*) AS n_conversions,
+      |  quantile_cont(latency_us, 0.5) AS p50_us,
+      |  quantile_cont(latency_us, 0.9) AS p90_us,
+      |  CAST(MAX(latency_us) AS BIGINT) AS max_us
+      |FROM conv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_conversion_latency" -> (qConversionLatency _),
     "q57_range_join" -> (qRangeJoin _),
     "q58_asof_join" -> (qAsofJoin _),
     "q74_scd2_history" -> (qScd2History _),
@@ -422,5 +473,6 @@ object Temporal {
     "q122_merge_upsert" -> qMergeUpsertSql,
     "q126_max_concurrency" -> qMaxConcurrencySql,
     "q128_event_pattern" -> qEventPatternSql,
-    "q136_debounce" -> qDebounceSql)
+    "q136_debounce" -> qDebounceSql,
+    "q138_conversion_latency" -> qConversionLatencySql)
 }

@@ -1725,7 +1725,68 @@ object TextOps {
       |FROM pairs GROUP BY pair
       |ORDER BY n_pair DESC, pair ASC LIMIT 5""".stripMargin
 
+  /** q139: collocation mining — PMI of the top-20 bigrams (by count,
+    * then lexicographic): PMI(a,b) = ln(N·c_ab / (c_a·c_b)) over
+    * adjacent-token pairs. The word2vec-era association signal that
+    * separates true collocations from chance co-occurrence. One bigram
+    * shuffle + one unigram shuffle; the PMI arithmetic runs on the
+    * broadcast-sized top-20 frame with exact-integer ln arguments
+    * (identical doubles both engines), rounded to 6dp.
+    */
+  def qBigramPmi(s: SparkSession, dir: String): DataFrame = {
+    val tokArr = t(s, dir, "documents")
+      .withColumn("ne", filter(toks(col("text")), x => x =!= ""))
+    val uni = tokArr.select(explode(col("ne")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bg = tokArr
+      .where(size(col("ne")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(ne) - 1), " +
+        "i -> struct(element_at(ne, i) AS a, element_at(ne, i + 1) AS b))"))
+        .as("bg"))
+      .select(col("bg.a"), col("bg.b"))
+    // one bigram shuffle: total and top-20 both derive from the persisted
+    // counts frame (a second corpus scan for N would double the heavy work)
+    val bgCounts = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .persist()
+    val nBi = bgCounts.agg(sum(col("c_ab")).as("n_bi"))
+    val top = bgCounts
+      .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
+      .limit(20)
+    top
+      .join(broadcast(uni.select(col("w").as("a"), col("cw").as("c_a"))), Seq("a"))
+      .join(broadcast(uni.select(col("w").as("b"), col("cw").as("c_b"))), Seq("b"))
+      .crossJoin(broadcast(nBi))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(col("n_bi").cast("double") * col("c_ab").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double"))), 6).as("pmi"))
+  }
+
+  val qBigramPmiSql: String =
+    """WITH d AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ne
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(ne) AS w FROM d)
+      |  GROUP BY w),
+      |bg AS (
+      |  SELECT u.pr[1] AS a, u.pr[2] AS b FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(ne) - 1),
+      |      i -> [ne[i], ne[i + 1]])) AS pr
+      |    FROM d WHERE len(ne) >= 2) u),
+      |nb AS (SELECT COUNT(*) AS n_bi FROM bg),
+      |top AS (
+      |  SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b
+      |  ORDER BY c_ab DESC, a ASC, b ASC LIMIT 20)
+      |SELECT top.a, top.b, top.c_ab,
+      |  ROUND(ln(CAST(nb.n_bi AS DOUBLE) * CAST(top.c_ab AS DOUBLE)
+      |    / (CAST(ua.cw AS DOUBLE) * CAST(ub.cw AS DOUBLE))), 6) AS pmi
+      |FROM top
+      |JOIN uni ua ON ua.w = top.a
+      |JOIN uni ub ON ub.w = top.b
+      |CROSS JOIN nb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_bigram_pmi" -> (qBigramPmi _),
     "q131_bpe_merge_step" -> (qBpeMergeStep _),
     "q130_source_entropy" -> (qSourceEntropy _),
     "q103_heavy_hitters" -> (qHeavyHitters _),
@@ -1764,6 +1825,7 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q139_bigram_pmi" -> qBigramPmiSql,
     "q131_bpe_merge_step" -> qBpeMergeStepSql,
     "q130_source_entropy" -> qSourceEntropySql,
     "q103_heavy_hitters" -> qHeavyHittersSql,

@@ -115,6 +115,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Map("click" -> ((3L, 2L, 1L)), "view" -> ((1L, 1L, 0L))))
   }
 
+  test("conversion latency: latest-prior-view anchor, no-view purchases excluded") {
+    import spark.implicits._
+    val S = 1000L * 1000 * 1000 // 1s in nanos
+    val dir = java.nio.file.Files.createTempDirectory("graft_conv").toString
+    // u1: view@0 -> purchase@10s (10s); view@100s, view@120s -> purchase@150s (30s)
+    // u2: purchase with no prior view -> excluded
+    Seq(
+      (0L, 0L * S, 1L, "view"), (1L, 10L * S, 1L, "purchase"),
+      (2L, 100L * S, 1L, "view"), (3L, 120L * S, 1L, "view"),
+      (4L, 150L * S, 1L, "purchase"),
+      (5L, 5L * S, 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Temporal.qConversionLatency(spark, dir).collect().head
+    // latencies {10s, 30s} in us: p50 = 20s, p90 = 28s (linear interp), max 30s
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 20e6)
+    assert(r.getDouble(2) == 28e6)
+    assert(r.getLong(3) == 30L * 1000 * 1000)
+  }
+
   test("event pattern: non-overlapping v..p conversions, no double-claimed purchase") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pat").toString

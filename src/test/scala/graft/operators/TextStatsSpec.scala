@@ -12,6 +12,22 @@ import graft.TestSpark
 class TextStatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("bigram PMI matches hand-computed ln values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pmi").toString
+    // "x y x y z": bigrams xy:2, yx:1, yz:1 (N=4); unigrams x:2 y:2 z:1
+    Seq((0L, "x y x y z", "s")).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.qBigramPmi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("x", "y")) == ((2L, ln2)))   // ln(4*2/(2*2)) = ln 2
+    assert(got(("y", "x")) == ((1L, 0.0)))   // ln(4*1/(2*2)) = 0
+    assert(got(("y", "z")) == ((1L, ln2)))   // ln(4*1/(2*1)) = ln 2
+  }
+
   test("BPE pair counting: overlapping pairs, word-frequency weighting, 1-char words skipped") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bpe").toString

@@ -26,9 +26,9 @@ object Privacy {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
-  private val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** doc_id-derived PII stamping, shared by the Spark query and (in its
     * DuckDB spelling) the oracle: every 7th doc gains an email, every
@@ -48,29 +48,38 @@ object Privacy {
         expr("(doc_id DIV 7) % 256"), lit("."),
         expr("(doc_id DIV 11) % 256"))).otherwise(lit("")))
 
-  /** q120: PII scan + redaction accounting per source. Emails are redacted
-    * before IPv4 so a dotted mail host can never be half-claimed by the IP
-    * pattern; counts come from `regexp_extract_all(..., 0)` (full-match
-    * group) on the pre-redaction text. `distinct_redacted` fingerprints
-    * the redacted corpus (md5) so the oracle confirms the REPLACEMENT
-    * bytes, not just the match counts.
+  /** Count of full matches of `re` in `c`. Column-based
+    * regexp_extract_all: the pattern reaches the regex engine verbatim
+    * (an expr() spelling would run the SQL lexer's escape processing,
+    * turning '\b' into a backspace character).
+    */
+  def piiHits(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** The redaction chain. Emails are redacted before IPv4 so a dotted
+    * mail host can never be half-claimed by the IP pattern; PrivacySpec
+    * re-scans the OUTPUT of this function to prove no raw PII form (and
+    * no placeholder-induced re-match) survives.
+    */
+  def redactText(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** q120: PII scan + redaction accounting per source. Counts come from
+    * full-match extraction on the pre-redaction text; `distinct_redacted`
+    * fingerprints the redacted corpus (md5) so the oracle confirms the
+    * REPLACEMENT bytes, not just the match counts.
     */
   def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
-    // Column-based regexp_extract_all: the pattern reaches the regex
-    // engine verbatim (an expr() spelling would run the SQL lexer's
-    // escape processing, turning '\b' into a backspace character).
-    def hits(re: String) = size(regexp_extract_all(col("atext"), lit(re), lit(0)))
     val scanned = t(s, dir, "documents")
       .withColumn("atext", augmentedText)
-      .withColumn("n_emails", hits(EmailRe))
-      .withColumn("n_phones", hits(PhoneRe))
-      .withColumn("n_ips", hits(Ipv4Re))
-      .withColumn("redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("atext"), EmailRe, "<EMAIL>"),
-            PhoneRe, "<PHONE>"),
-          Ipv4Re, "<IP>"))
+      .withColumn("n_emails", piiHits(col("atext"), EmailRe))
+      .withColumn("n_phones", piiHits(col("atext"), PhoneRe))
+      .withColumn("n_ips", piiHits(col("atext"), Ipv4Re))
+      .withColumn("redacted", redactText(col("atext")))
     scanned.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_emails")).as("n_emails"),

@@ -720,11 +720,17 @@ object Similarity {
     def band(j: Int) = expr(
       s"aggregate(sequence(${4 * j}, ${4 * j + 3}), CAST(0 AS BIGINT), " +
         s"(acc, i) -> acc + shiftleft(bits[i], i - ${4 * j}))")
+    // persisted: qb and nb would otherwise each re-run the full
+    // sign-projection pipeline over the corpus
     val b = portableSignBits(s, e, 64)
       .select(col("vec_id"), band(0).as("b0"), band(1).as("b1"),
         band(2).as("b2"), band(3).as("b3"))
-    val qb = b.select(col("vec_id").as("query_id"), col("b0").as("qb0"),
-      col("b1").as("qb1"), col("b2").as("qb2"), col("b3").as("qb3"))
+      .persist()
+    // only the 10 query vectors can match the truth side — broadcast 10
+    // rows, not band keys for the whole corpus
+    val qb = b.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("b0").as("qb0"),
+        col("b1").as("qb1"), col("b2").as("qb2"), col("b3").as("qb3"))
     val nb = b.select(col("vec_id").as("neighbor_id"), col("b0").as("nb0"),
       col("b1").as("nb1"), col("b2").as("nb2"), col("b3").as("nb3"))
     truth

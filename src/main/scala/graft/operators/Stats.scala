@@ -166,22 +166,34 @@ object Stats {
   private val DayNs = 86400000000000L
 
   /** q127: rolling z-score anomaly screen — each (event_type, day)'s value
-    * total scored against the trailing 7-day window (mean/σ from exact
+    * total scored against the trailing 7 CALENDAR days (mean/σ from exact
     * decimal window sums), flagging |z| ≥ 2 with ≥5 days of baseline. The
-    * window partitions by event_type (bounded groups, never a global
-    * sort); v² goes through `round(v*v, 6)` in DOUBLE before the decimal
-    * window sum — a decimal×decimal spelling would bind to different
-    * intermediate scales in the two engines (Spark caps precision at 38
-    * by shaving scale; DuckDB keeps it) and double-round differently.
+    * (type × day) grid is scaffolded over the corpus's full day span with
+    * v=0 for event-free days, so a total outage is scored (and flags as a
+    * deeply negative z) instead of being structurally invisible, and the
+    * ROWS window genuinely means trailing days, not trailing
+    * observations. The window partitions by event_type (bounded groups,
+    * never a global sort); v² goes through `round(v*v, 6)` in DOUBLE
+    * before the decimal window sum — a decimal×decimal spelling would
+    * bind to different intermediate scales in the two engines (Spark caps
+    * precision at 38 by shaving scale; DuckDB keeps it) and double-round
+    * differently.
     */
   def qRollingAnomaly(s: SparkSession, dir: String): DataFrame = {
     import Relational.dsum
     val daily = t(s, dir, "events")
       .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
       .agg(dsum(col("value")).as("v"))
+      .persist()
+    val bounds = daily.agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day_idx"))
+    val full = grid.join(daily, Seq("event_type", "day_idx"), "left")
+      .na.fill(0.0, Seq("v"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
       .rowsBetween(-7, -1)
-    val scored = daily
+    val scored = full
       .withColumn("n", count(lit(1)).over(w).cast("double"))
       .withColumn("s", sum(col("v").cast(DecimalType(18, 6))).over(w).cast("double"))
       .withColumn("ss",
@@ -202,13 +214,24 @@ object Stats {
        |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_idx,
        |    ${dsumSql("value")} AS v
        |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT MIN(day_idx) AS mn, MAX(day_idx) AS mx FROM daily),
+       |grid AS (
+       |  SELECT t.event_type, unnest(generate_series(bounds.mn, bounds.mx))
+       |    AS day_idx
+       |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds),
+       |fullg AS (
+       |  SELECT grid.event_type, grid.day_idx,
+       |    COALESCE(daily.v, CAST(0 AS DOUBLE)) AS v
+       |  FROM grid LEFT JOIN daily
+       |    ON daily.event_type = grid.event_type
+       |   AND daily.day_idx = grid.day_idx),
        |win AS (
        |  SELECT event_type, day_idx, v,
        |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
        |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS s,
        |    CAST(CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(28,6))) OVER w AS VARCHAR)
        |      AS DOUBLE) AS ss
-       |  FROM daily
+       |  FROM fullg
        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
        |scored AS (

@@ -234,7 +234,8 @@ object Temporal {
       |  WHERE c.op IS NULL OR c.op <> 'D')
       |SELECT status, COUNT(*) AS n,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
-      |  CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+      |  CAST(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |    AS price_sum
       |FROM m GROUP BY status""".stripMargin
 
   private val DayUs = 86400000000L
@@ -371,7 +372,10 @@ object Temporal {
       |  CAST(SUM(n_ev) AS BIGINT) AS n_events
       |FROM m GROUP BY n_conv""".stripMargin
 
-  private val DebounceNs = 300L * 1000 * 1000 * 1000 // 5 minutes
+  /** Shared with [[graft.streaming.Events.debounceStream]] so the
+    * batch/stream parity is structural, not two unlinked literals.
+    */
+  val DebounceNs = 300L * 1000 * 1000 * 1000 // 5 minutes
 
   /** q136: event debouncing — the at-least-once-delivery cleanup every
     * event pipeline runs: an event survives iff it is ≥5 minutes after

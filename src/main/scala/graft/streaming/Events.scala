@@ -182,7 +182,8 @@ object Events {
     * production deployment adds an event-time timeout so idle keys age
     * out of the store; NoTimeout here keeps parity exact.
     */
-  def debounceStream(events: DataFrame, gapNs: Long = 300L * 1000 * 1000 * 1000)
+  def debounceStream(events: DataFrame,
+      gapNs: Long = graft.operators.Temporal.DebounceNs)
       : org.apache.spark.sql.Dataset[DebouncedEvent] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

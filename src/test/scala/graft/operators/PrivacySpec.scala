@@ -37,23 +37,31 @@ class PrivacySpec extends AnyFunSuite {
     assert(got("s2") == ((3L, 0L, 0L, 0L, 0L)))
   }
 
-  test("redaction leaves no raw email/phone/ip bytes behind") {
-    val dir = docsDir(Seq((0L, "plain words here", "s1")))
-    // Rebuild the redacted text the way the query does and scan it again:
-    // a second pass must find zero matches (the planted PII is gone, and
-    // the <EMAIL>/<PHONE>/<IP> placeholders don't re-match any pattern).
-    val redacted = Privacy.qPiiRedact(spark, dir)
-      .select(col("n_emails") + col("n_phones") + col("n_ips"))
-      .collect().head.getLong(0)
-    assert(redacted == 3L) // the stamp planted all three on doc 0
-    val round2 = spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("doc_id", col("doc_id") + 1) // un-stamp: doc_id 1 plants nothing
-      .select(col("doc_id"), col("text"), col("source"))
-    round2.write.mode("overwrite").parquet(s"${dir}2/documents.parquet")
-    val clean = Privacy.qPiiRedact(spark, s"${dir}2")
-      .select(col("n_emails") + col("n_phones") + col("n_ips"))
-      .collect().head.getLong(0)
-    assert(clean == 0L)
+  test("redaction output has placeholders, zero surviving matches, untouched clean text") {
+    import spark.implicits._
+    // Scan the REDACTED text itself: every pattern must find zero matches
+    // after redaction (raw PII gone AND placeholders don't re-match), and
+    // the placeholders must actually be present where PII was.
+    val raw = Seq(
+      "reach bob.smith+x@corp.example.org or 555-123-4567 from 10.0.0.1 ok",
+      "two mails a@b.io c@d.org and ips 192.168.001.100 8.8.8.8",
+      "no pii at all in this row")
+    val df = raw.toDF("t").select(
+      col("t"),
+      Privacy.redactText(col("t")).as("red"))
+    val rows = df.select(
+        col("red"),
+        Privacy.piiHits(col("red"), Privacy.EmailRe).as("e"),
+        Privacy.piiHits(col("red"), Privacy.PhoneRe).as("p"),
+        Privacy.piiHits(col("red"), Privacy.Ipv4Re).as("i"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getInt(2) == 0 && r.getInt(3) == 0,
+        s"pii survived redaction: ${r.getString(0)}")
+    }
+    assert(rows(0).getString(0) == "reach <EMAIL> or <PHONE> from <IP> ok")
+    assert(rows(1).getString(0) == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>")
+    assert(rows(2).getString(0) == "no pii at all in this row")
   }
 
   test("quality rules trip on their designed boundaries") {

@@ -66,6 +66,28 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Map("A" -> ((3L, want)), "B" -> ((3L, want))))
   }
 
+  test("rolling anomaly scores event-free days: a total outage flags as negative z") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_outage").toString
+    val DayNs = 86400000000000L
+    // days 0..6 alternate 9/11; day 7 has NO events (outage); day 8 = 10.
+    // The scaffold must score day 7 at v=0 (z ~ -10, flagged) and include
+    // the zero in day 8's baseline (z ~ 0.39, not flagged).
+    val vals = Seq(0 -> 9.0, 1 -> 11.0, 2 -> 9.0, 3 -> 11.0, 4 -> 9.0,
+      5 -> 11.0, 6 -> 9.0, 8 -> 10.0)
+    vals.zipWithIndex.map { case ((d, v), i) =>
+      (i.toLong, d * DayNs + 1000L, 1L, "click", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Stats.qRollingAnomaly(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getDouble(2)) == (("click", 7L, 0.0)))
+    val mean = 69.0 / 7
+    val z = (0.0 - mean) / math.sqrt(687.0 / 7 - mean * mean)
+    assert(math.abs(r.getDouble(3) - math.rint(z * 1e6) / 1e6) < 1e-9)
+  }
+
   test("ANOVA matches the hand-computed F and effect size") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_anova").toString

@@ -317,20 +317,23 @@ object Curation {
       .distinct()
       .withColumn("w", split(col("shingle"), " "))
       .persist()
-    def pass(i: Int, j: Int): DataFrame = {
-      val blocked = sh.select(
-        concat_ws(" ", col("w").getItem(i), col("w").getItem(j)).as("bk"),
-        col("shingle"))
-      val hot = blocked.groupBy(col("bk")).agg(count(lit(1)).as("members"))
-        .where(col("members") > maxBlock).select(col("bk"))
-      val keep = blocked.join(broadcast(hot), Seq("bk"), "left_anti")
-      keep.select(col("bk"), col("shingle").as("sa"))
-        .join(keep.select(col("bk"), col("shingle").as("sb")), Seq("bk"))
-        .where(col("sa") < col("sb") &&
-          levenshtein(col("sa"), col("sb")) <= maxDist)
-        .select(col("sa"), col("sb"))
-    }
-    pass(0, 1).unionByName(pass(1, 2)).unionByName(pass(0, 2))
+    // All three rotated blocking passes fused into ONE self-join: each
+    // shingle emits its three (pass-tagged) block keys row-locally, so
+    // one hot-block cap + one join replace three of each — same
+    // candidate set, a third of the job overhead. The pass tag keeps
+    // blocks from different rotations from cross-joining.
+    def bk(tag: String, i: Int, j: Int) =
+      concat_ws(" ", lit(tag), col("w").getItem(i), col("w").getItem(j))
+    val blocked = sh.select(col("shingle"),
+      explode(array(bk("01", 0, 1), bk("12", 1, 2), bk("02", 0, 2))).as("bk"))
+    val hot = blocked.groupBy(col("bk")).agg(count(lit(1)).as("members"))
+      .where(col("members") > maxBlock).select(col("bk"))
+    val keep = blocked.join(broadcast(hot), Seq("bk"), "left_anti")
+    keep.select(col("bk"), col("shingle").as("sa"))
+      .join(keep.select(col("bk"), col("shingle").as("sb")), Seq("bk"))
+      .where(col("sa") < col("sb") &&
+        levenshtein(col("sa"), col("sb")) <= maxDist)
+      .select(col("sa"), col("sb"))
       .distinct()
       .select(col("sa").as("shingle_a"), col("sb").as("shingle_b"),
         levenshtein(col("sa"), col("sb")).as("dist"))

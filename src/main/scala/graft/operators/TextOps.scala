@@ -1785,7 +1785,48 @@ object TextOps {
       |JOIN uni ub ON ub.w = top.b
       |CROSS JOIN nb""".stripMargin
 
+  /** q140: the corpus datasheet — the one-row summary a data card
+    * reports: volume, composition, length shape, and exact-dup rate.
+    * Everything derives from one scan + one distinct-hash count; the
+    * length median reuses the exact-percentile pairing (approx_percentile
+    * is the unbounded default, as documented at q18/q113).
+    */
+  def qCorpusCard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_toks"),
+        md5(col("text")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(lit(100.0) * sum(when(col("lang") === "en", 1L).otherwise(0L))
+          / count(lit(1)), 2).as("pct_en"),
+        round(Relational.dsum(col("n_toks")) / count(lit(1)), 6).as("mean_len"),
+        expr("percentile(n_toks, 0.5D)").as("p50_len"),
+        round(lit(100.0) * (count(lit(1)) - countDistinct(col("h")))
+          / count(lit(1)), 4).as("pct_exact_dup"))
+
+  val qCorpusCardSql: String =
+    """SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  ROUND(CAST(100.0 AS DOUBLE) * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+      |        / COUNT(*), 2) AS pct_en,
+      |  ROUND(CAST(CAST(SUM(CAST(n_toks AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |        / COUNT(*), 6) AS mean_len,
+      |  quantile_cont(n_toks, 0.5) AS p50_len,
+      |  ROUND(CAST(100.0 AS DOUBLE) * (COUNT(*) - COUNT(DISTINCT h))
+      |        / COUNT(*), 4) AS pct_exact_dup
+      |FROM (SELECT doc_id, lang, source,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |        md5(text) AS h
+      |      FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_corpus_card" -> (qCorpusCard _),
     "q139_bigram_pmi" -> (qBigramPmi _),
     "q131_bpe_merge_step" -> (qBpeMergeStep _),
     "q130_source_entropy" -> (qSourceEntropy _),
@@ -1825,6 +1866,7 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q140_corpus_card" -> qCorpusCardSql,
     "q139_bigram_pmi" -> qBigramPmiSql,
     "q131_bpe_merge_step" -> qBpeMergeStepSql,
     "q130_source_entropy" -> qSourceEntropySql,

@@ -240,13 +240,58 @@ object Events {
        |FROM a JOIN u USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** q141: watermark-lateness audit — the batch analysis that SIZES a
+    * streaming deployment's watermark delay: treating event_id as arrival
+    * order, lateness = (running max event-time at arrival) − event-time.
+    * Reports, per type, how many events a 1-minute and a 1-hour
+    * watermark would drop, plus the worst lateness observed. Per-type
+    * running max (partitioned window over arrival order) models per-key
+    * watermarking; all outputs are integer-exact counts/max — no
+    * unbounded percentile state.
+    */
+  def qLatenessAudit(s: SparkSession, dir: String): DataFrame = {
+    val minUs = 60L * 1000 * 1000
+    val hourUs = 3600L * 1000 * 1000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("late_us", max(col("us")).over(w) - col("us"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > minUs, 1L).otherwise(0L)).as("n_late_1m"),
+        sum(when(col("late_us") > hourUs, 1L).otherwise(0L)).as("n_late_1h"),
+        max(col("late_us")).as("max_late_us"))
+  }
+
+  val qLatenessAuditSql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us AS late_us
+      |  FROM e)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late_1m,
+      |  CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late_1h,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |FROM l GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_hourly" -> (qEventHourly _),
     "q33_sessionize" -> (qSessionize _),
-    "q88_retention_cohorts" -> (qRetentionCohorts _))
+    "q88_retention_cohorts" -> (qRetentionCohorts _),
+    "q141_lateness_audit" -> (qLatenessAudit _))
 
   val oracle: Map[String, String] = Map(
     "q32_event_hourly" -> qEventHourlySql,
     "q33_sessionize" -> qSessionizeSql,
-    "q88_retention_cohorts" -> qRetentionCohortsSql)
+    "q88_retention_cohorts" -> qRetentionCohortsSql,
+    "q141_lateness_audit" -> qLatenessAuditSql)
 }

@@ -12,6 +12,22 @@ import graft.TestSpark
 class TextStatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("corpus card: hand-computed datasheet row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_card").toString
+    Seq(
+      (1L, "a b", "en", "s1"), (2L, "a b", "en", "s1"),   // exact dup pair
+      (3L, "a b c", "en", "s2"), (4L, "x", "fr", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.qCorpusCard(spark, dir).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L)       // docs, tokens
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)       // sources, langs
+    assert(r.getDouble(4) == 75.0)                         // pct_en
+    assert(r.getDouble(5) == 2.0 && r.getDouble(6) == 2.0) // mean, p50
+    assert(r.getDouble(7) == 25.0)                         // pct_exact_dup
+  }
+
   test("bigram PMI matches hand-computed ln values") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_pmi").toString

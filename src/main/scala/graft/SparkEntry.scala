@@ -254,7 +254,8 @@ object SparkEntry {
     Relational.queries ++ Analytics.queries ++ graft.streaming.Events.queries ++
       TextOps.queries ++ Similarity.queries ++ Temporal.queries ++
       Windows.queries ++ Curation.queries ++ CrossCorpus.queries ++
-      Privacy.queries ++ Stats.queries ++ parseQueries ++ goldSqlQueries
+      Privacy.queries ++ Stats.queries ++ Retrieval.queries ++
+      parseQueries ++ goldSqlQueries
 
   /** Scale-default (xxhash64) spellings of queries whose ORACLE-GATED
     * versions use md5-portable hashing (q47/q48/q53/q56 — DuckDB can't
@@ -282,5 +283,6 @@ object SparkEntry {
     Relational.oracle ++ Analytics.oracle ++ graft.streaming.Events.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Temporal.oracle ++
       Windows.oracle ++ Curation.oracle ++ CrossCorpus.oracle ++
-      Privacy.oracle ++ Stats.oracle ++ parseOracle ++ goldSqlOracle
+      Privacy.oracle ++ Stats.oracle ++ Retrieval.oracle ++
+      parseOracle ++ goldSqlOracle
 }

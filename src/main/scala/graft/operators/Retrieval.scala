@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import Relational.{dsum, dsumSql}
+
+/** Lexical retrieval and corpus-graph operators over the `documents`
+  * table: BM25 scoring (the ranking function behind every sparse-retrieval
+  * / RAG candidate generator), first-occurrence n-gram novelty, and
+  * PageRank over the token co-occurrence graph. The reference's analytics
+  * stop at frequency tables (gold number_frequency etc.,
+  * sql/gold/README.md); these are the retrieval-grade extensions a
+  * training-data pipeline needs to select and weight documents.
+  *
+  * Scale shape: every operator is one or two bounded-key shuffles — token
+  * / shingle keys with map-side partial aggregation, vocabulary-sized
+  * iteration frames, broadcast corpus statistics. No all-pairs products,
+  * no driver-side loops over data.
+  */
+object Retrieval {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- q142
+
+  private val K1 = 1.2
+  private val B = 0.75
+  /** Fixed query-term set: three high-df terms plus the one rare token in
+    * the corpus ("dup", df≈5%), so the idf spread actually exercises the
+    * ranking — with uniform df BM25 degenerates to length-normalized tf.
+    */
+  private val QueryTerms = Seq("join", "window", "stream", "dup")
+
+  /** q142: BM25 top-20 documents for a fixed query-term set (k1=1.2,
+    * b=0.75, Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf). At scale this is
+    * the postings-side plan: tf rows exist only for (doc, query-term)
+    * matches — the isin filter cuts the exploded token stream before the
+    * (doc_id, token) aggregate — df/N/avgdl are broadcast one-row/|q|-row
+    * frames, and the final ranking is TakeOrdered top-20, never a global
+    * sort. The doc-length frame is the same one token-shuffle every other
+    * corpus statistic shares.
+    *
+    * Float determinism: idf and the tf normalizer are pure double
+    * arithmetic with identical operation order in both engines (ln agrees
+    * far past 9 decimals, q93 convention); each per-term contribution is
+    * cast to DECIMAL(18,9) so the per-doc sum is order-free, and the
+    * reported score rounds to 6.
+    */
+  def qBm25TopDocs(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), dsum(col("dl")).as("total_dl"))
+    val tf = tok.where(col("token").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * ((col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / avgdl))))
+    tf.join(broadcast(dft), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.cast(DecimalType(18, 9)).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("contrib")).cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val qBm25TopDocsSql: String = {
+    val terms = QueryTerms.map(q => s"'$q'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> ''),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n_docs, ${dsumSql("dl")} AS total_dl FROM dl),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+       |       WHERE token IN ($terms) GROUP BY 1, 2),
+       |dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |c AS (
+       |  SELECT tf.doc_id,
+       |    CAST(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |         ((CAST(tf.tf AS DOUBLE) * ${K1 + 1.0}) /
+       |          (tf.tf + $K1 * (${1.0 - B} + $B * (dl.dl / (s.total_dl / s.n_docs)))))
+       |      AS DECIMAL(18,9)) AS contrib
+       |  FROM tf
+       |  JOIN dft d USING (token)
+       |  JOIN dl USING (doc_id)
+       |  CROSS JOIN stats s)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  ROUND(CAST(CAST(SUM(contrib) AS VARCHAR) AS DOUBLE), 6) AS bm25
+       |FROM c GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q145
+
+  /** q145: first-occurrence n-gram novelty — for each document, the
+    * fraction of its distinct word-3-grams whose FIRST corpus occurrence
+    * (min doc_id) is this document. The "how much new text does this doc
+    * add" signal dedup-aware curation ranks ingestion batches by; docs
+    * made entirely of already-seen shingles score 0 and are near-dup /
+    * boilerplate suspects from a different angle than MinHash (q48):
+    * attribution is ORDERED (first writer wins), so the scores sum to the
+    * corpus's distinct-shingle count.
+    *
+    * Shape: the distinct (doc, shingle) posting list is built once
+    * (shared q45/q49/q90 spelling); one shingle-key shuffle for the
+    * min-owner table, one shingle-key join back, one doc-key aggregate.
+    * Novelty = exact integer ratio, rounded — no float pipeline at all.
+    */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))).as("shingle"))
+      .persist()
+    val firstSeen = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
+  val qNgramNoveltySql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, len(toks) - 2),
+      |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |       FROM d),
+      |fs AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  ROUND(CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS novelty
+      |FROM sh JOIN fs USING (shingle)
+      |GROUP BY sh.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q147
+
+  private val Damping = 0.85
+  private val PrIters = 3
+
+  /** q147: PageRank (3 unrolled iterations, d=0.85) over the directed
+    * token co-occurrence graph — nodes are vocabulary tokens, an edge
+    * u→v with weight c(u,v) for each observed consecutive bigram. The
+    * graph-centrality family next to q85's connected components: TextRank
+    * keyword weighting is exactly this graph. Dangling mass (tokens with
+    * no out-edge) is dropped, the standard simplified formulation — ranks
+    * then sum to < 1, which is fine for ranking; the docstring of the
+    * oracle mirrors the same choice.
+    *
+    * Scale shape: the corpus is touched ONCE (bigram count aggregate —
+    * token-pair keys, map-side combine); every iteration after that joins
+    * vocabulary-sized frames (|V| ranks × |V|² worst-case edges, both
+    * bounded by vocabulary not corpus size, both persisted). Iterations
+    * are a fixed unrolled chain, so at 100 TB each round is one shuffle of
+    * the edge frame; a doc-link-graph variant would swap the edge builder
+    * and add the q85 localCheckpoint lineage cut. Per-contribution
+    * DECIMAL(18,9) rounding keeps every Σ order-free (q93 convention);
+    * out-weight fractions are exact integer ratios evaluated in identical
+    * order in both engines.
+    */
+  def qTokenPagerank(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2) // sequence(0,-1) would run DESCENDING
+      .select(expr(
+        "filter(transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] as src, toks[i + 1] as dst)), " +
+          "p -> p.src <> '' AND p.dst <> '')").as("pairs"))
+      .select(explode(col("pairs")).as("p"))
+      .select(col("p.src"), col("p.dst"))
+    val edges = toks.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      .persist()
+    val outW = edges.groupBy(col("src")).agg(sum(col("c")).as("out_c"))
+    val e = edges.join(outW, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("c").cast("double") / col("out_c")).as("frac"))
+      .persist()
+    val nodes = edges.select(col("src").as("token"))
+      .union(edges.select(col("dst").as("token"))).distinct().persist()
+    val nV = nodes.count() // bounded: |vocabulary|, a metadata-sized count
+    val init = nodes.withColumn("pr", lit(1.0 / nV))
+    val ranks = (1 to PrIters).foldLeft(init) { (pr, _) =>
+      val contribs = pr.join(e, pr("token") === e("src"))
+        .select(col("dst").as("token"),
+          (col("pr") * col("frac")).cast(DecimalType(18, 9)).as("w"))
+        .groupBy(col("token"))
+        .agg(sum(col("w")).cast("double").as("in_w"))
+      nodes.join(contribs, Seq("token"), "left")
+        .select(col("token"),
+          (lit((1.0 - Damping) / nV) +
+            lit(Damping) * coalesce(col("in_w"), lit(0.0))).as("pr"))
+    }
+    ranks.select(col("token"), round(col("pr"), 9).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("token").asc)
+      .limit(20)
+  }
+
+  val qTokenPagerankSql: String = {
+    // Teleport MUST subtract in DOUBLE: the bare literal spelling
+    // (1.0 - 0.85) is exact DECIMAL 0.15 in DuckDB, while IEEE
+    // double(1.0) - double(0.85) = 0.15000000000000002 — a different
+    // double, and the one Spark's lit((1.0 - Damping) / nV) bakes in.
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (
+         |  SELECT n.token,
+         |    (CAST(1.0 AS DOUBLE) - $Damping) / (SELECT v FROM nv)
+         |      + $Damping * COALESCE(c.in_w, 0.0) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS token,
+         |      CAST(CAST(SUM(CAST(p.pr * e.frac AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS in_w
+         |    FROM $prev p JOIN e ON e.src = p.token
+         |    GROUP BY e.dst) c USING (token))""".stripMargin
+    s"""WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+       |pairs AS (
+       |  SELECT u.pr[1] AS src, u.pr[2] AS dst FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |      i -> [tk[i], tk[i + 1]])) AS pr
+       |    FROM d WHERE len(tk) >= 2) u
+       |  WHERE u.pr[1] <> '' AND u.pr[2] <> ''),
+       |edges AS (SELECT src, dst, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+       |outw AS (SELECT src, SUM(c) AS out_c FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, edges.dst, CAST(edges.c AS DOUBLE) / outw.out_c AS frac
+       |      FROM edges JOIN outw USING (src)),
+       |nodes AS (SELECT src AS token FROM edges
+       |          UNION SELECT dst AS token FROM edges),
+       |nv AS (SELECT COUNT(*) AS v FROM nodes),
+       |pr0 AS (SELECT token, 1.0 / (SELECT v FROM nv) AS pr FROM nodes),
+       |${iter("pr0", "pr1")},
+       |${iter("pr1", "pr2")},
+       |${iter("pr2", "pr3")}
+       |SELECT token, ROUND(pr, 9) AS pagerank FROM pr3
+       |ORDER BY pagerank DESC, token ASC LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_bm25_topdocs" -> (qBm25TopDocs _),
+    "q145_ngram_novelty" -> (qNgramNovelty _),
+    "q147_token_pagerank" -> (qTokenPagerank _))
+
+  val oracle: Map[String, String] = Map(
+    "q142_bm25_topdocs" -> qBm25TopDocsSql,
+    "q145_ngram_novelty" -> qNgramNoveltySql,
+    "q147_token_pagerank" -> qTokenPagerankSql)
+}

@@ -801,7 +801,62 @@ object Similarity {
        |FROM hits GROUP BY query_id""".stripMargin
   }
 
+  /** q144: per-dimension embedding audit — count, mean, variance, min,
+    * max, and zero fraction for each of the 64 vector components. The
+    * feature-store QA report that catches dead dimensions (var = 0),
+    * mis-scaled components, and all-zero padding before a training run
+    * reads the table. One posexplode + one hash aggregate keyed on `pos`
+    * (bounded domain = vector dimensionality), partial-aggregated
+    * map-side, so the shuffle carries dims × partitions rows regardless
+    * of corpus size.
+    *
+    * Float determinism: means and power sums follow the shared decimal
+    * convention — v through DECIMAL(18,6), v² through round(v*v, 6)
+    * BEFORE the decimal sum (a decimal×decimal square would bind
+    * different intermediate scales in the two engines); min/max of
+    * float-widened doubles are exact, no rounding needed.
+    */
+  def qDimStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos0", "v0")))
+      .select((col("pos0") + 1).cast("int").as("pos"), col("v0").cast("double").as("v"))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(dsum(col("v")) / count(lit(1)), 6).as("mean_v"),
+        round(
+          sum(round(col("v") * col("v"), 6).cast(DecimalType(28, 6))).cast("double")
+            / count(lit(1))
+            - (dsum(col("v")) / count(lit(1))) * (dsum(col("v")) / count(lit(1))),
+          6).as("var_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        round(lit(100.0) * sum(when(col("v") === 0.0, 1L).otherwise(0L))
+          / count(lit(1)), 4).as("pct_zero"))
+  }
+
+  val qDimStatsSql: String =
+    """WITH x AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings)
+      |SELECT pos, COUNT(*) AS n_vecs,
+      |  ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |        / COUNT(*), 6) AS mean_v,
+      |  ROUND(CAST(CAST(SUM(CAST(ROUND(v * v, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+      |          / COUNT(*)
+      |        - (CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*))
+      |          * (CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)),
+      |    6) AS var_v,
+      |  MIN(v) AS min_v,
+      |  MAX(v) AS max_v,
+      |  ROUND(CAST(100.0 AS DOUBLE) * SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END)
+      |        / COUNT(*), 4) AS pct_zero
+      |FROM x GROUP BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_dim_stats" -> (qDimStats _),
     "q137_recall_audit" -> (qRecallAudit _),
     "q118_random_projection" -> (qRandomProjection _),
     "q104_cluster_silhouette" -> (qClusterSilhouette _),
@@ -814,6 +869,7 @@ object Similarity {
     "q102_semdedup_prune" -> (qSemdedupPrune _))
 
   val oracle: Map[String, String] = Map(
+    "q144_dim_stats" -> qDimStatsSql,
     "q137_recall_audit" -> qRecallAuditSql,
     "q118_random_projection" -> qRandomProjectionSql,
     "q104_cluster_silhouette" -> qClusterSilhouetteSql,

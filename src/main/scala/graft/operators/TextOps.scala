@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1825,7 +1826,153 @@ object TextOps {
       |        md5(text) AS h
       |      FROM documents)""".stripMargin
 
+  /** q143: MinHash estimator audit — for every LSH candidate pair (≥1 of
+    * 8 band agreements, the q56 candidate set), the signature-estimated
+    * Jaccard (matching components / 32) next to the EXACT shingle-set
+    * Jaccard, with the absolute error. The measurement that justifies the
+    * dedup threshold: MinHash theory says E[est] = J with σ = √(J(1−J)/k),
+    * and this query is the empirical check — the sibling of q137's ANN
+    * recall audit, for the dedup family.
+    *
+    * Scale shape: candidates come from band-bucket equality (never
+    * all-pairs); the exact-Jaccard side is computed ONLY for docs that
+    * appear in some candidate pair (semi-join cut of the posting list
+    * before the shingle self-join), so its cost is |candidates|-bounded,
+    * not corpus-bounded. All similarity math is exact integer ratios in
+    * double (k/32 and c/(a+b−c) are single IEEE divisions — deterministic
+    * without rounding, the q49 convention).
+    */
+  def qMinhashErrorAudit(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesDistinct(t(s, dir, "documents")).persist()
+    val mins = (0 until MinhashK).map(i =>
+      min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until MinhashBands).map { b =>
+      md5(concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).cast("binary"))
+        .as(s"band$b")
+    }
+    val sigB = sig.select(col("doc_id") +:
+      ((0 until MinhashK).map(i => col(s"m$i")) ++ bands): _*).persist()
+    val banded = sigB.select(col("doc_id"),
+      explode(array((0 until MinhashBands).map(b =>
+        struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b"), col("bk.k"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigA = sigB.select(col("doc_id").as("doc_a") +:
+      (0 until MinhashK).map(i => col(s"m$i").as(s"am$i")): _*)
+    val sigC = sigB.select(col("doc_id").as("doc_b") +:
+      (0 until MinhashK).map(i => col(s"m$i").as(s"bm$i")): _*)
+    val matches = (0 until MinhashK)
+      .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand.join(sigA, Seq("doc_a")).join(sigC, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / lit(MinhashK)).as("est_jaccard"))
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val keep = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").persist()
+    val sizes = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = keep.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    est
+      .join(common, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+  }
+
+  val qMinhashErrorAuditSql: String = {
+    val bandOr = (0 until MinhashBands).map(b => s"a.band$b = b.band$b").mkString(" OR ")
+    val matchSum = (0 until MinhashK)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val bandDefs = (0 until MinhashBands).map { b =>
+      val parts = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")
+      s"md5($parts) AS band$b"
+    }.mkString(",\n    ")
+    val minDefs = (0 until MinhashK)
+      .map(i => s"MIN(md5('$i:' || shingle)) AS m$i").mkString(",\n    ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         generate_series(1, len(toks) - 2),
+       |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+       |       FROM d),
+       |m AS (SELECT doc_id,
+       |    $minDefs
+       |  FROM sh GROUP BY doc_id),
+       |sig AS (SELECT *,
+       |    $bandDefs
+       |  FROM m),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST($matchSum AS DOUBLE) / $MinhashK AS est_jaccard
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id < b.doc_id AND ($bandOr)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |com AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM sh a JOIN sh b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, c.est_jaccard,
+       |  CAST(COALESCE(cm.common, 0) AS DOUBLE)
+       |    / (sa.n_sh + sb.n_sh - COALESCE(cm.common, 0)) AS jaccard,
+       |  ABS(c.est_jaccard - CAST(COALESCE(cm.common, 0) AS DOUBLE)
+       |    / (sa.n_sh + sb.n_sh - COALESCE(cm.common, 0))) AS abs_err
+       |FROM cand c
+       |LEFT JOIN com cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b""".stripMargin
+  }
+
+  /** q146: dedup survivor selection — the DECISION step after exact-dup
+    * grouping: within each content-hash group keep the best document
+    * (longest, then lowest doc_id — a deterministic quality proxy), and
+    * report the per-source keep/remove ledger a curation run logs. One
+    * hash-key window (row_number over md5(text) groups, skew-free by
+    * construction — group size = dup multiplicity) and one bounded
+    * source-key aggregate.
+    */
+  def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") =!= 1, 1L).otherwise(0L)).as("n_removed"),
+        round(lit(100.0) * sum(when(col("rk") =!= 1, 1L).otherwise(0L))
+          / count(lit(1)), 4).as("pct_removed"))
+  }
+
+  val qDedupSurvivorsSql: String =
+    """WITH r AS (
+      |  SELECT source,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rk <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  ROUND(CAST(100.0 AS DOUBLE) * SUM(CASE WHEN rk <> 1 THEN 1 ELSE 0 END)
+      |        / COUNT(*), 4) AS pct_removed
+      |FROM r GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_minhash_error_audit" -> (qMinhashErrorAudit _),
+    "q146_dedup_survivors" -> (qDedupSurvivors _),
     "q140_corpus_card" -> (qCorpusCard _),
     "q139_bigram_pmi" -> (qBigramPmi _),
     "q131_bpe_merge_step" -> (qBpeMergeStep _),
@@ -1866,6 +2013,8 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q143_minhash_error_audit" -> qMinhashErrorAuditSql,
+    "q146_dedup_survivors" -> qDedupSurvivorsSql,
     "q140_corpus_card" -> qCorpusCardSql,
     "q139_bigram_pmi" -> qBigramPmiSql,
     "q131_bpe_merge_step" -> qBpeMergeStepSql,

@@ -162,7 +162,49 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_orderpriority, year(o_orderdate)
       |             ORDER BY month(o_orderdate) ASC)""".stripMargin
 
+  /** q148: time-RANGE window frame — for each event, how many events the
+    * same user fired in the strictly-preceding 10 minutes (RANGE on the
+    * µs axis, not ROWS: the frame is value-bounded, so bursts and ties
+    * are handled by time, not row position — a rate-limit / burst-detect
+    * primitive ROWS frames cannot express). Reported as the per-type
+    * burst profile: events, mean preceding count, max, and the share of
+    * events with a non-quiet 10-minute history.
+    *
+    * Scale shape: one shuffle on user_id, per-partition sort on the µs
+    * key, O(window) frame state; the rollup is a bounded event_type hash
+    * aggregate. The µs axis is the shared convention — this parquet's ns
+    * timestamps truncate to µs identically in both engines (ts DIV 1000
+    * here, epoch_us(ts) in DuckDB).
+    */
+  def qRangeFrameBurst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-600000000L, -1L)
+    t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), expr("ts DIV 1000").as("us"))
+      .withColumn("preceding_10m", count(lit(1)).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(dsum(col("preceding_10m")) / count(lit(1)), 6).as("avg_preceding"),
+        max(col("preceding_10m")).as("max_preceding"),
+        round(lit(100.0) * sum(when(col("preceding_10m") > 0, 1L).otherwise(0L))
+          / count(lit(1)), 4).as("pct_bursty"))
+  }
+
+  val qRangeFrameBurstSql: String =
+    s"""WITH x AS (
+       |  SELECT event_type,
+       |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |      RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING) AS preceding_10m
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n_events,
+       |  ROUND(${dsumSql("preceding_10m")} / COUNT(*), 6) AS avg_preceding,
+       |  MAX(preceding_10m) AS max_preceding,
+       |  ROUND(CAST(100.0 AS DOUBLE) * SUM(CASE WHEN preceding_10m > 0 THEN 1 ELSE 0 END)
+       |        / COUNT(*), 4) AS pct_bursty
+       |FROM x GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_range_frame_burst" -> (qRangeFrameBurst _),
     "q77_window_running" -> (qWindowRunning _),
     "q87_rank_stats" -> (qRankStats _),
     "q78_lag_gap" -> (qLagGap _),
@@ -170,6 +212,7 @@ object Windows {
     "q80_moving_avg" -> (qMovingAvg _))
 
   val oracle: Map[String, String] = Map(
+    "q148_range_frame_burst" -> qRangeFrameBurstSql,
     "q77_window_running" -> qWindowRunningSql,
     "q87_rank_stats" -> qRankStatsSql,
     "q78_lag_gap" -> qLagGapSql,

@@ -166,6 +166,44 @@ class DedupSpec extends AnyFunSuite {
     assert(star == prop)
   }
 
+  test("q143 estimator audit: exact dups estimate 1.0 with zero error; est within MinHash bounds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mherr").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.qMinhashErrorAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // the planted exact-dup pairs are candidates with est = exact = 1.0
+    assert(got((20L, 200L)) == ((1.0, 1.0, 0.0)))
+    assert(got((21L, 201L)) == ((1.0, 1.0, 0.0)))
+    // every estimate is a k/32 fraction; errors bounded (k=32 -> sigma
+    // <= 0.088, planted pairs have J ~ 0.9; 4 sigma is a safe spec bound)
+    got.values.foreach { case (est, j, err) =>
+      assert(est >= 0.0 && est <= 1.0 && (est * 32).round / 32.0 == est)
+      assert(err == math.abs(est - j))
+    }
+    val planted = got.filter(kv => plantedPairs.contains(kv._1))
+    assert(planted.nonEmpty)
+    assert(planted.values.forall { case (_, _, err) => err <= 4 * 0.09 })
+  }
+
+  test("q146 survivors: keep longest then lowest id; per-source ledger") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_surv").toString
+    Seq(
+      (1L, "x", "s1", 5L), (2L, "x", "s1", 7L), (3L, "x", "s2", 7L),
+      (4L, "y", "s2", 3L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // group "x" orders (2: 7 chars) < (3: 7 chars, higher id) < (1: 5) ->
+    // keep doc 2 (s1); remove doc 3 (s2) and doc 1 (s1). "y": keep doc 4.
+    val got = TextOps.qDedupSurvivors(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("s1") == ((2L, 1L, 1L, 50.0)))
+    assert(got("s2") == ((2L, 1L, 1L, 50.0)))
+  }
+
   test("langid query is deterministic and covers every language") {
     val a = TextOps.qLangId(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -148,6 +148,18 @@ class PlanSpec extends AnyFunSuite {
       "partials must be persisted — modes and sums must not re-scan customer")
   }
 
+  test("q142 BM25 ranks via TakeOrderedAndProject with broadcast statistics") {
+    val p = executedPlan("q142_bm25_topdocs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"), p)
+  }
+
+  test("q147 PageRank iterates over the persisted edge frame, never re-scanning the corpus") {
+    val p = executedPlan("q147_token_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+      "edge/rank frames must be persisted — iterations must not re-aggregate the corpus")
+  }
+
   test("no registered query plans a UDF or python-eval node") {
     // Structural codegen guard over the WHOLE surface: Scala UDFs plan as
     // ScalaUDF (opaque to codegen), python paths as BatchEvalPython /

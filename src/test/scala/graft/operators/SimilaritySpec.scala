@@ -211,4 +211,19 @@ class SimilaritySpec extends AnyFunSuite {
       assert(found >= 0 && found <= k && recall >= 0.0 && recall <= 1.0)
     }
   }
+
+  test("q144 dim stats: hand-computed per-dimension audit incl. a zero lane") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dims").toString
+    Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.qDimStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // pos 1: {1,3} mean 2, var (1+9)/2-4 = 1; pos 2: {0,4} mean 2,
+    // var (0+16)/2-4 = 4, half zeros
+    assert(got(1) == ((2L, 2.0, 1.0, 1.0, 3.0, 0.0)))
+    assert(got(2) == ((2L, 2.0, 4.0, 0.0, 4.0, 50.0)))
+  }
 }

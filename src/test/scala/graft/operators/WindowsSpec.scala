@@ -64,4 +64,35 @@ class WindowsSpec extends AnyFunSuite {
       .where(col("mlo") < col("lo") || col("mhi") > col("hi"))
     assert(bad.isEmpty)
   }
+
+  test("q148 RANGE frame: strictly-preceding 10-minute window, hand-computed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
+    val min5 = 300000000000L // 5 min in ns
+    // u1: t=0, t=5min (sees the first), t=20min (10-min lookback empty);
+    // u2: one event — isolation across users
+    Seq(
+      (1L, 0L, 1L, "c", 1.0), (2L, min5, 1L, "c", 1.0),
+      (3L, 4 * min5, 1L, "c", 1.0), (4L, min5, 2L, "c", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Windows.qRangeFrameBurst(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))).toList
+    // preceding counts: 0, 1, 0, 0 -> avg 0.25, max 1, 25% bursty
+    assert(got == List(("c", 4L, 0.25, 1L, 25.0)))
+  }
+
+  test("q148 RANGE vs ROWS: simultaneous events are frame peers, not predecessors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_range2").toString
+    // two events at the SAME instant: a ROWS -1 frame would count one of
+    // them as preceding the other; the value-bounded RANGE frame must not
+    Seq((1L, 1000L, 1L, "c", 1.0), (2L, 1000L, 1L, "c", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Windows.qRangeFrameBurst(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toList
+    assert(got == List(("c", 2L, 0.0, 0L)))
+  }
 }

@@ -370,7 +370,112 @@ object Stats {
       |  ROUND((b - s * s / n) / (q - s * s / n), 6) AS eta_sq
       |FROM a""".stripMargin
 
+  /** q149: exact trimmed mean — per event type, the mean of `value`
+    * with the lowest and highest 5% of observations (by exact rank)
+    * removed, next to the untrimmed mean. The robust-location statistic
+    * that q113's median+MAD family lacks: it answers "how much do the
+    * tails move my mean", the outlier-damage gauge for reward / metric
+    * columns before training on them.
+    *
+    * Scale shape: one shuffle on event_type (bounded groups), a
+    * per-partition rank window with a unique (value, event_id)
+    * tiebreak, then one aggregate over the same partitioning — the
+    * second window pass reuses the first's exchange. Trim bounds are
+    * integer arithmetic (n*5 DIV 100), never a float percentile; sums
+    * accumulate as decimal.
+    */
+  def qTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import Relational.dsum
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("cut", expr("n * 5 DIV 100"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        round(dsum(col("value")) / count(lit(1)), 6).as("mean_v"),
+        round(
+          sum(when(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"),
+            col("value").cast(DecimalType(18, 6)))).cast("double")
+            / sum(when(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"),
+              1L).otherwise(0L)),
+          6).as("trimmed_mean"))
+  }
+
+  val qTrimmedMeanSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value ASC, event_id ASC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |c AS (SELECT *, n * 5 // 100 AS cut FROM r)
+      |SELECT event_type, MAX(n) AS n,
+      |  ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |        / COUNT(*), 6) AS mean_v,
+      |  ROUND(CAST(CAST(SUM(CASE WHEN rk > cut AND rk <= n - cut
+      |                THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+      |        / SUM(CASE WHEN rk > cut AND rk <= n - cut THEN 1 ELSE 0 END),
+      |    6) AS trimmed_mean
+      |FROM c GROUP BY event_type""".stripMargin
+
+  /** q151: event-type co-occurrence lift — for every unordered pair of
+    * event types, how much more (or less) often users fire both than
+    * independence predicts: lift = n_ab·n_users / (n_a·n_b) over the
+    * per-user distinct-type sets. The market-basket association measure
+    * behind "users who do X also do Y", and a drift screen for product
+    * funnels. Numerator/denominator are exact integers; the single
+    * division is one IEEE op.
+    *
+    * Scale shape: one shuffle to distinct (user, type) — per-user
+    * fanout is bounded by the type-domain size (5), so the self-join on
+    * user_id expands each user to ≤ C(5,2) pair rows, never a blowup;
+    * type marginals are a bounded broadcast.
+    */
+  def qTypeAffinity(s: SparkSession, dir: String): DataFrame = {
+    val ut = t(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct().persist()
+    val nUsers = ut.select(countDistinct(col("user_id")).as("n_users"))
+    val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("n_t").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("n_t").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+        round((col("n_ab") * col("n_users")).cast("double")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
+  val qTypeAffinitySql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+      |marg AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_ab
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, ma.n_t AS n_a, mb.n_t AS n_b, p.n_ab,
+      |  ROUND(CAST(p.n_ab * nu.n_users AS DOUBLE) / (ma.n_t * mb.n_t), 6) AS lift
+      |FROM pairs p
+      |JOIN marg ma ON ma.event_type = p.type_a
+      |JOIN marg mb ON mb.event_type = p.type_b
+      |CROSS JOIN nu""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_trimmed_mean" -> (qTrimmedMean _),
+    "q151_type_affinity" -> (qTypeAffinity _),
     "q124_group_ols" -> (qGroupOls _),
     "q125_mode_moments" -> (qModeMoments _),
     "q127_rolling_anomaly" -> (qRollingAnomaly _),
@@ -378,6 +483,8 @@ object Stats {
     "q133_anova" -> (qAnova _))
 
   val oracle: Map[String, String] = Map(
+    "q149_trimmed_mean" -> qTrimmedMeanSql,
+    "q151_type_affinity" -> qTypeAffinitySql,
     "q124_group_ols" -> qGroupOlsSql,
     "q125_mode_moments" -> qModeMomentsSql,
     "q127_rolling_anomaly" -> qRollingAnomalySql,

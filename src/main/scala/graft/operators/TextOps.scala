@@ -1970,7 +1970,78 @@ object TextOps {
       |        / COUNT(*), 4) AS pct_removed
       |FROM r GROUP BY source""".stripMargin
 
+  /** q150: LSH threshold sweep — the candidate-pair count at every
+    * band-agreement threshold t = 1..8, from the q56 candidate table.
+    * The operational tuning curve for the dedup pipeline: raising the
+    * required band agreements trades recall for candidate volume, and
+    * this is the measurement that picks the threshold before a 100 TB
+    * run. Each pair contributes one row per threshold it clears
+    * (explode of sequence(1, n_bands) — row-local), so the aggregate is
+    * a bounded 8-row frame; thresholds no pair reaches are absent in
+    * both engines by the same construction.
+    */
+  def qLshThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    qMinhashCandidatePairs(s, dir)
+      .select(explode(expr("sequence(1, n_bands)")).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  val qLshThresholdSweepSql: String =
+    s"""WITH p AS (
+       |${qMinhashCandidatePairsSql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT CAST(t AS BIGINT) AS threshold, COUNT(*) AS n_pairs
+       |FROM (SELECT unnest(generate_series(1, CAST(n_bands AS INTEGER))) AS t FROM p)
+       |GROUP BY 1""".stripMargin
+
+  /** q152: token-weighted median document length — per source, the
+    * smallest length L such that documents of length ≤ L hold at least
+    * half the source's TOKENS (2·cumsum ≥ total, cross-multiplied
+    * integers — no float percentile). The packing statistic a sequence-
+    * packing run (q98) sizes its context windows with: the unweighted
+    * median says where the median DOCUMENT is, this says where the
+    * median TOKEN lives, and long-tail corpora put them far apart.
+    *
+    * Scale shape: one shuffle on source for the cumulative window
+    * (unique (n_toks, doc_id) order), then a bounded source-key
+    * aggregate; everything is exact integer arithmetic.
+    */
+  def qWeightedMedianLen(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_toks").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("total",
+        sum(col("n_toks")).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("total")).as("total_tokens"),
+        min(when(col("cum") * 2 >= col("total"), col("n_toks")))
+          .as("wmedian_len"))
+  }
+
+  val qWeightedMedianLenSql: String =
+    """WITH x AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_toks,
+      |    SUM(n_toks) OVER (PARTITION BY source
+      |      ORDER BY n_toks ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(n_toks) OVER (PARTITION BY source) AS total
+      |  FROM x)
+      |SELECT source, CAST(MAX(total) AS BIGINT) AS total_tokens,
+      |  CAST(MIN(CASE WHEN cum * 2 >= total THEN n_toks END) AS BIGINT)
+      |    AS wmedian_len
+      |FROM c GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_lsh_threshold_sweep" -> (qLshThresholdSweep _),
+    "q152_weighted_median_len" -> (qWeightedMedianLen _),
     "q143_minhash_error_audit" -> (qMinhashErrorAudit _),
     "q146_dedup_survivors" -> (qDedupSurvivors _),
     "q140_corpus_card" -> (qCorpusCard _),
@@ -2013,6 +2084,8 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q150_lsh_threshold_sweep" -> qLshThresholdSweepSql,
+    "q152_weighted_median_len" -> qWeightedMedianLenSql,
     "q143_minhash_error_audit" -> qMinhashErrorAuditSql,
     "q146_dedup_survivors" -> qDedupSurvivorsSql,
     "q140_corpus_card" -> qCorpusCardSql,

@@ -204,6 +204,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got("s2") == ((2L, 1L, 1L, 50.0)))
   }
 
+  test("q150 threshold sweep: counts monotone non-increasing; exact dups survive t=8") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.qLshThresholdSweep(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical text -> identical signature -> all 8 bands agree: the two
+    // planted exact-dup pairs must clear every threshold
+    assert(got(8L) >= 2L)
+    val counts = (1L to 8L).map(t => got.getOrElse(t, 0L))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // t=1 is exactly the q56 candidate-pair count
+    assert(got(1L) == TextOps.qMinhashCandidatePairs(spark, dir).count())
+  }
+
   test("langid query is deterministic and covers every language") {
     val a = TextOps.qLangId(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

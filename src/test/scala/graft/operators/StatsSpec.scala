@@ -123,4 +123,38 @@ class StatsSpec extends AnyFunSuite {
     val z = (100.0 - mean) / math.sqrt(687.0 / 7 - mean * mean)
     assert(math.abs(r.getDouble(3) - math.rint(z * 1e6) / 1e6) < 1e-9)
   }
+
+  test("q149 trimmed mean: 5% rank cut removes exactly the tails") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_trim").toString
+    // 20 obs: 1..19 plus a 1000 outlier. cut = 20*5//100 = 1 -> drop rank 1
+    // (value 1) and rank 20 (value 1000): trimmed = mean(2..19) = 10.5
+    val rows = ((1 to 19).map(i => (i.toLong, i.toDouble)) :+ (20L, 1000.0))
+      .map { case (id, v) => (id, 0L, 1L, "t", v) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Stats.qTrimmedMean(spark, dir).collect().head
+    assert(r.getString(0) == "t" && r.getLong(1) == 20L)
+    assert(r.getDouble(2) == (190.0 + 1000.0) / 20) // raw mean dragged to 59.5
+    assert(r.getDouble(3) == 10.5)                  // trimmed mean is not
+  }
+
+  test("q151 lift: hand-computed 2x2 co-occurrence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lift").toString
+    // u1{a,b} u2{a} u3{b} u4{a,b}: n_users=4, n_a=n_b=3, n_ab=2
+    // lift = 2*4/(3*3) = 0.888889
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "b"), (4L, "a"),
+      (4L, "b"), (4L, "b")) // duplicate (4,b) event must not double-count
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, 0L, u, t, 1.0) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Stats.qTypeAffinity(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getString(0), row.getString(1)) == (("a", "b")))
+    assert((row.getLong(2), row.getLong(3), row.getLong(4)) == ((3L, 3L, 2L)))
+    assert(row.getDouble(5) == BigDecimal(8.0 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

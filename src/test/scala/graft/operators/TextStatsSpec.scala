@@ -104,4 +104,20 @@ class TextStatsSpec extends AnyFunSuite {
     // -ln(0.5) = 0.693... -> 0.69
     assert(row.getLong(1) == 1L && row.getDouble(2) == 0.69)
   }
+
+  test("q152 weighted median length: median token, not median document") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wmed").toString
+    // s1: lengths 1,1,8 -> total 10, cumsums 1,2,10: first 2*cum>=10 is
+    // the 8-token doc (the DOCUMENT median is 1). s2: 2,2 -> wmedian 2.
+    Seq(
+      (1L, "a", "s1"), (2L, "b", "s1"), (3L, "c c c c c c c c", "s1"),
+      (4L, "d d", "s2"), (5L, "e e", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.qWeightedMedianLen(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("s1") == ((10L, 8L)))
+    assert(got("s2") == ((4L, 2L)))
+  }
 }

@@ -460,7 +460,90 @@ object Temporal {
       |  CAST(MAX(latency_us) AS BIGINT) AS max_us
       |FROM conv""".stripMargin
 
+  private val DayNs = 86400000000000L
+
+  /** q153: gap-filling linear interpolation — the daily value total per
+    * event type, with event-free days filled by the straight line
+    * between the nearest observed neighbors (the standard timeseries
+    * repair before feeding a model that assumes a dense axis; forward-
+    * fill (q58) repeats the past, this splits the difference). The day
+    * grid is scaffolded PER TYPE from that type's own [min, max]
+    * observed span, so every missing day has both neighbors by
+    * construction and edge extrapolation never happens.
+    *
+    * Scale shape: daily rollup aggregates below everything (one
+    * corpus-sized shuffle, map-side combined); the grid explode and
+    * both neighbor windows run on the bounded (type × day-span) frame,
+    * partitioned by type. Neighbor lookup is last/first IGNORE NULLS
+    * over the in-partition sort — O(1) window state, no self-join.
+    * Interpolation arithmetic: identical double op order in both
+    * engines; the day fraction is bigint/bigint (one IEEE division);
+    * result rounds to 6.
+    */
+  def qInterpolateGaps(s: SparkSession, dir: String): DataFrame = {
+    import Relational.dsum
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
+      .agg(dsum(col("value")).as("v"))
+      .persist()
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day_idx"))
+    val full = grid.join(daily, Seq("event_type", "day_idx"), "left")
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    full
+      .withColumn("d_prev", last(when(col("v").isNotNull, col("day_idx")), ignoreNulls = true).over(wPrev))
+      .withColumn("v_prev", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("d_next", first(when(col("v").isNotNull, col("day_idx")), ignoreNulls = true).over(wNext))
+      .withColumn("v_next", first(col("v"), ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("day_idx"),
+        round(coalesce(col("v"),
+          col("v_prev") + (col("v_next") - col("v_prev")) *
+            ((col("day_idx") - col("d_prev")) / (col("d_next") - col("d_prev")))),
+          6).as("value"),
+        col("v").isNull.as("interpolated"))
+  }
+
+  val qInterpolateGapsSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_idx,
+       |    ${Relational.dsumSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, unnest(generate_series(mn, mx)) AS day_idx
+       |  FROM (SELECT event_type, MIN(day_idx) AS mn, MAX(day_idx) AS mx
+       |        FROM daily GROUP BY 1)),
+       |filled AS (
+       |  SELECT g.event_type, g.day_idx, d.v
+       |  FROM grid g LEFT JOIN daily d
+       |    ON d.event_type = g.event_type AND d.day_idx = g.day_idx),
+       |n AS (
+       |  SELECT event_type, day_idx, v,
+       |    last_value(CASE WHEN v IS NOT NULL THEN day_idx END IGNORE NULLS)
+       |      OVER (PARTITION BY event_type ORDER BY day_idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS d_prev,
+       |    last_value(v IGNORE NULLS)
+       |      OVER (PARTITION BY event_type ORDER BY day_idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_prev,
+       |    first_value(CASE WHEN v IS NOT NULL THEN day_idx END IGNORE NULLS)
+       |      OVER (PARTITION BY event_type ORDER BY day_idx
+       |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS d_next,
+       |    first_value(v IGNORE NULLS)
+       |      OVER (PARTITION BY event_type ORDER BY day_idx
+       |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v_next
+       |  FROM filled)
+       |SELECT event_type, day_idx,
+       |  ROUND(COALESCE(v,
+       |    v_prev + (v_next - v_prev) * ((day_idx - d_prev) / (d_next - d_prev))),
+       |    6) AS value,
+       |  v IS NULL AS interpolated
+       |FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_interpolate_gaps" -> (qInterpolateGaps _),
     "q138_conversion_latency" -> (qConversionLatency _),
     "q57_range_join" -> (qRangeJoin _),
     "q58_asof_join" -> (qAsofJoin _),
@@ -471,6 +554,7 @@ object Temporal {
     "q136_debounce" -> (qDebounce _))
 
   val oracle: Map[String, String] = Map(
+    "q153_interpolate_gaps" -> qInterpolateGapsSql,
     "q57_range_join" -> qRangeJoinSql,
     "q58_asof_join" -> qAsofJoinSql,
     "q74_scd2_history" -> qScd2HistorySql,

@@ -2039,7 +2039,118 @@ object TextOps {
       |    AS wmedian_len
       |FROM c GROUP BY source""".stripMargin
 
+  /** q154: cross-source n-gram containment matrix — for every source
+    * pair, the distinct-3-gram overlap and both directed containments
+    * (|A∩B|/|A|, |A∩B|/|B|). The source-level diversity heatmap: q105
+    * counts exact-dup DOCS across sources, this measures phrase-level
+    * leakage even when no document is copied whole — the signal that
+    * two "different" crawls share a boilerplate substrate.
+    *
+    * Scale shape: the corpus aggregates to distinct (source, shingle)
+    * first (one content-key shuffle); the pair join fans each shingle
+    * out to at most C(|sources|, 2) rows — bounded by the source
+    * DOMAIN, not corpus size — and the result frame is |sources|²/2.
+    */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("source"), explode(array_distinct(shingleArr)).as("shingle"))
+      .distinct()
+      .persist()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    ss.as("a").join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("common"),
+        round(col("common").cast("double") / col("n_a"), 6).as("containment_a"),
+        round(col("common").cast("double") / col("n_b"), 6).as("containment_b"))
+  }
+
+  val qSourceOverlapSql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |ss AS (SELECT DISTINCT source, shingle FROM (
+      |         SELECT source, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(toks) - 2),
+      |           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |         FROM d)),
+      |sizes AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+      |  FROM ss a JOIN ss b
+      |    ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b, sa.n_sh AS n_a, sb.n_sh AS n_b, p.common,
+      |  ROUND(CAST(p.common AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+      |  ROUND(CAST(p.common AS DOUBLE) / sb.n_sh, 6) AS containment_b
+      |FROM pairs p
+      |JOIN sizes sa ON sa.source = p.source_a
+      |JOIN sizes sb ON sb.source = p.source_b""".stripMargin
+
+  /** q155: positional-token template screen — for each of the first 10
+    * token positions, how concentrated the corpus is at that position:
+    * distinct tokens, the modal token (count-desc, then lexicographic —
+    * a total order, so the mode is unique), and its share. Template /
+    * boilerplate detection from the front of the document: generated or
+    * scraped corpora show high top-share at low positions.
+    *
+    * Scale shape: row-local slice of the first ≤10 tokens (explode of a
+    * bounded sequence — output ≤ 10 rows/doc regardless of length), one
+    * (pos, token) shuffle with map-side combine, then a window over the
+    * bounded pos domain to pick the mode.
+    */
+  def qPositionalTemplate(s: SparkSession, dir: String): DataFrame = {
+    val posTok = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(explode(expr(
+        "transform(sequence(1, least(10, size(toks))), " +
+          "p -> struct(p as pos, toks[p - 1] as token))")).as("pt"))
+      .select(col("pt.pos"), col("pt.token"))
+      .where(col("token") =!= "")
+    val counts = posTok.groupBy(col("pos"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val w = Window.partitionBy(col("pos"))
+      .orderBy(col("c").desc, col("token").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", sum(col("c")).over(Window.partitionBy(col("pos"))))
+      .withColumn("n_distinct", count(lit(1)).over(Window.partitionBy(col("pos"))))
+      .where(col("rk") === 1)
+      .select(col("pos"), col("n_docs"), col("n_distinct"),
+        col("token").as("top_token"),
+        round(col("c").cast("double") / col("n_docs"), 6).as("top_share"))
+  }
+
+  val qPositionalTemplateSql: String =
+    """WITH pt AS (
+      |  SELECT p AS pos, toks[p] AS token FROM (
+      |    SELECT toks, unnest(generate_series(1, least(10, len(toks)))) AS p
+      |    FROM (SELECT string_split(text, ' ') AS toks FROM documents
+      |          WHERE len(string_split(text, ' ')) >= 1))
+      |  WHERE toks[p] <> ''),
+      |c AS (SELECT pos, token, COUNT(*) AS c FROM pt GROUP BY 1, 2),
+      |r AS (
+      |  SELECT pos, token, c,
+      |    row_number() OVER (PARTITION BY pos ORDER BY c DESC, token ASC) AS rk,
+      |    CAST(SUM(c) OVER (PARTITION BY pos) AS BIGINT) AS n_docs,
+      |    COUNT(*) OVER (PARTITION BY pos) AS n_distinct
+      |  FROM c)
+      |SELECT CAST(pos AS INTEGER) AS pos, n_docs, n_distinct,
+      |  token AS top_token,
+      |  ROUND(CAST(c AS DOUBLE) / n_docs, 6) AS top_share
+      |FROM r WHERE rk = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_source_overlap" -> (qSourceOverlap _),
+    "q155_positional_template" -> (qPositionalTemplate _),
     "q150_lsh_threshold_sweep" -> (qLshThresholdSweep _),
     "q152_weighted_median_len" -> (qWeightedMedianLen _),
     "q143_minhash_error_audit" -> (qMinhashErrorAudit _),
@@ -2084,6 +2195,8 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q154_source_overlap" -> qSourceOverlapSql,
+    "q155_positional_template" -> qPositionalTemplateSql,
     "q150_lsh_threshold_sweep" -> qLshThresholdSweepSql,
     "q152_weighted_median_len" -> qWeightedMedianLenSql,
     "q143_minhash_error_audit" -> qMinhashErrorAuditSql,

@@ -151,4 +151,19 @@ class TemporalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == Map(2L -> ((1L, 5L)), 0L -> ((1L, 4L))))
   }
+
+  test("q153 interpolation: straight line between observed days, flags set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_interp").toString
+    val day = 86400000000000L
+    // type t observed on days 0 (total 1.0) and 3 (total 7.0); days 1, 2
+    // missing -> line through (0,1) and (3,7): 3.0 and 5.0
+    Seq((1L, 0L, 1L, "t", 1.0), (2L, 3 * day, 1L, "t", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Temporal.qInterpolateGaps(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).sortBy(_._1).toList
+    assert(got == List((0L, 1.0, false), (1L, 3.0, true),
+      (2L, 5.0, true), (3L, 7.0, false)))
+  }
 }

@@ -120,4 +120,34 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got("s1") == ((10L, 8L)))
     assert(got("s2") == ((4L, 2L)))
   }
+
+  test("q154 source overlap: shared shingle counted once, directed containments") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_overlap").toString
+    // s1 {abc, bcd} (doc 2 repeats abc — distinct per source), s2 {bcd, cde}
+    Seq((1L, "a b c d", "s1"), (2L, "a b c", "s1"), (3L, "b c d e", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.qSourceOverlap(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getString(0), row.getString(1)) == (("s1", "s2")))
+    assert((row.getLong(2), row.getLong(3), row.getLong(4)) == ((2L, 2L, 1L)))
+    assert((row.getDouble(5), row.getDouble(6)) == ((0.5, 0.5)))
+  }
+
+  test("q155 positional template: modal token per position, lexicographic tie") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_postmpl").toString
+    Seq((1L, "x y", "s"), (2L, "x z", "s"), (3L, "w", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.qPositionalTemplate(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))).toMap
+    // pos 1: {x,x,w}: top x 2/3; pos 2: {y,z} tie -> lexicographic y, 1/2
+    assert(got(1) == ((3L, 2L, "x",
+      BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2) == ((2L, 2L, "y", 0.5)))
+  }
 }

@@ -690,6 +690,40 @@ object Analytics {
       |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY 1""".stripMargin
 
+  /** q156: UNPIVOT / melt — the inverse of q75's pivot: the four lineitem
+    * measure columns turned into (measure, value) long form, then
+    * profiled per (returnflag, measure). The wide→long reshape every
+    * notebook does before a faceted plot or a per-measure quality rule,
+    * as a single relational pass.
+    *
+    * Scale shape: `stack` is a row-local generator (4 output rows per
+    * input row, no shuffle); the only exchange is the bounded
+    * (flag × measure) aggregate, map-side combined. Spark's stack stays
+    * inside whole-stage codegen — this is the planner-native spelling,
+    * not an explode over a built array.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .selectExpr("l_returnflag",
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+          "'discount', l_discount, 'tax', l_tax) AS (measure, value)")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        round(dsum(col("value")), 6).as("total"),
+        round(dsum(col("value")) / count(lit(1)), 6).as("mean_v"))
+
+  val qUnpivotSql: String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag, measure, value
+       |  FROM (SELECT l_returnflag, l_quantity AS quantity,
+       |          l_extendedprice AS extendedprice, l_discount AS discount,
+       |          l_tax AS tax FROM lineitem)
+       |  UNPIVOT (value FOR measure IN (quantity, extendedprice, discount, tax)))
+       |SELECT l_returnflag, measure, COUNT(*) AS n,
+       |  ROUND(${dsumSql("value")}, 6) AS total,
+       |  ROUND(${dsumSql("value")} / COUNT(*), 6) AS mean_v
+       |FROM m GROUP BY 1, 2""".stripMargin
+
   /** ROLLUP: totals at (flag, status), per-flag, and grand-total levels in
     * one pass — partial aggregation covers every grouping set, so the cost
     * is one shuffle, not one scan per level. grouping_id disambiguates
@@ -861,6 +895,7 @@ object Analytics {
        |                        (l_returnflag, l_linestatus))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_unpivot" -> (qUnpivot _),
     "q92_grouping_sets" -> (qGroupingSets _),
     "q81_kll_quantiles" -> (qKllQuantiles _),
     "q86_corr_moments" -> (qCorrMoments _),
@@ -896,6 +931,7 @@ object Analytics {
     "q36_sym_diff" -> (qSymDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q156_unpivot" -> qUnpivotSql,
     "q92_grouping_sets" -> qGroupingSetsSql,
     "q86_corr_moments" -> qCorrMomentsSql,
     "q83_cube" -> qCubeSql,

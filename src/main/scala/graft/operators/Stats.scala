@@ -422,6 +422,64 @@ object Stats {
       |    6) AS trimmed_mean
       |FROM c GROUP BY event_type""".stripMargin
 
+  /** q159: exact winsorized mean — q149's trimmed mean DROPS the tail
+    * 5%; winsorizing CLAMPS it to the 5th/95th boundary values instead,
+    * the robust-location choice when sample size must stay fixed (per-
+    * group means feeding a weighted downstream average). lo/hi are the
+    * exact boundary order statistics by integer rank, never a float
+    * percentile.
+    *
+    * Scale shape: identical to q149 — one shuffle on event_type, rank
+    * window with a unique tiebreak, aggregate reusing the exchange. The
+    * clamped sum needs no second pass: winsorized Σ = Σ(middle) +
+    * cut·lo + cut·hi, all in exact decimal; the boundary values come
+    * from the same aggregate via rank-match.
+    */
+  def qWinsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("cut", expr("n * 5 DIV 100"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("cut")).as("cut_n"),
+        max(when(col("rk") === col("cut") + 1, col("value"))).as("lo"),
+        max(when(col("rk") === col("n") - col("cut"), col("value"))).as("hi"),
+        sum(when(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"),
+          col("value").cast(DecimalType(18, 6)))).as("s_mid"))
+      .select(col("event_type"), col("n"), col("cut_n").as("cut"),
+        col("lo"), col("hi"),
+        round((col("s_mid")
+            + col("cut_n") * col("lo").cast(DecimalType(19, 6))
+            + col("cut_n") * col("hi").cast(DecimalType(19, 6))).cast("double")
+          / col("n"), 6).as("winsor_mean"))
+  }
+
+  val qWinsorizedMeanSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value ASC, event_id ASC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |c AS (SELECT *, n * 5 // 100 AS cut FROM r)
+      |SELECT event_type, MAX(n) AS n, MAX(cut) AS cut,
+      |  MAX(CASE WHEN rk = cut + 1 THEN value END) AS lo,
+      |  MAX(CASE WHEN rk = n - cut THEN value END) AS hi,
+      |  ROUND(CAST(CAST(
+      |      SUM(CASE WHEN rk > cut AND rk <= n - cut
+      |            THEN CAST(value AS DECIMAL(18,6)) END)
+      |      + MAX(cut) * MAX(CASE WHEN rk = cut + 1
+      |            THEN CAST(value AS DECIMAL(19,6)) END)
+      |      + MAX(cut) * MAX(CASE WHEN rk = n - cut
+      |            THEN CAST(value AS DECIMAL(19,6)) END)
+      |    AS VARCHAR) AS DOUBLE) / MAX(n), 6) AS winsor_mean
+      |FROM c GROUP BY event_type""".stripMargin
+
   /** q151: event-type co-occurrence lift — for every unordered pair of
     * event types, how much more (or less) often users fire both than
     * independence predicts: lift = n_ab·n_users / (n_a·n_b) over the
@@ -475,6 +533,7 @@ object Stats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_trimmed_mean" -> (qTrimmedMean _),
+    "q159_winsorized_mean" -> (qWinsorizedMean _),
     "q151_type_affinity" -> (qTypeAffinity _),
     "q124_group_ols" -> (qGroupOls _),
     "q125_mode_moments" -> (qModeMoments _),
@@ -484,6 +543,7 @@ object Stats {
 
   val oracle: Map[String, String] = Map(
     "q149_trimmed_mean" -> qTrimmedMeanSql,
+    "q159_winsorized_mean" -> qWinsorizedMeanSql,
     "q151_type_affinity" -> qTypeAffinitySql,
     "q124_group_ols" -> qGroupOlsSql,
     "q125_mode_moments" -> qModeMomentsSql,

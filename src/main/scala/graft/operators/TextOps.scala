@@ -2148,9 +2148,155 @@ object TextOps {
       |  ROUND(CAST(c AS DOUBLE) / n_docs, 6) AS top_share
       |FROM r WHERE rk = 1""".stripMargin
 
+  /** q157: pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the symmetric, bounded ([0, ln 2]) drift measure
+    * that completes the drift family: q107's chi-square tests a single
+    * categorical column, q129's KS a single numeric one; JSD compares
+    * whole token DISTRIBUTIONS, the standard "how different are these
+    * two corpora" number in data-mixing work.
+    *
+    * Decomposition (the scale trick): JSD(P,Q) = ½Σp·ln p + ½Σq·ln q −
+    * Σm·ln m with m = (p+q)/2. The first two sums are per-source
+    * scalars, and for tokens in only one source m·ln m = (p/2)·ln(p/2)
+    * is also a per-source sum — so the pair join needs only the
+    * INTERSECTION of vocabularies (inner join on token), with the
+    * single-source mass folded in via per-source scalars. No full-outer
+    * join, no vocabulary union materialized per pair.
+    *
+    * Scale shape: one (source, token) count shuffle; the token-key self
+    * join fans out to ≤ C(|sources|, 2) rows per token (domain-bounded);
+    * scalars are a |sources|-row broadcast. Float determinism: p is one
+    * IEEE division, each ln term rounds to DECIMAL(28,9) before the
+    * partition-order-free decimal sum, identical op order both engines.
+    */
+  def qSourceJsd(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val p = t(s, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("token"),
+        (col("c").cast("double") / col("n")).as("p"))
+      .persist()
+    val scalars = p.groupBy(col("source")).agg(
+      sum(round(col("p") * log(col("p")), 9).cast(DecimalType(28, 9)))
+        .cast("double").as("e"),
+      sum(round((col("p") / 2) * log(col("p") / 2), 9).cast(DecimalType(28, 9)))
+        .cast("double").as("h"))
+    val cross = p.as("a").join(p.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        ((col("a.p") + col("b.p")) / 2).as("m"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(round(col("m") * log(col("m"))
+          - (col("pa") / 2) * log(col("pa") / 2)
+          - (col("pb") / 2) * log(col("pb") / 2), 9).cast(DecimalType(28, 9)))
+        .cast("double").as("x"))
+    val pairs = scalars.as("sa").join(scalars.as("sb"),
+        col("sa.source") < col("sb.source"))
+      .select(col("sa.source").as("source_a"), col("sb.source").as("source_b"),
+        col("sa.e").as("ea"), col("sa.h").as("ha"),
+        col("sb.e").as("eb"), col("sb.h").as("hb"))
+    pairs.join(cross, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        round(lit(0.5) * col("ea") + lit(0.5) * col("eb")
+          - (col("ha") + col("hb") + coalesce(col("x"), lit(0.0))), 6)
+          .as("jsd_nats"))
+  }
+
+  val qSourceJsdSql: String =
+    """WITH c AS (
+      |  SELECT source, token, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> '' GROUP BY source, token),
+      |p AS (
+      |  SELECT source, token,
+      |    CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY source) AS p
+      |  FROM c),
+      |s AS (
+      |  SELECT source,
+      |    CAST(CAST(SUM(CAST(round(p * ln(p), 9) AS DECIMAL(28,9)))
+      |      AS VARCHAR) AS DOUBLE) AS e,
+      |    CAST(CAST(SUM(CAST(round((p / 2) * ln(p / 2), 9) AS DECIMAL(28,9)))
+      |      AS VARCHAR) AS DOUBLE) AS h
+      |  FROM p GROUP BY source),
+      |x AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(CAST(SUM(CAST(round(
+      |        (a.p + b.p) / 2 * ln((a.p + b.p) / 2)
+      |        - (a.p / 2) * ln(a.p / 2)
+      |        - (b.p / 2) * ln(b.p / 2), 9) AS DECIMAL(28,9)))
+      |      AS VARCHAR) AS DOUBLE) AS x
+      |  FROM p a JOIN p b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa.source AS source_a, sb.source AS source_b,
+      |  ROUND(0.5 * sa.e + 0.5 * sb.e
+      |    - (sa.h + sb.h + COALESCE(x.x, 0.0)), 6) AS jsd_nats
+      |FROM s sa JOIN s sb ON sa.source < sb.source
+      |LEFT JOIN x ON x.source_a = sa.source AND x.source_b = sb.source""".stripMargin
+
+  /** q158: token-frequency Gini coefficient per source — how
+    * concentrated each source's token mass is on few types (0 = every
+    * type equally common, →1 = one type dominates). The inequality
+    * companion to q130's entropy: entropy measures effective vocabulary
+    * size, Gini measures how lopsided the head is — the quick screen for
+    * "this crawl is mostly one boilerplate phrase".
+    *
+    * Exactness: with counts sorted ascending, G = (2·Σi·cᵢ − (n+1)·Σcᵢ)
+    * / (n·Σcᵢ) — every sum is exact BIGINT (ties give the same Σi·cᵢ
+    * under any tie order, and the (c, token) sort is total anyway), so
+    * the only float op is the final division.
+    *
+    * Scale shape: one (source, token) count shuffle, then a rank window
+    * partitioned by source over the per-source vocabulary (bounded by
+    * type count, not corpus size), then one bounded aggregate.
+    */
+  def qTokenGini(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").asc, col("token").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(col("rk") * col("c")).as("s1"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        round((lit(2L) * col("s1") - (col("n_types") + 1) * col("n_tokens"))
+            .cast("double")
+          / (col("n_types") * col("n_tokens")).cast("double"), 6).as("gini"))
+  }
+
+  val qTokenGiniSql: String =
+    """WITH c AS (
+      |  SELECT source, token, COUNT(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS token
+      |    FROM documents)
+      |  WHERE token <> '' GROUP BY source, token),
+      |r AS (
+      |  SELECT source, c,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY c ASC, token ASC) AS rk
+      |  FROM c),
+      |a AS (
+      |  SELECT source, COUNT(*) AS n_types,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(rk * c) AS BIGINT) AS s1
+      |  FROM r GROUP BY source)
+      |SELECT source, n_types, n_tokens,
+      |  ROUND(CAST(2 * s1 - (n_types + 1) * n_tokens AS DOUBLE)
+      |    / CAST(n_types * n_tokens AS DOUBLE), 6) AS gini
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_source_overlap" -> (qSourceOverlap _),
     "q155_positional_template" -> (qPositionalTemplate _),
+    "q157_source_jsd" -> (qSourceJsd _),
+    "q158_token_gini" -> (qTokenGini _),
     "q150_lsh_threshold_sweep" -> (qLshThresholdSweep _),
     "q152_weighted_median_len" -> (qWeightedMedianLen _),
     "q143_minhash_error_audit" -> (qMinhashErrorAudit _),
@@ -2197,6 +2343,8 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q154_source_overlap" -> qSourceOverlapSql,
     "q155_positional_template" -> qPositionalTemplateSql,
+    "q157_source_jsd" -> qSourceJsdSql,
+    "q158_token_gini" -> qTokenGiniSql,
     "q150_lsh_threshold_sweep" -> qLshThresholdSweepSql,
     "q152_weighted_median_len" -> qWeightedMedianLenSql,
     "q143_minhash_error_audit" -> qMinhashErrorAuditSql,

@@ -139,6 +139,22 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 10.5)                  // trimmed mean is not
   }
 
+  test("q159 winsorized mean: tails clamp to the boundary order statistics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_winsor").toString
+    // 20 obs: 1..19 plus a 1000 outlier. cut = 1: rank-1 value (1) clamps
+    // to lo = value@rank2 = 2, rank-20 value (1000) clamps to hi =
+    // value@rank19 = 19 -> winsorized sum = sum(2..19) + 2 + 19 = 210
+    val rows = ((1 to 19).map(i => (i.toLong, i.toDouble)) :+ (20L, 1000.0))
+      .map { case (id, v) => (id, 0L, 1L, "t", v) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Stats.qWinsorizedMean(spark, dir).collect().head
+    assert(r.getString(0) == "t" && r.getLong(1) == 20L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 19.0)
+    assert(r.getDouble(5) == 210.0 / 20)
+  }
+
   test("q151 lift: hand-computed 2x2 co-occurrence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lift").toString

@@ -136,6 +136,44 @@ class TextStatsSpec extends AnyFunSuite {
     assert((row.getDouble(5), row.getDouble(6)) == ((0.5, 0.5)))
   }
 
+  test("q157 JSD: decomposed form matches the definitional formula; disjoint = ln 2") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsd").toString
+    // s1: p(a)=2/3, p(b)=1/3; s2: p(a)=1/4, p(b)=3/4; s3 disjoint {z}
+    Seq((1L, "a a b", "s1"), (2L, "a b b b", "s2"), (3L, "z", "s3"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.qSourceJsd(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // definitional: 0.5*KL(P||M) + 0.5*KL(Q||M), M = (P+Q)/2
+    def kl(p: Map[String, Double], m: Map[String, Double]) =
+      p.map { case (t, pv) => pv * math.log(pv / m(t)) }.sum
+    val p1 = Map("a" -> 2.0 / 3, "b" -> 1.0 / 3)
+    val p2 = Map("a" -> 0.25, "b" -> 0.75)
+    val m12 = Map("a" -> (p1("a") + p2("a")) / 2, "b" -> (p1("b") + p2("b")) / 2)
+    val expected = 0.5 * kl(p1, m12) + 0.5 * kl(p2, m12)
+    assert(math.abs(got(("s1", "s2")) - expected) < 1e-6)
+    // disjoint vocabularies: maximal divergence ln 2, via the left-join path
+    assert(got(("s1", "s3")) == BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.size == 3)
+  }
+
+  test("q158 Gini: uniform counts give 0; hand-computed skew") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gini").toString
+    // s1: a,b,c once each -> G=0; s2: a x3, b x1 -> sorted (b=1, a=3),
+    // S1 = 1*1 + 2*3 = 7, G = (2*7 - 3*4) / (2*4) = 0.25
+    Seq((1L, "a b c", "s1"), (2L, "a a a b", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.qTokenGini(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("s1") == ((3L, 3L, 0.0)))
+    assert(got("s2") == ((2L, 4L, 0.25)))
+  }
+
   test("q155 positional template: modal token per position, lexicographic tie") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_postmpl").toString

@@ -183,11 +183,89 @@ object Privacy {
       |        AND r_ttr THEN 1 ELSE 0 END) / COUNT(*), 2) AS keep_pct
       |FROM r GROUP BY source""".stripMargin
 
+  /** q162: Cohen's kappa between two quality filters — rater A is the
+    * surface filter (q121's length + stopword rules), rater B the shape
+    * filter (mean-word-length + type-token-ratio rules). Kappa is the
+    * agreement-beyond-chance audit a curation pipeline runs before
+    * swapping one filter for a cheaper one: raw agreement po flatters
+    * filters that both say "keep" to almost everything; kappa subtracts
+    * the chance agreement pe implied by the marginals.
+    *
+    * Exactness: the 2×2 table and both marginals are exact BIGINT from
+    * one corpus pass (the same integer cross-multiplied rules as q121 —
+    * no float enters a comparison); po, pe, and kappa are three IEEE
+    * divisions on exactly-representable integers (products < 2^53),
+    * spelled identically in both engines.
+    *
+    * Scale shape: row-local rule evaluation, one map-side-combined
+    * global aggregate, scalar output.
+    */
+  def qFilterKappa(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents")
+      .withColumn("toksq", split(col("text"), " "))
+      .withColumn("n_words", size(col("toksq")).cast("long"))
+      .withColumn("sumlen",
+        expr("aggregate(toksq, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("n_stop",
+        expr("size(filter(toksq, x -> x = 'the' OR x = 'a'))").cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toksq"))).cast("long"))
+      .withColumn("a", col("n_words") >= 20 && col("n_words") <= 60 &&
+        lit(10) * col("n_stop") >= col("n_words"))
+      .withColumn("b", col("sumlen") >= lit(3) * col("n_words") &&
+        lit(2) * col("sumlen") <= lit(9) * col("n_words") &&
+        lit(2) * col("n_distinct") >= col("n_words"))
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    m.agg(
+        count(lit(1)).as("n"),
+        cnt(col("a") && col("b")).as("n11"),
+        cnt(col("a") && !col("b")).as("n10"),
+        cnt(!col("a") && col("b")).as("n01"),
+        cnt(!col("a") && !col("b")).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round((col("n11") + col("n00")).cast("double") / col("n"), 6).as("po"),
+        round(((col("n11") + col("n10")) * (col("n11") + col("n01"))
+            + (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .cast("double") / (col("n") * col("n")), 6).as("pe"))
+      .withColumn("kappa", round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+  }
+
+  val qFilterKappaSql: String =
+    """WITH m AS (
+      |  SELECT len(toks) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sumlen,
+      |    len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop,
+      |    len(list_distinct(toks)) AS n_distinct
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+      |r AS (
+      |  SELECT
+      |    (n_words BETWEEN 20 AND 60 AND 10 * n_stop >= n_words) AS a,
+      |    (sumlen >= 3 * n_words AND 2 * sumlen <= 9 * n_words
+      |      AND 2 * n_distinct >= n_words) AS b
+      |  FROM m),
+      |c AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM r),
+      |p AS (
+      |  SELECT n, n11, n10, n01, n00,
+      |    ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+      |    ROUND(CAST((n11 + n10) * (n11 + n01)
+      |        + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n), 6) AS pe
+      |  FROM c)
+      |SELECT n, n11, n10, n01, n00, po, pe,
+      |  ROUND((po - pe) / (1.0 - pe), 6) AS kappa
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_pii_redact" -> (qPiiRedact _),
-    "q121_quality_rules" -> (qQualityRules _))
+    "q121_quality_rules" -> (qQualityRules _),
+    "q162_filter_kappa" -> (qFilterKappa _))
 
   val oracle: Map[String, String] = Map(
     "q120_pii_redact" -> qPiiRedactSql,
-    "q121_quality_rules" -> qQualityRulesSql)
+    "q121_quality_rules" -> qQualityRulesSql,
+    "q162_filter_kappa" -> qFilterKappaSql)
 }

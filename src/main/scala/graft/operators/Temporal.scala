@@ -542,8 +542,132 @@ object Temporal {
        |  v IS NULL AS interpolated
        |FROM n""".stripMargin
 
+  /** q160: first-order Markov transition matrix over each user's event
+    * timeline — for every (from, to) type pair, the transition count and
+    * conditional probability P(to | from). The sequence-model summary
+    * q128's pattern matcher doesn't give: where do users GO next, the
+    * input to funnel simulation and to next-event-prediction baselines.
+    *
+    * Scale shape: one shuffle on user_id for the lag window (per-user
+    * frames, bounded by a user's event count); the transition aggregate
+    * runs on the bounded type × type domain (≤25 rows) and the row
+    * probability normalizes inside that bounded frame. Ordering is
+    * (ts, event_id) — ns axis with a unique tiebreak, same total order
+    * in both engines.
+    */
+  def qMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+  }
+
+  val qMarkovTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS from_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+      |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  ROUND(CAST(n AS DOUBLE)
+      |    / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c""".stripMargin
+
+  /** q161: Kaplan–Meier estimate of user lifetime — lifetime = days
+    * between a user's first and last event; users whose last event falls
+    * in the corpus's final observed day are CENSORED (still active, so
+    * their true lifetime is only known to be ≥ observed — dropping them
+    * would bias retention down, the error KM exists to fix). Per distinct
+    * lifetime t: deaths d, censored c, at-risk n (lifetime ≥ t), and the
+    * running log-survival ln S(t) = Σ_{u≤t} ln(1 − d_u/n_u).
+    *
+    * Survival is reported in LOG space: the cumulative product behind
+    * S(t) is order-sensitive in floats, but a running DECIMAL sum of
+    * per-step ln factors (each one IEEE division + ln, rounded to 9)
+    * is exact and engine-independent; exp() is deliberately left to the
+    * consumer (libm exp is not bit-portable, libm ln demonstrably is —
+    * q130/q93). d = n can only happen at the maximal lifetime (at-risk
+    * is monotone and censoring only adds survivors), where S hits exact
+    * zero: that row reports NULL ln S.
+    *
+    * Scale shape: one shuffle on user_id for first/last, a 1-row global
+    * max-day broadcast, then everything runs on the bounded distinct-
+    * lifetime frame (≤ observed day span) in one window pass.
+    */
+  def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.load(s, dir, "events")
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val maxDay = ev.select(max(expr(s"ts DIV $DayNs")).as("max_day"))
+    val lifetimes = users.crossJoin(broadcast(maxDay))
+      .select(expr(s"(mx - mn) DIV $DayNs").as("t"),
+        (expr(s"mx DIV $DayNs") === col("max_day")).as("cens"))
+    val byT = lifetimes.groupBy(col("t"))
+      .agg(sum(when(!col("cens"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("c"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wRisk))
+      .withColumn("factor",
+        when(col("d") < col("n_risk"),
+          round(log((col("n_risk") - col("d")).cast("double") / col("n_risk")), 9)
+            .cast(DecimalType(18, 9))))
+      .withColumn("km_log_surv",
+        when(col("d") < col("n_risk"),
+          sum(col("factor")).over(wCum).cast("double")))
+      .select(col("t").as("t_days"), col("n_risk"), col("d"), col("c"),
+        round(col("km_log_surv"), 6).as("km_log_surv"))
+  }
+
+  val qKaplanMeierSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, MIN(epoch_ns(ts)) AS mn, MAX(epoch_ns(ts)) AS mx
+       |  FROM events GROUP BY user_id),
+       |g AS (SELECT MAX(epoch_ns(ts)) // $DayNs AS max_day FROM events),
+       |lt AS (
+       |  SELECT (mx - mn) // $DayNs AS t,
+       |    (mx // $DayNs = g.max_day) AS cens
+       |  FROM u CROSS JOIN g),
+       |byt AS (
+       |  SELECT t,
+       |    CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM lt GROUP BY t),
+       |r AS (
+       |  SELECT t, d, c,
+       |    CAST(SUM(d + c) OVER (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_risk
+       |  FROM byt),
+       |f AS (
+       |  SELECT t, d, c, n_risk,
+       |    CASE WHEN d < n_risk THEN CAST(round(
+       |      ln(CAST(n_risk - d AS DOUBLE) / n_risk), 9) AS DECIMAL(18,9))
+       |    END AS factor
+       |  FROM r)
+       |SELECT t AS t_days, n_risk, d, c,
+       |  ROUND(CASE WHEN d < n_risk THEN CAST(CAST(
+       |      SUM(factor) OVER (ORDER BY t ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS VARCHAR) AS DOUBLE) END, 6) AS km_log_surv
+       |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_interpolate_gaps" -> (qInterpolateGaps _),
+    "q160_markov_transitions" -> (qMarkovTransitions _),
+    "q161_kaplan_meier" -> (qKaplanMeier _),
     "q138_conversion_latency" -> (qConversionLatency _),
     "q57_range_join" -> (qRangeJoin _),
     "q58_asof_join" -> (qAsofJoin _),
@@ -555,6 +679,8 @@ object Temporal {
 
   val oracle: Map[String, String] = Map(
     "q153_interpolate_gaps" -> qInterpolateGapsSql,
+    "q160_markov_transitions" -> qMarkovTransitionsSql,
+    "q161_kaplan_meier" -> qKaplanMeierSql,
     "q57_range_join" -> qRangeJoinSql,
     "q58_asof_join" -> qAsofJoinSql,
     "q74_scd2_history" -> qScd2HistorySql,

@@ -64,6 +64,44 @@ class PrivacySpec extends AnyFunSuite {
     assert(rows(2).getString(0) == "no pii at all in this row")
   }
 
+  test("q162 kappa matches an independent recomputation of the definition") {
+    // four docs spread across the 2x2 agreement table; expected kappa is
+    // recomputed here from plain-Scala labels, independent of the query
+    val texts = Seq(
+      (1 to 25).map(_ => "the dog").mkString(" "),        // 50 words
+      (1 to 10).map(_ => "the").mkString(" "),            // 10 words: len fail
+      (1 to 30).map(i => s"w$i").mkString(" "),           // no stopwords
+      (1 to 5).map(_ => "elongatedword").mkString(" "))
+    val dir = docsDir(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") })
+    def labels(t: String): (Boolean, Boolean) = {
+      val toks = t.split(" ", -1)
+      val n = toks.length.toLong
+      val sumlen = toks.map(_.length.toLong).sum
+      val nStop = toks.count(x => x == "the" || x == "a").toLong
+      val nDist = toks.distinct.length.toLong
+      (n >= 20 && n <= 60 && 10 * nStop >= n,
+        sumlen >= 3 * n && 2 * sumlen <= 9 * n && 2 * nDist >= n)
+    }
+    val ls = texts.map(labels)
+    val (n11, n10, n01, n00) = (
+      ls.count(l => l._1 && l._2).toLong, ls.count(l => l._1 && !l._2).toLong,
+      ls.count(l => !l._1 && l._2).toLong, ls.count(l => !l._1 && !l._2).toLong)
+    val n = ls.length.toLong
+    // the table must actually exercise disagreement or the test is vacuous
+    assert(n10 + n01 > 0 && n11 + n00 > 0)
+    val po = BigDecimal((n11 + n00).toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pe = BigDecimal(((n11 + n10) * (n11 + n01)
+        + (n01 + n00) * (n10 + n00)).toDouble / (n * n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kappa = BigDecimal((po - pe) / (1.0 - pe))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Privacy.qFilterKappa(spark, dir).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((n11, n10, n01, n00)))
+    assert(r.getDouble(5) == po && r.getDouble(6) == pe && r.getDouble(7) == kappa)
+  }
+
   test("quality rules trip on their designed boundaries") {
     val twenty = (1 to 20).map(_ => "the").mkString(" ") // 20 words, mwl 3, all stop, 1 distinct
     val dir = docsDir(Seq(

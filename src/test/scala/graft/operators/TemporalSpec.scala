@@ -152,6 +152,39 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Map(2L -> ((1L, 5L)), 0L -> ((1L, 4L))))
   }
 
+  test("q160 markov: counts per (from, to), probability normalized per from") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov").toString
+    // u1: a->b->a (ts order, event_id tiebreak on equal ts); u2: b->a
+    // transitions: (a,b)=1, (b,a)=2 -> P(b|a)=1.0, P(a|b)=1.0
+    Seq((1L, 0L, 1L, "a", 0.0), (2L, 5L, 1L, "b", 0.0), (3L, 5L, 1L, "a", 0.0),
+      (4L, 0L, 2L, "b", 0.0), (5L, 9L, 2L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Temporal.qMarkovTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(("a", "b") -> ((1L, 1.0)), ("b", "a") -> ((2L, 1.0))))
+  }
+
+  test("q161 KM: censoring at the last observed day, NULL at S=0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
+    val day = 86400000000000L
+    // u1: lifetime 5 days, last day 5 != global max 6 -> death at t=5
+    // u3: single event on day 6 (global max) -> lifetime 0, censored
+    Seq((1L, 0L, 1L, "a", 0.0), (2L, 5 * day, 1L, "a", 0.0),
+      (3L, 6 * day, 3L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Temporal.qKaplanMeier(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // t=0: n_risk=2, d=0, c=1 -> ln(1)=0; t=5: n_risk=1=d -> S=0 -> NULL
+    assert(got(0L) == ((2L, 0L, 1L, Some(0.0))))
+    assert(got(5L) == ((1L, 1L, 0L, None)))
+  }
+
   test("q153 interpolation: straight line between observed days, flags set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_interp").toString

@@ -531,7 +531,68 @@ object Stats {
       |JOIN marg mb ON mb.event_type = p.type_b
       |CROSS JOIN nu""".stripMargin
 
+  /** q163: exact ROC AUC of a numeric score against a binary label —
+    * here document length (n_chars) as a predictor of lang='en', the
+    * shape of every "does my cheap quality score actually separate the
+    * classes" audit before a filter threshold goes into a pipeline.
+    * AUC is computed by the rank-free histogram identity
+    * AUC = Σ_s pos_s·(2·cum_neg_{<s} + neg_s) / (2·n_pos·n_neg),
+    * which handles ties exactly (a tied pair contributes ½) and never
+    * ranks individual rows.
+    *
+    * Scale shape: THE distributed-AUC trick — one map-side-combinable
+    * aggregate builds the per-score histogram, and every window/sum
+    * after that runs on ≤ |score domain| rows, not |corpus| rows. The
+    * cumulative window is single-partition but its input is the bounded
+    * histogram (continuous scores get bucketed first at 100 TB; integer
+    * n_chars IS the bucket). All arithmetic is exact BIGINT until the
+    * single final division.
+    */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val h = t(s, dir, "documents")
+      .groupBy(col("n_chars").as("score"))
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("neg"))
+    // bounded-domain cumulative: negatives strictly below this score
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cum_neg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cum_neg") + col("neg"))).as("num"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        round(col("num").cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"),
+        round(col("num").cast("double")
+          / (col("n_pos") * col("n_neg")).cast("double") - lit(1.0), 6).as("gini"))
+  }
+
+  val qAucSql: String =
+    """WITH h AS (
+      |  SELECT n_chars AS score,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+      |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS neg
+      |  FROM documents GROUP BY n_chars),
+      |c AS (
+      |  SELECT pos, neg,
+      |    COALESCE(SUM(neg) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+      |  FROM h),
+      |a AS (
+      |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |    CAST(SUM(pos * (2 * cum_neg + neg)) AS BIGINT) AS num
+      |  FROM c)
+      |SELECT n_pos, n_neg,
+      |  ROUND(CAST(num AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc,
+      |  ROUND(CAST(num AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE) - 1.0, 6) AS gini
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_auc" -> (qAuc _),
     "q149_trimmed_mean" -> (qTrimmedMean _),
     "q159_winsorized_mean" -> (qWinsorizedMean _),
     "q151_type_affinity" -> (qTypeAffinity _),
@@ -542,6 +603,7 @@ object Stats {
     "q133_anova" -> (qAnova _))
 
   val oracle: Map[String, String] = Map(
+    "q163_auc" -> qAucSql,
     "q149_trimmed_mean" -> qTrimmedMeanSql,
     "q159_winsorized_mean" -> qWinsorizedMeanSql,
     "q151_type_affinity" -> qTypeAffinitySql,

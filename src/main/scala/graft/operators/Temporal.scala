@@ -664,7 +664,208 @@ object Temporal {
        |    AS VARCHAR) AS DOUBLE) END, 6) AS km_log_surv
        |FROM f""".stripMargin
 
+  /** q164: CUSUM changepoint screen — per event type, the cumulative sum
+    * of standardized daily deviations over the gap-filled day grid, and
+    * the day where |CUSUM| peaks: the classic "when did the level shift"
+    * detector (a mean step of δ makes the CUSUM a V/Λ whose vertex IS
+    * the change day). Complements q127's rolling z (which finds SPIKES;
+    * CUSUM finds small persistent shifts spikes-based screens miss).
+    * Event-free days enter at v=0, so an outage-induced shift is
+    * detectable instead of structurally invisible.
+    *
+    * Float determinism: mean/σ come from exact decimal sums over the
+    * grid (v² squared in DOUBLE via round(v·v, 6) before the decimal
+    * sum — the repo convention, decimal×decimal binds different scales
+    * across engines); each z rounds to 6dp and the cumulative sum runs
+    * in DECIMAL, so the running total is exact and order-free.
+    *
+    * Scale shape: one corpus shuffle to daily totals; the grid, the
+    * per-type moment join (broadcast — type domain is bounded), the
+    * cumulative window, and the argmax all run on the bounded
+    * (type × day-span) frame partitioned by type.
+    */
+  def qCusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import Relational.dsum
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
+      .agg(dsum(col("value")).as("v"))
+      .persist()
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day_idx"))
+    val full = grid.join(daily, Seq("event_type", "day_idx"), "left")
+      .na.fill(0.0, Seq("v"))
+    val stats = full.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("v").cast(DecimalType(18, 6))).cast("double").as("sv"),
+      sum(round(col("v") * col("v"), 6).cast(DecimalType(28, 6)))
+        .cast("double").as("ssv"))
+    val withZ = full.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean", col("sv") / col("n"))
+      .withColumn("variance", col("ssv") / col("n") - col("mean") * col("mean"))
+      .where(col("variance") > 0.0)
+      .withColumn("z",
+        round((col("v") - col("mean")) / sqrt(col("variance")), 6)
+          .cast(DecimalType(18, 6)))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withZ
+      .withColumn("cusum", sum(col("z")).over(wCum))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("cusum")).desc, col("day_idx").asc)))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("n").cast("bigint").as("n_days"),
+        col("day_idx").as("change_day"),
+        round(col("cusum").cast("double"), 6).as("cusum_peak"))
+  }
+
+  val qCusumChangepointSql: String = {
+    import Relational.dsumSql
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_idx,
+       |    ${dsumSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, unnest(generate_series(mn, mx)) AS day_idx
+       |  FROM (SELECT event_type, MIN(day_idx) AS mn, MAX(day_idx) AS mx
+       |        FROM daily GROUP BY 1)),
+       |fullg AS (
+       |  SELECT g.event_type, g.day_idx, COALESCE(d.v, CAST(0 AS DOUBLE)) AS v
+       |  FROM grid g LEFT JOIN daily d
+       |    ON d.event_type = g.event_type AND d.day_idx = g.day_idx),
+       |stats AS (
+       |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sv,
+       |    CAST(CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(28,6))) AS VARCHAR)
+       |      AS DOUBLE) AS ssv
+       |  FROM fullg GROUP BY event_type),
+       |z AS (
+       |  SELECT f.event_type, f.day_idx, s.n,
+       |    CAST(round((f.v - s.sv / s.n)
+       |      / sqrt(s.ssv / s.n - (s.sv / s.n) * (s.sv / s.n)), 6)
+       |      AS DECIMAL(18,6)) AS z
+       |  FROM fullg f JOIN stats s ON s.event_type = f.event_type
+       |  WHERE s.ssv / s.n - (s.sv / s.n) * (s.sv / s.n) > 0.0),
+       |c AS (
+       |  SELECT event_type, day_idx, n,
+       |    SUM(z) OVER (PARTITION BY event_type ORDER BY day_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+       |  FROM z),
+       |r AS (
+       |  SELECT event_type, day_idx, n, cusum,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY abs(cusum) DESC, day_idx ASC) AS rn
+       |  FROM c)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days, day_idx AS change_day,
+       |  ROUND(CAST(CAST(cusum AS VARCHAR) AS DOUBLE), 6) AS cusum_peak
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
+  /** q165: autocorrelation function — per event type, the lag-1..7
+    * Pearson autocorrelation of the gap-filled daily value series (ACF
+    * normalized by the full-series variance, the standard estimator):
+    * the weekly-seasonality / momentum diagnostic run before fitting
+    * any forecasting model on a metric, and the companion to q127/q164
+    * (IS there structure in the residual axis they score along?).
+    *
+    * Float determinism: deviations d = round(v − mean, 6) stay DOUBLE
+    * (identical IEEE subtraction both engines); every product squares/
+    * crosses in double via round(·, 6) and accumulates as DECIMAL —
+    * never decimal×decimal.
+    *
+    * Scale shape: one corpus shuffle to daily totals; the lead windows
+    * and the final aggregate run per type on the bounded day-span frame,
+    * all seven lags from ONE window pass (shared sort), wide→long via
+    * stack (no extra shuffle).
+    */
+  def qAcf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import Relational.dsum
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
+      .agg(dsum(col("value")).as("v"))
+      .persist()
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day_idx"))
+    val full = grid.join(daily, Seq("event_type", "day_idx"), "left")
+      .na.fill(0.0, Seq("v"))
+    val stats = full.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("v").cast(DecimalType(18, 6))).cast("double").as("sv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+    val withD = full.join(broadcast(stats), Seq("event_type"))
+      .withColumn("d", round(col("v") - col("sv") / col("n"), 6))
+    val withLeads = (1 to 7).foldLeft(withD) { (df, k) =>
+      df.withColumn(s"d$k", lead(col("d"), k).over(w))
+    }
+    def dprod(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sum(round(a * b, 6).cast(DecimalType(28, 6))).cast("double")
+    val wide = withLeads.groupBy(col("event_type")).agg(
+      dprod(col("d"), col("d")).as("den"),
+      dprod(col("d"), col("d1")).as("n1"), dprod(col("d"), col("d2")).as("n2"),
+      dprod(col("d"), col("d3")).as("n3"), dprod(col("d"), col("d4")).as("n4"),
+      dprod(col("d"), col("d5")).as("n5"), dprod(col("d"), col("d6")).as("n6"),
+      dprod(col("d"), col("d7")).as("n7"))
+    wide.where(col("den") > 0.0)
+      .selectExpr("event_type", "den",
+        "stack(7, 1, n1, 2, n2, 3, n3, 4, n4, 5, n5, 6, n6, 7, n7) AS (lag, num)")
+      .select(col("event_type"), col("lag"),
+        round(col("num") / col("den"), 6).as("acf"))
+  }
+
+  val qAcfSql: String = {
+    import Relational.dsumSql
+    def dp(a: String, b: String) =
+      s"CAST(CAST(SUM(CAST(round($a * $b, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_idx,
+       |    ${dsumSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, unnest(generate_series(mn, mx)) AS day_idx
+       |  FROM (SELECT event_type, MIN(day_idx) AS mn, MAX(day_idx) AS mx
+       |        FROM daily GROUP BY 1)),
+       |fullg AS (
+       |  SELECT g.event_type, g.day_idx, COALESCE(d.v, CAST(0 AS DOUBLE)) AS v
+       |  FROM grid g LEFT JOIN daily d
+       |    ON d.event_type = g.event_type AND d.day_idx = g.day_idx),
+       |stats AS (
+       |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sv
+       |  FROM fullg GROUP BY event_type),
+       |dev AS (
+       |  SELECT f.event_type, f.day_idx, round(f.v - s.sv / s.n, 6) AS d
+       |  FROM fullg f JOIN stats s ON s.event_type = f.event_type),
+       |led AS (
+       |  SELECT event_type, d,
+       |    lead(d, 1) OVER w AS d1, lead(d, 2) OVER w AS d2,
+       |    lead(d, 3) OVER w AS d3, lead(d, 4) OVER w AS d4,
+       |    lead(d, 5) OVER w AS d5, lead(d, 6) OVER w AS d6,
+       |    lead(d, 7) OVER w AS d7
+       |  FROM dev
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)),
+       |wide AS (
+       |  SELECT event_type,
+       |    ${dp("d", "d")} AS den,
+       |    ${dp("d", "d1")} AS n1, ${dp("d", "d2")} AS n2,
+       |    ${dp("d", "d3")} AS n3, ${dp("d", "d4")} AS n4,
+       |    ${dp("d", "d5")} AS n5, ${dp("d", "d6")} AS n6,
+       |    ${dp("d", "d7")} AS n7
+       |  FROM led GROUP BY event_type)
+       |SELECT event_type, k AS lag,
+       |  ROUND(CASE k WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3
+       |    WHEN 4 THEN n4 WHEN 5 THEN n5 WHEN 6 THEN n6 WHEN 7 THEN n7 END
+       |    / den, 6) AS acf
+       |FROM wide CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) t(k)
+       |WHERE den > 0.0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_cusum_changepoint" -> (qCusumChangepoint _),
+    "q165_acf" -> (qAcf _),
     "q153_interpolate_gaps" -> (qInterpolateGaps _),
     "q160_markov_transitions" -> (qMarkovTransitions _),
     "q161_kaplan_meier" -> (qKaplanMeier _),
@@ -678,6 +879,8 @@ object Temporal {
     "q136_debounce" -> (qDebounce _))
 
   val oracle: Map[String, String] = Map(
+    "q164_cusum_changepoint" -> qCusumChangepointSql,
+    "q165_acf" -> qAcfSql,
     "q153_interpolate_gaps" -> qInterpolateGapsSql,
     "q160_markov_transitions" -> qMarkovTransitionsSql,
     "q161_kaplan_meier" -> qKaplanMeierSql,

@@ -2292,7 +2292,57 @@ object TextOps {
       |    / CAST(n_types * n_tokens AS DOUBLE), 6) AS gini
       |FROM a""".stripMargin
 
+  /** q166: blocked sorted-neighborhood dedup candidates — the third
+    * classic near-dup blocking family next to LSH (q48/q53) and banding
+    * (q47): sort each block (first token) by a normalized 40-char text
+    * prefix, pair each doc with its PREDECESSOR in that sort order
+    * (window w=2; wider windows are lead(k) over the same sort), score
+    * the pair by prefix edit distance, and keep the global top-100
+    * closest with a full (distance, doc_a, doc_b) tiebreak. Sorted-
+    * neighborhood catches near-dups whose difference is a mid-string
+    * edit — the case token-set LSH is blind to when the edit changes
+    * shingle sets little but simhash much.
+    *
+    * Scale shape: candidate count is EXACTLY n − #blocks (one pair per
+    * adjacent slot), never quadratic; the sort is per-block inside one
+    * hash-partitioned window (block cardinality = token vocabulary, so
+    * partitions stay narrow), and levenshtein runs on 40-char keys —
+    * bounded cost per row. Top-100 is TakeOrderedAndProject, no global
+    * sort materializes.
+    */
+  def qSortedNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents").select(
+      col("doc_id"),
+      element_at(split(col("text"), " "), 1).as("block"),
+      substring(lower(col("text")), 1, 40).as("k"))
+    val w = Window.partitionBy(col("block")).orderBy(col("k"), col("doc_id"))
+    keyed
+      .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_k", lag(col("k"), 1).over(w))
+      .where(col("prev_id").isNotNull)
+      .select(col("block"), col("prev_id").as("doc_a"), col("doc_id").as("doc_b"),
+        levenshtein(col("prev_k"), col("k")).as("dist"))
+      .orderBy(col("dist").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(100)
+  }
+
+  val qSortedNeighborsSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, string_split(text, ' ')[1] AS block,
+      |    substr(lower(text), 1, 40) AS k
+      |  FROM documents),
+      |adj AS (
+      |  SELECT block, doc_id, k,
+      |    lag(doc_id) OVER w AS prev_id, lag(k) OVER w AS prev_k
+      |  FROM keyed
+      |  WINDOW w AS (PARTITION BY block ORDER BY k, doc_id))
+      |SELECT block, prev_id AS doc_a, doc_id AS doc_b,
+      |  CAST(levenshtein(prev_k, k) AS INT) AS dist
+      |FROM adj WHERE prev_id IS NOT NULL
+      |ORDER BY dist ASC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_sorted_neighbors" -> (qSortedNeighbors _),
     "q154_source_overlap" -> (qSourceOverlap _),
     "q155_positional_template" -> (qPositionalTemplate _),
     "q157_source_jsd" -> (qSourceJsd _),
@@ -2341,6 +2391,7 @@ object TextOps {
     "q85_dup_clusters" -> (qDupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "q166_sorted_neighbors" -> qSortedNeighborsSql,
     "q154_source_overlap" -> qSourceOverlapSql,
     "q155_positional_template" -> qPositionalTemplateSql,
     "q157_source_jsd" -> qSourceJsdSql,

@@ -155,6 +155,19 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 210.0 / 20)
   }
 
+  test("q163 AUC: histogram identity matches the pairwise definition with ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_auc").toString
+    // positives (en) score {3,5}, negatives {1,5}: pairs win+win+loss+tie
+    // -> AUC = 2.5/4 = 0.625, Gini = 2*AUC - 1 = 0.25
+    Seq((1L, "en", 3L), (2L, "en", 5L), (3L, "de", 1L), (4L, "fr", 5L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Stats.qAuc(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.625 && r.getDouble(3) == 0.25)
+  }
+
   test("q151 lift: hand-computed 2x2 co-occurrence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lift").toString

@@ -185,6 +185,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, 1L, 0L, None)))
   }
 
+  test("q164 CUSUM: a mean step's peak lands on the change day") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    val day = 86400000000000L
+    // days 0..3 at 0, days 4..7 at 10: mean 5, sigma 5, z = -1 then +1;
+    // CUSUM bottoms at -4 on day 3 (the last pre-shift day)
+    val vals = Seq(0.0, 0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 10.0)
+    vals.zipWithIndex.map { case (v, d) => (d.toLong, d * day, 1L, "t", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Temporal.qCusumChangepoint(spark, dir).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      == (("t", 8L, 3L, -4.0)))
+  }
+
+  test("q165 ACF: an alternating series has acf(k) = (n-k)*(-1)^k / n") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_acf").toString
+    val day = 86400000000000L
+    // +1/-1 alternating over 8 days: mean 0, den 8,
+    // num(k) = (8-k) * (-1)^k -> acf = -7/8, 6/8, -5/8, ...
+    val vals = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    vals.zipWithIndex.map { case (v, d) => (d.toLong, d * day, 1L, "t", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Temporal.qAcf(spark, dir).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val want = (1 to 7).map(k =>
+      k -> (8 - k) * (if (k % 2 == 1) -1.0 else 1.0) / 8).toMap
+    assert(got == want)
+  }
+
   test("q153 interpolation: straight line between observed days, flags set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_interp").toString

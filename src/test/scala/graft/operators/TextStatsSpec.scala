@@ -174,6 +174,20 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got("s2") == ((2L, 4L, 0.25)))
   }
 
+  test("q166 sorted neighborhood: adjacent-in-sort pairs inside blocks only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snm").toString
+    // block 'aa' sorts 1,2,3 by prefix: pairs (1,2) dist 1, (2,3) dist 4;
+    // block 'qq' is a singleton and contributes no pair
+    Seq((1L, "aa bbbb", "s"), (2L, "aa bbbc", "s"), (3L, "aa zzzz", "s"),
+      (4L, "qq x", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.qSortedNeighbors(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toList
+    assert(got == List(("aa", 1L, 2L, 1), ("aa", 2L, 3L, 4)))
+  }
+
   test("q155 positional template: modal token per position, lexicographic tie") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_postmpl").toString

@@ -350,7 +350,61 @@ object Relational {
       |FROM w WHERE o_totalprice > 1.5 * cust_avg
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** q169: market-basket pair mining — the top-20 part pairs most often
+    * bought together in one order, with the lift each pair shows over
+    * independence (n_ab·n_orders / (n_a·n_b)). The co-purchase shape
+    * behind recommenders and anomaly screens, on an UNBOUNDED key domain
+    * (parts), unlike q151's bounded event-type affinity.
+    *
+    * Scale shape: the self-join is keyed on l_orderkey, so per-order
+    * fanout is C(items-per-order, 2) — bounded by basket size, never a
+    * part×part product. Top-20 is TakeOrderedAndProject with a full
+    * (count, part_a, part_b) tiebreak; the part marginals join AFTER
+    * the limit, against 20 rows broadcast — the marginal table itself
+    * (|parts|-sized) is never broadcast.
+    */
+  def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
+    val nOrders = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val marg = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+    val top = op.as("a").join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+    marg.select(col("l_partkey").as("part_a"), col("n_p").as("n_a"))
+      .join(broadcast(top), Seq("part_a"))
+      .join(marg.select(col("l_partkey").as("part_b"), col("n_p").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab") * col("n_orders")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+  }
+
+  val qBasketLiftSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+      |marg AS (SELECT l_partkey, COUNT(*) AS n_p FROM op GROUP BY 1),
+      |top AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  ORDER BY n_ab DESC, part_a ASC, part_b ASC LIMIT 20)
+      |SELECT t.part_a, t.part_b, t.n_ab, ma.n_p AS n_a, mb.n_p AS n_b,
+      |  ROUND(CAST(t.n_ab * no.n_orders AS DOUBLE)
+      |    / CAST(ma.n_p * mb.n_p AS DOUBLE), 6) AS lift
+      |FROM top t
+      |JOIN marg ma ON ma.l_partkey = t.part_a
+      |JOIN marg mb ON mb.l_partkey = t.part_b
+      |CROSS JOIN no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_basket_lift" -> (qBasketLift _),
     "q134_star_join" -> (qStarJoinTopRevenue _),
     "q135_above_cust_avg" -> (qAboveCustomerAvg _),
     "q01_agg_multikey" -> (q1Agg _),
@@ -363,6 +417,7 @@ object Relational {
     "q08_time_series" -> (qTimeSeries _))
 
   val oracle: Map[String, String] = Map(
+    "q169_basket_lift" -> qBasketLiftSql,
     "q134_star_join" -> qStarJoinTopRevenueSql,
     "q135_above_cust_avg" -> qAboveCustomerAvgSql,
     "q01_agg_multikey" -> q1Sql,

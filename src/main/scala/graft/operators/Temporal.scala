@@ -863,9 +863,85 @@ object Temporal {
        |WHERE den > 0.0""".stripMargin
   }
 
+  /** q168: day-of-week seasonal index — per event type, each weekday
+    * slot's mean daily value over the gap-filled grid, as a ratio to the
+    * type's overall daily mean (multiplicative seasonal index: 1.3 means
+    * "this weekday runs 30% hot"). The decomposition step that belongs
+    * BEFORE q127/q164 score a series — a strong weekly cycle otherwise
+    * reads as seven changepoints a week. Weekday = epoch-day mod 7
+    * (a fixed 7-phase axis; calendar alignment is a labeling concern,
+    * the decomposition is phase-invariant).
+    *
+    * Float determinism: both means come from exact decimal sums over
+    * the grid; the index is computed on exact integer counts and
+    * decimal-backed doubles, one multiply and one divide in IEEE order.
+    *
+    * Scale shape: one corpus shuffle to daily totals; the grid and both
+    * aggregates run on the bounded (type × day-span) frame, and the
+    * per-type totals broadcast back onto the ≤ 7·|types| result.
+    */
+  def qSeasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import Relational.dsum
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
+      .agg(dsum(col("value")).as("v"))
+      .persist()
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
+      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day_idx"))
+    val full = grid.join(daily, Seq("event_type", "day_idx"), "left")
+      .na.fill(0.0, Seq("v"))
+      .withColumn("dow", pmod(col("day_idx"), lit(7L)))
+    val byDow = full.groupBy(col("event_type"), col("dow")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("v").cast(DecimalType(18, 6))).cast("double").as("s_dow"))
+    val byType = full.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_all"),
+      sum(col("v").cast(DecimalType(18, 6))).cast("double").as("s_all"))
+    byDow.join(broadcast(byType), Seq("event_type"))
+      .where(col("s_all") =!= 0.0)
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round(col("s_dow") / col("n_days"), 6).as("mean_v"),
+        round((col("s_dow") * col("n_all").cast("double"))
+          / (col("n_days").cast("double") * col("s_all")), 6).as("seasonal_idx"))
+  }
+
+  val qSeasonalIndexSql: String = {
+    import Relational.dsumSql
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $DayNs AS day_idx,
+       |    ${dsumSql("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, unnest(generate_series(mn, mx)) AS day_idx
+       |  FROM (SELECT event_type, MIN(day_idx) AS mn, MAX(day_idx) AS mx
+       |        FROM daily GROUP BY 1)),
+       |fullg AS (
+       |  SELECT g.event_type, g.day_idx, g.day_idx % 7 AS dow,
+       |    COALESCE(d.v, CAST(0 AS DOUBLE)) AS v
+       |  FROM grid g LEFT JOIN daily d
+       |    ON d.event_type = g.event_type AND d.day_idx = g.day_idx),
+       |by_dow AS (
+       |  SELECT event_type, dow, COUNT(*) AS n_days,
+       |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s_dow
+       |  FROM fullg GROUP BY 1, 2),
+       |by_type AS (
+       |  SELECT event_type, COUNT(*) AS n_all,
+       |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s_all
+       |  FROM fullg GROUP BY 1)
+       |SELECT d.event_type, d.dow, d.n_days,
+       |  ROUND(d.s_dow / d.n_days, 6) AS mean_v,
+       |  ROUND((d.s_dow * CAST(t.n_all AS DOUBLE))
+       |    / (CAST(d.n_days AS DOUBLE) * t.s_all), 6) AS seasonal_idx
+       |FROM by_dow d JOIN by_type t ON t.event_type = d.event_type
+       |WHERE t.s_all <> 0.0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_cusum_changepoint" -> (qCusumChangepoint _),
     "q165_acf" -> (qAcf _),
+    "q168_seasonal_index" -> (qSeasonalIndex _),
     "q153_interpolate_gaps" -> (qInterpolateGaps _),
     "q160_markov_transitions" -> (qMarkovTransitions _),
     "q161_kaplan_meier" -> (qKaplanMeier _),
@@ -881,6 +957,7 @@ object Temporal {
   val oracle: Map[String, String] = Map(
     "q164_cusum_changepoint" -> qCusumChangepointSql,
     "q165_acf" -> qAcfSql,
+    "q168_seasonal_index" -> qSeasonalIndexSql,
     "q153_interpolate_gaps" -> qInterpolateGapsSql,
     "q160_markov_transitions" -> qMarkovTransitionsSql,
     "q161_kaplan_meier" -> qKaplanMeierSql,

@@ -2341,8 +2341,98 @@ object TextOps {
       |FROM adj WHERE prev_id IS NOT NULL
       |ORDER BY dist ASC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin
 
+  /** q167: Burrows' Delta stylometric distance between sources — z-score
+    * each source's relative frequency of the corpus's top-30 tokens
+    * (per million, against the across-source mean/σ of that token), then
+    * Delta(a,b) = mean |z_a − z_b|: the classic authorship-attribution
+    * measure, here a source-provenance screen (two "different" feeds with
+    * near-zero Delta are likely the same upstream corpus relabeled —
+    * complementing q157's JSD, which weighs by mass where Delta
+    * deliberately weighs every marker token equally).
+    *
+    * Float determinism: rel-freq f = round(c·10⁶/n, 6) (exact integers →
+    * one IEEE multiply+divide); token μ/σ from decimal sums of f and
+    * round(f², 6); z rounds to 6; the pair mean is a decimal sum of
+    * round(|Δz|, 6). Never decimal×decimal.
+    *
+    * Scale shape: one corpus shuffle to (source, token) counts; top-30
+    * selection is a TakeOrdered over the bounded vocabulary histogram;
+    * everything after runs on the sources×30 grid (bounded), and the
+    * pair join is over that same bounded frame keyed by token.
+    */
+  def qBurrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = t(s, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+    val cst = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .persist()
+    val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val top = cst.groupBy(col("token")).agg(sum(col("c")).as("c_tot"))
+      .orderBy(col("c_tot").desc, col("token").asc).limit(30)
+    val grid = ns.crossJoin(broadcast(top.select(col("token"))))
+      .join(cst, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("f", round(col("c").cast("double") * lit(1000000.0)
+        / col("n_s").cast("double"), 6))
+    val kdf = ns.agg(count(lit(1)).cast("double").as("k"))
+    val stats = grid.crossJoin(broadcast(kdf)).groupBy(col("token")).agg(
+      (sum(col("f").cast(DecimalType(18, 6))).cast("double") / max(col("k"))).as("mu"),
+      (sum(round(col("f") * col("f"), 6).cast(DecimalType(28, 6))).cast("double")
+        / max(col("k"))).as("q"))
+      .withColumn("variance", col("q") - col("mu") * col("mu"))
+      .where(col("variance") > 0.0)
+    val z = grid.join(broadcast(stats), Seq("token"))
+      .select(col("source"), col("token"),
+        round((col("f") - col("mu")) / sqrt(col("variance")), 6).as("z"))
+    z.as("a").join(z.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_markers"),
+        round(sum(round(abs(col("a.z") - col("b.z")), 6)
+          .cast(DecimalType(28, 6))).cast("double") / count(lit(1)), 6)
+          .as("delta"))
+  }
+
+  val qBurrowsDeltaSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cst AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cst GROUP BY 1),
+      |top AS (
+      |  SELECT token FROM (
+      |    SELECT token, SUM(c) AS c_tot FROM cst GROUP BY token)
+      |  ORDER BY c_tot DESC, token ASC LIMIT 30),
+      |grid AS (
+      |  SELECT ns.source, top.token, ns.n_s, COALESCE(cst.c, 0) AS c,
+      |    round(CAST(COALESCE(cst.c, 0) AS DOUBLE) * 1000000.0
+      |      / CAST(ns.n_s AS DOUBLE), 6) AS f
+      |  FROM ns CROSS JOIN top
+      |  LEFT JOIN cst ON cst.source = ns.source AND cst.token = top.token),
+      |k AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM ns),
+      |stats AS (
+      |  SELECT token,
+      |    CAST(CAST(SUM(CAST(f AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |      / MAX(k.k) AS mu,
+      |    CAST(CAST(SUM(CAST(round(f * f, 6) AS DECIMAL(28,6))) AS VARCHAR)
+      |      AS DOUBLE) / MAX(k.k) AS q
+      |  FROM grid CROSS JOIN k GROUP BY token),
+      |st AS (
+      |  SELECT token, mu, q - mu * mu AS variance FROM stats
+      |  WHERE q - mu * mu > 0.0),
+      |z AS (
+      |  SELECT g.source, g.token,
+      |    round((g.f - st.mu) / sqrt(st.variance), 6) AS z
+      |  FROM grid g JOIN st ON st.token = g.token)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  COUNT(*) AS n_markers,
+      |  ROUND(CAST(CAST(SUM(CAST(round(abs(a.z - b.z), 6) AS DECIMAL(28,6)))
+      |    AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS delta
+      |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_sorted_neighbors" -> (qSortedNeighbors _),
+    "q167_burrows_delta" -> (qBurrowsDelta _),
     "q154_source_overlap" -> (qSourceOverlap _),
     "q155_positional_template" -> (qPositionalTemplate _),
     "q157_source_jsd" -> (qSourceJsd _),
@@ -2392,6 +2482,7 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "q166_sorted_neighbors" -> qSortedNeighborsSql,
+    "q167_burrows_delta" -> qBurrowsDeltaSql,
     "q154_source_overlap" -> qSourceOverlapSql,
     "q155_positional_template" -> qPositionalTemplateSql,
     "q157_source_jsd" -> qSourceJsdSql,

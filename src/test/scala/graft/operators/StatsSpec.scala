@@ -168,6 +168,24 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.625 && r.getDouble(3) == 0.25)
   }
 
+  test("q169 basket lift: pair counts, marginals, and lift on a tiny basket set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_basket").toString
+    // o1{1,2,3} o2{1,2} o3{1} (+ a duplicate (1,1) line that must not
+    // double-count): pairs (1,2)x2, (1,3)x1, (2,3)x1; n_orders=3,
+    // n_1=3, n_2=2, n_3=1 -> lifts 1.0, 1.0, 1.5
+    Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.qBasketLift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((2L, 3L, 2L, 1.0)),
+      (1L, 3L) -> ((1L, 3L, 1L, 1.0)),
+      (2L, 3L) -> ((1L, 2L, 1L, 1.5))))
+  }
+
   test("q151 lift: hand-computed 2x2 co-occurrence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lift").toString

@@ -217,6 +217,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q168 seasonal index: weekday slot means vs the overall mean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_seas").toString
+    val day = 86400000000000L
+    // observed days 0, 7 (v=8 each) and 13 (v=1): grid = days 0..13,
+    // dow0 mean 8, dow6 mean 0.5 (day 6 fills as 0), overall mean 17/14
+    Seq((1L, 0L, 1L, "t", 8.0), (2L, 7 * day, 1L, "t", 8.0),
+      (3L, 13 * day, 1L, "t", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Temporal.qSeasonalIndex(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == (0L to 6L).toSet)
+    assert(got(0L) == ((2L, 8.0, r6(8.0 * 14 / 17))))
+    assert(got(6L) == ((2L, 0.5, r6(0.5 * 14 / 17))))
+    assert(got(3L) == ((2L, 0.0, 0.0)))
+  }
+
   test("q153 interpolation: straight line between observed days, flags set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_interp").toString

@@ -188,6 +188,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got == List(("aa", 1L, 2L, 1), ("aa", 2L, 3L, 4)))
   }
 
+  test("q167 Burrows Delta: hand-computed two-source z-score distance") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_burrows").toString
+    // s1 "a b": f_a = f_b = 500000/M; s2 "a a a b": f_a = 750000, f_b = 250000
+    // token a: mu 625k, sigma 125k -> z = (-1, +1); token b: z = (+1, -1)
+    // Delta = mean(|z1-z2|) = mean(2, 2) = 2
+    Seq((1L, "a b", "s1"), (2L, "a a a b", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.qBurrowsDelta(spark, dir).collect()
+    assert(r.length == 1)
+    assert((r.head.getString(0), r.head.getString(1), r.head.getLong(2),
+      r.head.getDouble(3)) == (("s1", "s2", 2L, 2.0)))
+  }
+
   test("q155 positional template: modal token per position, lexicographic tie") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_postmpl").toString

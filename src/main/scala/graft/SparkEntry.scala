@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions.col
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -275,7 +276,14 @@ object SparkEntry {
     "x56_minhash_candidates_xxhash" ->
       ((s, dir) => TextOps.minhashCandidates(
         TextOps.minhashSignatures(graft.Tables.load(s, dir, "documents")))),
-    "x111_chunk_dedup_xxhash" -> (Curation.chunkDedupXx _))
+    "x111_chunk_dedup_xxhash" -> (Curation.chunkDedupXx _),
+    "x117_cross_corpus_xxhash" -> (CrossCorpus.qCrossCorpusDedupXx _),
+    "x49_jaccard_xxhash" ->
+      ((s, dir) => TextOps.jaccardPairs(
+          graft.Tables.load(s, dir, "documents"), hashShingles = true)
+        .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(20)
+        .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -718,7 +718,7 @@ object Analytics {
        |  FROM (SELECT l_returnflag, l_quantity AS quantity,
        |          l_extendedprice AS extendedprice, l_discount AS discount,
        |          l_tax AS tax FROM lineitem)
-       |  UNPIVOT (value FOR measure IN (quantity, extendedprice, discount, tax)))
+       |  UNPIVOT INCLUDE NULLS (value FOR measure IN (quantity, extendedprice, discount, tax)))
        |SELECT l_returnflag, measure, COUNT(*) AS n,
        |  ROUND(${dsumSql("value")}, 6) AS total,
        |  ROUND(${dsumSql("value")} / COUNT(*), 6) AS mean_v

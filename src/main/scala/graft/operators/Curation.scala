@@ -321,9 +321,15 @@ object Curation {
     // shingle emits its three (pass-tagged) block keys row-locally, so
     // one hot-block cap + one join replace three of each — same
     // candidate set, a third of the job overhead. The pass tag keeps
-    // blocks from different rotations from cross-joining.
+    // blocks from different rotations from cross-joining. The key is
+    // xxhash64'd to 8 bytes BEFORE the shuffle — the exchange and the
+    // join hash table carry a long, not a two-word string. A collision
+    // merging two blocks can only ADD candidates (the exact levenshtein
+    // filter re-screens them), so the only divergence risk vs the
+    // string-keyed oracle is a colliding pair that ALSO happens to sit
+    // within maxDist — odds ~|blocks|²/2⁶⁵, accepted like q47/q48.
     def bk(tag: String, i: Int, j: Int) =
-      concat_ws(" ", lit(tag), col("w").getItem(i), col("w").getItem(j))
+      xxhash64(lit(tag), col("w").getItem(i), col("w").getItem(j))
     val blocked = sh.select(col("shingle"),
       explode(array(bk("01", 0, 1), bk("12", 1, 2), bk("02", 0, 2))).as("bk"))
     val hot = blocked.groupBy(col("bk")).agg(count(lit(1)).as("members"))

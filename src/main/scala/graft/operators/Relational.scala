@@ -375,10 +375,13 @@ object Relational {
       .agg(count(lit(1)).as("n_ab"))
       .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
-    marg.select(col("l_partkey").as("part_a"), col("n_p").as("n_a"))
+    val withA = marg.select(col("l_partkey").as("part_a"), col("n_p").as("n_a"))
       .join(broadcast(top), Seq("part_a"))
-      .join(marg.select(col("l_partkey").as("part_b"), col("n_p").as("n_b")),
-        Seq("part_b"))
+    // withA is still ≤20 rows but Spark can't infer that through the
+    // broadcast join — hint it too, so BOTH marg joins stream the
+    // |parts|-sized marginal table map-side with zero shuffles
+    marg.select(col("l_partkey").as("part_b"), col("n_p").as("n_b"))
+      .join(broadcast(withA), Seq("part_b"))
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
         round((col("n_ab") * col("n_orders")).cast("double")

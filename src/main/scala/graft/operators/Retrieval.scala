@@ -162,15 +162,17 @@ object Retrieval {
     * oracle mirrors the same choice.
     *
     * Scale shape: the corpus is touched ONCE (bigram count aggregate —
-    * token-pair keys, map-side combine); every iteration after that joins
-    * vocabulary-sized frames (|V| ranks × |V|² worst-case edges, both
-    * bounded by vocabulary not corpus size, both persisted). Iterations
-    * are a fixed unrolled chain, so at 100 TB each round is one shuffle of
-    * the edge frame; a doc-link-graph variant would swap the edge builder
-    * and add the q85 localCheckpoint lineage cut. Per-contribution
-    * DECIMAL(18,9) rounding keeps every Σ order-free (q93 convention);
-    * out-weight fractions are exact integer ratios evaluated in identical
-    * order in both engines.
+    * token-pair keys, map-side combine); every iteration after that
+    * BROADCASTS the vocabulary-sized rank frame into the persisted edge
+    * frame (|V| ranks ~ MBs even at web vocabulary; the edge frame —
+    * the big side — is partitioned once and NEVER re-shuffles), so each
+    * round costs one map-side join + one bounded aggregate, and the
+    * dangling-node fill is a second broadcast join, not a shuffle. A
+    * doc-link-graph variant (ranks no longer broadcastable) would swap
+    * to a pre-partitioned shuffle join + the q85 localCheckpoint lineage
+    * cut. Per-contribution DECIMAL(18,9) rounding keeps every Σ
+    * order-free (q93 convention); out-weight fractions are exact integer
+    * ratios evaluated in identical order in both engines.
     */
   def qTokenPagerank(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
@@ -194,12 +196,12 @@ object Retrieval {
     val nV = nodes.count() // bounded: |vocabulary|, a metadata-sized count
     val init = nodes.withColumn("pr", lit(1.0 / nV))
     val ranks = (1 to PrIters).foldLeft(init) { (pr, _) =>
-      val contribs = pr.join(e, pr("token") === e("src"))
+      val contribs = broadcast(pr).join(e, pr("token") === e("src"))
         .select(col("dst").as("token"),
           (col("pr") * col("frac")).cast(DecimalType(18, 9)).as("w"))
         .groupBy(col("token"))
         .agg(sum(col("w")).cast("double").as("in_w"))
-      nodes.join(contribs, Seq("token"), "left")
+      nodes.join(broadcast(contribs), Seq("token"), "left")
         .select(col("token"),
           (lit((1.0 - Damping) / nV) +
             lit(Damping) * coalesce(col("in_w"), lit(0.0))).as("pr"))

@@ -381,8 +381,17 @@ object TextOps {
     * anti-join rather than re-shuffling the posting list against a df
     * table.
     */
-  def jaccardPairs(docs: DataFrame, maxDfFrac: Double = 0.5): DataFrame = {
-    val sh = shinglesDistinct(docs).persist()
+  def jaccardPairs(docs: DataFrame, maxDfFrac: Double = 0.5,
+      hashShingles: Boolean = false): DataFrame = {
+    // hashShingles is the scale default (bench x49): the posting list and
+    // its self-join shuffle carry an 8-byte xxhash64 instead of the raw
+    // shingle string; per-doc shingle sets stay distinct modulo ~1/2⁶⁴
+    // collisions, so counts (and Jaccard) are unchanged in practice. The
+    // gated q49 keeps raw strings so it is spelling-identical to DuckDB.
+    val shRaw = shinglesDistinct(docs)
+    val sh = (if (hashShingles)
+        shRaw.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      else shRaw).persist()
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -2046,22 +2055,31 @@ object TextOps {
     * leakage even when no document is copied whole — the signal that
     * two "different" crawls share a boilerplate substrate.
     *
-    * Scale shape: the corpus aggregates to distinct (source, shingle)
-    * first (one content-key shuffle); the pair join fans each shingle
-    * out to at most C(|sources|, 2) rows — bounded by the source
-    * DOMAIN, not corpus size — and the result frame is |sources|²/2.
+    * Scale shape: ONE corpus-scale shuffle — group by the xxhash64'd
+    * shingle (8-byte keys on the exchange; collisions merge two
+    * shingles' source sets at odds ~|shingles|²/2⁶⁵, the q47/q48
+    * convention) into the set of sources containing it (set size is
+    * bounded by the source DOMAIN, so partial collect_set combines
+    * map-side). Source pairs are then generated ROW-LOCALLY from each
+    * sorted source set — no self-join, no second corpus-scale shuffle;
+    * everything downstream is |sources|- or |sources|²-bounded.
     */
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val ss = t(s, dir, "documents")
-      .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+    val bySh = t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("source"), explode(array_distinct(shingleArr)).as("shingle"))
-      .distinct()
+      .groupBy(xxhash64(col("shingle")).as("sh"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
       .persist()
-    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    ss.as("a").join(ss.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    val sizes = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    bySh.where(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> transform(" +
+          "slice(srcs, i + 2, size(srcs)), " +
+          "y -> struct(x AS source_a, y AS source_b))))")).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("common"))
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a"))),
         Seq("source_a"))

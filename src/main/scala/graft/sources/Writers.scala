@@ -115,11 +115,14 @@ object Writers {
     * two renames (dir → `.compact-old`, staging → dir) and is NOT a
     * single atomic operation: a concurrent reader can observe a brief
     * window where `path` is absent, and a crash between the renames
-    * leaves the live data at `<path>.compact-old` (recovery: rename it
-    * back — and the next compact() run clears any stale staging/backup
-    * leftovers before starting). If the second rename fails the
-    * original directory is restored in place, so the table never STAYS
-    * missing. Returns the output file count.
+    * leaves the live data at `<path>.compact-old`. The next compact()
+    * run self-heals: if `path` is missing and a backup exists it
+    * restores backup → path FIRST (the backup is the only copy in that
+    * state — it must never be treated as stale garbage), and only when
+    * the live dir is present does it clear leftover staging/backup from
+    * an earlier crash. If the second rename fails the original
+    * directory is restored in place, so the table never STAYS missing.
+    * Returns the output file count.
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
@@ -128,6 +131,12 @@ object Writers {
     import scala.util.Using
     import scala.util.control.NonFatal
     val dir = Paths.get(path)
+    val staging = Paths.get(path + ".compact-staging")
+    val backup = Paths.get(path + ".compact-old")
+    // crash between the two renames leaves the ONLY copy at backup with
+    // `dir` absent — restore it rather than treating it as stale garbage
+    if (!Files.exists(dir) && Files.exists(backup))
+      Files.move(backup, dir, StandardCopyOption.ATOMIC_MOVE)
     val partitionDirs = Using.resource(Files.list(dir)) { s =>
       s.iterator().asScala
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
@@ -136,10 +145,9 @@ object Writers {
     require(partitionDirs.isEmpty,
       s"compact() is for unpartitioned directories; $path has partition " +
         s"subdirectory ${partitionDirs.head.getFileName} — use compactPartitioned()")
-    val staging = Paths.get(path + ".compact-staging")
-    val backup = Paths.get(path + ".compact-old")
-    // clear leftovers from a previous crashed run (a stale backup would
-    // make the dir→backup rename below fail)
+    // the live dir is present, so leftovers from a previous crashed run
+    // really are stale (a stale backup would make the dir→backup rename
+    // below fail)
     deleteTree(staging); deleteTree(backup)
     val bytes = Using.resource(Files.walk(dir)) { s =>
       s.iterator().asScala

@@ -49,6 +49,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((21L, 201L)) == 1.0)
   }
 
+  test("x49 parity: xxhash64-shingle jaccard matches the raw-string spelling exactly") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "common", "jaccard").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val raw = key(TextOps.jaccardPairs(docs))
+    val hashed = key(TextOps.jaccardPairs(docs, hashShingles = true))
+    assert(hashed == raw) // same pairs, same common counts, same jaccard
+  }
+
   test("jaccard df cap drops planted hot shingles; denominators use the filtered universe") {
     import spark.implicits._
     // Every doc opens with the same 5 tokens → 3 shingles with df = 10

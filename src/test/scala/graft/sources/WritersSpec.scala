@@ -107,6 +107,24 @@ class WritersSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact-staging")))
   }
 
+  test("compact restores the backup when a crash left the live dir missing") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_compact_crash").toString + "/t"
+    spark.range(100).toDF("id").repartition(4).write.parquet(path)
+    // simulate a crash BETWEEN the two renames: live data only at backup
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + ".compact-old"))
+    // stale staging from the same crashed run
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path + ".compact-staging"))
+    val n = Writers.compact(spark, path)
+    assert(n == 1)
+    assert(spark.read.parquet(path).count() == 100) // rows survived the rerun
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact-old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path + ".compact-staging")))
+  }
+
   test("zValue matches a reference Morton interleave") {
     import spark.implicits._
     def morton(a: Long, b: Long): Long = {

@@ -894,7 +894,142 @@ object Analytics {
        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
        |                        (l_returnflag, l_linestatus))""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+
+  /** q172: 2-D skyline (Pareto frontier) of orders — the orders no other
+    * order beats on BOTH dimensions (earlier-or-equal date AND
+    * higher-or-equal price, strictly better in one). The "best so far"
+    * frontier behind price-tracking and multi-objective screens.
+    *
+    * Scale shape: the quadratic NOT-EXISTS definition is rewritten as
+    * per-date max (one map-side-combinable aggregate over the bounded
+    * date domain) + a running max over the DATE frame (≤ a few thousand
+    * rows regardless of corpus size) + a broadcast join back — never an
+    * all-pairs dominance test. The oracle mirrors the rewrite so both
+    * engines run the identical O(n + dates) plan.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
+    val daily = o.groupBy(col("o_date")).agg(max(col("o_totalprice")).as("dmax"))
+    val w = Window.orderBy(col("o_date")).rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = daily.withColumn("prior", max(col("dmax")).over(w))
+      .where(col("prior").isNull || col("dmax") > col("prior"))
+      .select(col("o_date"), col("dmax"))
+    o.join(broadcast(frontier), Seq("o_date"))
+      .where(col("o_totalprice") === col("dmax"))
+      .select(col("o_orderkey"), col("o_date"), col("o_totalprice"))
+  }
+
+  val qSkylineSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |             o_totalprice FROM orders),
+      |daily AS (SELECT o_date, MAX(o_totalprice) AS dmax FROM o GROUP BY 1),
+      |f AS (SELECT o_date, dmax,
+      |        MAX(dmax) OVER (ORDER BY o_date
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+      |      FROM daily)
+      |SELECT o.o_orderkey, o.o_date, o.o_totalprice
+      |FROM o JOIN f ON o.o_date = f.o_date AND o.o_totalprice = f.dmax
+      |WHERE f.prior IS NULL OR f.dmax > f.prior""".stripMargin
+
+  // ---------------------------------------------------------------- q173
+
+  /** q173: RFM customer segmentation — recency (days since last order,
+    * vs the corpus max date), frequency (order count), monetary (decimal
+    * order-total sum), each scored 1–5 on FIXED practitioner bins (fixed
+    * thresholds, not quantiles: row-local, shuffle-free, and stable
+    * across reruns — the quantile spelling would need a global rank).
+    * Output: customers and mean spend per 3-digit RFM cell.
+    *
+    * Scale shape: one per-customer aggregate (map-side combinable), a
+    * 1-row broadcast for the corpus max date, then a bounded ≤125-cell
+    * aggregate. Everything else is row-local scoring.
+    */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = t(s, dir, "orders")
+    val mx = o.agg(max(col("o_orderdate").cast("date")).as("maxd"))
+    val per = o.groupBy(col("o_custkey")).agg(
+        max(col("o_orderdate").cast("date")).as("lastd"),
+        count(lit(1)).as("f"),
+        dsum(col("o_totalprice")).as("m"))
+      .crossJoin(broadcast(mx))
+      .withColumn("r_days", datediff(col("maxd"), col("lastd")).cast("long"))
+    val scored = per.select(
+      concat(
+        when(col("r_days") <= 60, "5").when(col("r_days") <= 120, "4")
+          .when(col("r_days") <= 240, "3").when(col("r_days") <= 400, "2")
+          .otherwise("1"),
+        when(col("f") >= 13, "5").when(col("f") >= 11, "4")
+          .when(col("f") >= 9, "3").when(col("f") >= 7, "2").otherwise("1"),
+        when(col("m") >= 3200000.0, "5").when(col("m") >= 2600000.0, "4")
+          .when(col("m") >= 2200000.0, "3").when(col("m") >= 1700000.0, "2")
+          .otherwise("1")).as("rfm"),
+      col("m"))
+    scored.groupBy(col("rfm")).agg(
+      count(lit(1)).as("n_customers"),
+      round(sum(col("m").cast(DecimalType(28, 6))).cast("double")
+        / count(lit(1)), 6).as("avg_monetary"))
+  }
+
+  val qRfmSql: String =
+    s"""WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+       |per AS (
+       |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS lastd,
+       |    COUNT(*) AS f, ${dsumSql("o_totalprice")} AS m
+       |  FROM orders GROUP BY 1),
+       |scored AS (
+       |  SELECT
+       |    (CASE WHEN date_diff('day', lastd, mx.maxd) <= 60 THEN '5'
+       |          WHEN date_diff('day', lastd, mx.maxd) <= 120 THEN '4'
+       |          WHEN date_diff('day', lastd, mx.maxd) <= 240 THEN '3'
+       |          WHEN date_diff('day', lastd, mx.maxd) <= 400 THEN '2'
+       |          ELSE '1' END)
+       |    || (CASE WHEN f >= 13 THEN '5' WHEN f >= 11 THEN '4'
+       |             WHEN f >= 9 THEN '3' WHEN f >= 7 THEN '2' ELSE '1' END)
+       |    || (CASE WHEN m >= 3200000.0 THEN '5' WHEN m >= 2600000.0 THEN '4'
+       |             WHEN m >= 2200000.0 THEN '3' WHEN m >= 1700000.0 THEN '2'
+       |             ELSE '1' END) AS rfm,
+       |    m
+       |  FROM per CROSS JOIN mx)
+       |SELECT rfm, COUNT(*) AS n_customers,
+       |  ROUND(CAST(CAST(SUM(CAST(m AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+       |    / COUNT(*), 6) AS avg_monetary
+       |FROM scored GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+
+  /** q177: equi-depth decile table of line-item price — the 9 exact
+    * decile boundaries as rows, computed with the same shuffle-free
+    * histogram-refinement selection as q18 (two bounded scans + a
+    * metadata-sized collect; no range shuffle, no sort). The
+    * equi-depth histogram every optimizer and data-profiler keeps.
+    */
+  def qEquidepthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val probs = (1 to 9).map(_ / 10.0)
+    exactQuantilesByHistogram(t(s, dir, "lineitem"), "l_extendedprice", probs)
+      .select(expr("stack(9, " +
+        (0 until 9).map(i => s"${i + 1}, q$i").mkString(", ") +
+        ") AS (decile, boundary)"))
+  }
+
+  val qEquidepthDecilesSql: String = {
+    val qs = (1 to 9).map(i =>
+      s"percentile_cont(0.$i) WITHIN GROUP (ORDER BY l_extendedprice) AS q$i")
+      .mkString(",\n  ")
+    val rows = (1 to 9).map(i => s"SELECT $i AS decile, q$i AS boundary FROM q")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT
+       |  $qs
+       |FROM lineitem)
+       |$rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_skyline" -> (qSkyline _),
+    "q173_rfm" -> (qRfm _),
+    "q177_equidepth_deciles" -> (qEquidepthDeciles _),
     "q156_unpivot" -> (qUnpivot _),
     "q92_grouping_sets" -> (qGroupingSets _),
     "q81_kll_quantiles" -> (qKllQuantiles _),
@@ -931,6 +1066,9 @@ object Analytics {
     "q36_sym_diff" -> (qSymDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q172_skyline" -> qSkylineSql,
+    "q173_rfm" -> qRfmSql,
+    "q177_equidepth_deciles" -> qEquidepthDecilesSql,
     "q156_unpivot" -> qUnpivotSql,
     "q92_grouping_sets" -> qGroupingSetsSql,
     "q86_corr_moments" -> qCorrMomentsSql,

@@ -855,7 +855,85 @@ object Similarity {
       |        / COUNT(*), 4) AS pct_zero
       |FROM x GROUP BY pos""".stripMargin
 
+  /** q175: per-label centroid drift — each label's mean embedding
+    * compared to the corpus centroid (cosine and L2). The cluster-QA /
+    * source-drift screen next to q144's per-dimension stats: a label
+    * whose centroid sits far from the corpus centre is a candidate
+    * mixture outlier (mislabeled slice, modality gap, collapsed
+    * encoder).
+    *
+    * Scale shape: one posexplode pass aggregated on (label, pos) —
+    * dimension-bounded keys, map-side combinable, exact DECIMAL sums;
+    * the corpus centroid reuses the SAME pass re-aggregated by pos, and
+    * the closing join/aggregate frames are |labels|·dims rows. All
+    * cross-engine float sums follow the round-then-DECIMAL q93
+    * convention, so Σ order never matters.
+    */
+  def qCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v0")))
+      .select(col("label"), (col("pos0") + 1).cast("int").as("pos"),
+        col("v0").cast("double").as("v"))
+      .persist()
+    val byLabel = x.groupBy(col("label"), col("pos")).agg(
+      count(lit(1)).as("n_vecs"),
+      (sum(col("v").cast(DecimalType(18, 6))).cast("double")
+        / count(lit(1))).as("mu"))
+    val global = x.groupBy(col("pos")).agg(
+      (sum(col("v").cast(DecimalType(18, 6))).cast("double")
+        / count(lit(1))).as("gmu"))
+    byLabel.join(broadcast(global), Seq("pos"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n_vecs")).as("n_vecs"),
+        sum(round(col("mu") * col("gmu"), 9).cast(DecimalType(28, 9)))
+          .cast("double").as("dot"),
+        sum(round(col("mu") * col("mu"), 9).cast(DecimalType(28, 9)))
+          .cast("double").as("na"),
+        sum(round(col("gmu") * col("gmu"), 9).cast(DecimalType(28, 9)))
+          .cast("double").as("nb"),
+        sum(round((col("mu") - col("gmu")) * (col("mu") - col("gmu")), 9)
+          .cast(DecimalType(28, 9))).cast("double").as("sq"))
+      .select(col("label"), col("n_vecs"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .as("cos_to_global"),
+        round(sqrt(col("sq")), 6).as("l2_to_global"))
+  }
+
+  val qCentroidDriftSql: String =
+    """WITH x AS (
+      |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |bl AS (
+      |  SELECT label, pos, COUNT(*) AS n_vecs,
+      |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |      / COUNT(*) AS mu
+      |  FROM x GROUP BY 1, 2),
+      |g AS (
+      |  SELECT pos,
+      |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |      / COUNT(*) AS gmu
+      |  FROM x GROUP BY 1),
+      |a AS (
+      |  SELECT bl.label, MAX(bl.n_vecs) AS n_vecs,
+      |    CAST(CAST(SUM(CAST(ROUND(bl.mu * g.gmu, 9) AS DECIMAL(28,9)))
+      |      AS VARCHAR) AS DOUBLE) AS dot,
+      |    CAST(CAST(SUM(CAST(ROUND(bl.mu * bl.mu, 9) AS DECIMAL(28,9)))
+      |      AS VARCHAR) AS DOUBLE) AS na,
+      |    CAST(CAST(SUM(CAST(ROUND(g.gmu * g.gmu, 9) AS DECIMAL(28,9)))
+      |      AS VARCHAR) AS DOUBLE) AS nb,
+      |    CAST(CAST(SUM(CAST(ROUND((bl.mu - g.gmu) * (bl.mu - g.gmu), 9)
+      |      AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) AS sq
+      |  FROM bl JOIN g USING (pos) GROUP BY 1)
+      |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |  ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cos_to_global,
+      |  ROUND(SQRT(sq), 6) AS l2_to_global
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_centroid_drift" -> (qCentroidDrift _),
     "q144_dim_stats" -> (qDimStats _),
     "q137_recall_audit" -> (qRecallAudit _),
     "q118_random_projection" -> (qRandomProjection _),
@@ -869,6 +947,7 @@ object Similarity {
     "q102_semdedup_prune" -> (qSemdedupPrune _))
 
   val oracle: Map[String, String] = Map(
+    "q175_centroid_drift" -> qCentroidDriftSql,
     "q144_dim_stats" -> qDimStatsSql,
     "q137_recall_audit" -> qRecallAuditSql,
     "q118_random_projection" -> qRandomProjectionSql,

@@ -591,7 +591,294 @@ object Stats {
       |  ROUND(CAST(num AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE) - 1.0, 6) AS gini
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------------ grouped median
+
+  /** Exact per-group median over the VALUE DOMAIN. Input is the
+    * pre-aggregated (group, v, c) count frame — the only corpus-touching
+    * pass is that map-side-combinable aggregate; the cumulative-rank
+    * window then runs over the per-group DISTINCT-VALUE frame (partition
+    * size = value-domain cardinality, not row count — the bounded-domain
+    * analogue of q18's histogram selection). Interpolation at even n
+    * uses the same `(ceil(pos)-pos)*lo + (pos-floor(pos))*hi` IEEE
+    * spelling as [[Analytics.exactQuantilesByHistogram]], so the
+    * [[groupedMedianSql]] mirror is bit-identical.
+    */
+  def groupedMedian(counts: DataFrame, group: String, out: String): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col(group))))
+      .withColumn("pos", (col("n") - 1).cast("double") * lit(0.5))
+      .withColumn("rf", floor(col("pos")))
+      .withColumn("rc", ceil(col("pos")))
+    cum.groupBy(col(group), col("pos"))
+      .agg(
+        min(when(col("rf").between(col("cum") - col("c"), col("cum") - 1), col("v"))).as("lo"),
+        min(when(col("rc").between(col("cum") - col("c"), col("cum") - 1), col("v"))).as("hi"))
+      .select(col(group),
+        when(floor(col("pos")) === ceil(col("pos")), col("lo"))
+          .otherwise((ceil(col("pos")).cast("double") - col("pos")) * col("lo")
+            + (col("pos") - floor(col("pos")).cast("double")) * col("hi")).as(out))
+  }
+
+  /** DuckDB mirror of [[groupedMedian]] as a derived relation: `rel` must
+    * expose columns (`group`, v); yields rows (`group`, `out`). Spelled
+    * with the identical cumulative-rank + interpolation arithmetic so
+    * doubles match bit-for-bit.
+    */
+  def groupedMedianSql(rel: String, group: String, out: String): String =
+    s"""(
+       |  SELECT g AS $group,
+       |    CASE WHEN FLOOR(pos) = CEIL(pos) THEN lo
+       |         ELSE (CEIL(pos) - pos) * lo + (pos - FLOOR(pos)) * hi END AS $out
+       |  FROM (
+       |    SELECT g, pos,
+       |      MIN(CASE WHEN rf BETWEEN cum - c AND cum - 1 THEN v END) AS lo,
+       |      MIN(CASE WHEN rc BETWEEN cum - c AND cum - 1 THEN v END) AS hi
+       |    FROM (
+       |      SELECT g, v, c, cum, CAST(n - 1 AS DOUBLE) * 0.5 AS pos,
+       |        CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) AS rf,
+       |        CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) AS rc
+       |      FROM (
+       |        SELECT g, v, c,
+       |          SUM(c) OVER (PARTITION BY g ORDER BY v
+       |            ROWS UNBOUNDED PRECEDING) AS cum,
+       |          SUM(c) OVER (PARTITION BY g) AS n
+       |        FROM (SELECT $group AS g, v, COUNT(*) AS c FROM $rel GROUP BY 1, 2)))
+       |    GROUP BY 1, 2))""".stripMargin
+
+  // ---------------------------------------------------------------- q170
+
+  /** q170: Benford first-digit screen on order totals — per leading
+    * digit: count, observed share, the Benford expectation log10(1+1/d),
+    * and the chi-square contribution. The classic synthetic-data /
+    * fraud / unit-mixup detector for any positive heavy-tailed measure.
+    *
+    * The digit is extracted through the BIGINT string of floor(x) —
+    * integer formatting is identical across engines, where float
+    * formatting and log10 (libm-dependent) are not; expectations are
+    * shared 6-decimal literals. Row-local map + 9-key aggregate: the
+    * 100 TB cost is one scan.
+    */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val expected = Seq(
+      (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+      (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+      (9, 0.045757)).toDF("digit", "expected")
+    val c = t(s, dir, "orders").where(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("total"))
+    val share = col("n").cast("double") / col("total").cast("double")
+    c.crossJoin(broadcast(tot)).join(broadcast(expected), Seq("digit"))
+      .select(col("digit"), col("n"),
+        round(share, 6).as("share"), col("expected"),
+        round((share - col("expected")) * (share - col("expected"))
+          / col("expected"), 6).as("chi2_term"))
+  }
+
+  val qBenfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+      |    1, 1) AS INTEGER) AS digit
+      |  FROM orders WHERE o_totalprice >= 1.0),
+      |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      |e(digit, expected) AS (VALUES
+      |  (1, CAST(0.301030 AS DOUBLE)), (2, CAST(0.176091 AS DOUBLE)),
+      |  (3, CAST(0.124939 AS DOUBLE)), (4, CAST(0.096910 AS DOUBLE)),
+      |  (5, CAST(0.079181 AS DOUBLE)), (6, CAST(0.066947 AS DOUBLE)),
+      |  (7, CAST(0.057992 AS DOUBLE)), (8, CAST(0.051153 AS DOUBLE)),
+      |  (9, CAST(0.045757 AS DOUBLE)))
+      |SELECT c.digit, c.n,
+      |  ROUND(CAST(c.n AS DOUBLE) / CAST(tt.total AS DOUBLE), 6) AS share,
+      |  e.expected,
+      |  ROUND((CAST(c.n AS DOUBLE) / CAST(tt.total AS DOUBLE) - e.expected)
+      |      * (CAST(c.n AS DOUBLE) / CAST(tt.total AS DOUBLE) - e.expected)
+      |      / e.expected, 6) AS chi2_term
+      |FROM c JOIN e USING (digit) CROSS JOIN tt""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+
+  /** q171: Mann–Whitney U (rank-sum) drift test between the even- and
+    * odd-doc_id halves of the corpus on document length — the
+    * nonparametric complement to q129's KS: sensitive to location shift,
+    * robust to outliers, exact under heavy ties via average ranks and
+    * the tie-corrected normal approximation.
+    *
+    * Scale shape: one (value → group-count) aggregate over the corpus
+    * (map-side combinable), then every window/Σ runs on the
+    * DISTINCT-VALUE frame — bounded by the length domain, not rows.
+    * Rank products are exact multiples of 0.5, so the Σ accumulates in
+    * DECIMAL(28,1) (order-free); the closed-form z runs on identical
+    * doubles in both engines.
+    */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      (col("doc_id") % 2 === 0).as("is_a"), col("n_chars").cast("double").as("v"))
+    val counts = d.groupBy(col("v")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("less", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("avg_rank",
+        col("less").cast("double") + (col("t") + 1L).cast("double") * lit(0.5))
+    val a = ranked.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      sum((col("ca").cast("double") * col("avg_rank"))
+        .cast(DecimalType(28, 1))).cast("double").as("ra"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val na = col("na").cast("double")
+    val nb = col("nb").cast("double")
+    val nn = na + nb
+    val u = col("ra") - na * (na + lit(1.0)) * lit(0.5)
+    val mean = na * nb * lit(0.5)
+    val variance = na * nb / lit(12.0) *
+      ((nn + lit(1.0)) - col("ties").cast("double") / (nn * (nn - lit(1.0))))
+    a.select(
+      col("na").cast("bigint").as("n_a"), col("nb").cast("bigint").as("n_b"),
+      u.as("u_a"),
+      round(u / (na * nb), 6).as("auc_ab"),
+      round((u - mean) / sqrt(variance), 6).as("z"))
+  }
+
+  val qMannWhitneySql: String =
+    """WITH d AS (
+      |  SELECT (doc_id % 2 = 0) AS is_a, CAST(n_chars AS DOUBLE) AS v
+      |  FROM documents),
+      |c AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM d GROUP BY v),
+      |r AS (
+      |  SELECT ca, cb, ca + cb AS t,
+      |    COALESCE(SUM(ca + cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+      |  FROM c),
+      |a AS (
+      |  SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb,
+      |    CAST(CAST(SUM(CAST(CAST(ca AS DOUBLE) *
+      |      (CAST(less AS DOUBLE) + CAST(t + 1 AS DOUBLE) * 0.5)
+      |      AS DECIMAL(28,1))) AS VARCHAR) AS DOUBLE) AS ra,
+      |    CAST(SUM(t * t * t - t) AS DOUBLE) AS ties
+      |  FROM r)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  ra - na * (na + 1.0) * 0.5 AS u_a,
+      |  ROUND((ra - na * (na + 1.0) * 0.5) / (na * nb), 6) AS auc_ab,
+      |  ROUND((ra - na * (na + 1.0) * 0.5 - na * nb * 0.5)
+      |    / SQRT(na * nb / 12.0 * ((na + nb + 1.0)
+      |        - ties / ((na + nb) * (na + nb - 1.0)))), 6) AS z
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- q174
+
+  /** q174: Theil–Sen robust slope of monthly revenue per order priority —
+    * the median of all pairwise month-to-month slopes, immune to the
+    * outlier months that drag q124's OLS. The robust-regression member
+    * of the trend family.
+    *
+    * Scale shape: the corpus collapses to (priority × month) — a
+    * DOMAIN-bounded frame — in one map-side-combinable aggregate; the
+    * pairwise self-join (≤ months²/2 per priority) and the
+    * [[groupedMedian]] cumulative window never touch corpus-sized data.
+    */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    import Relational.dsum
+    val m = t(s, dir, "orders").groupBy(
+        col("o_orderpriority").as("priority"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("x"))
+      .agg(dsum(col("o_totalprice")).as("y"))
+      .persist()
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.priority") === col("b.priority") && col("a.x") < col("b.x"))
+      .select(col("a.priority").as("priority"),
+        ((col("b.y") - col("a.y"))
+          / (col("b.x") - col("a.x")).cast("double")).as("v"))
+    val counts = pairs.groupBy(col("priority"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    groupedMedian(counts, "priority", "slope")
+      .select(col("priority"), round(col("slope"), 6).as("theil_sen_slope"))
+  }
+
+  val qTheilSenSql: String = {
+    import Relational.dsumSql
+    s"""WITH mrev AS (
+       |  SELECT o_orderpriority AS priority,
+       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+       |    ${dsumSql("o_totalprice")} AS y
+       |  FROM orders GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.priority AS priority,
+       |    (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS v
+       |  FROM mrev a JOIN mrev b
+       |    ON a.priority = b.priority AND a.x < b.x)
+       |SELECT priority, ROUND(slope, 6) AS theil_sen_slope
+       |FROM ${groupedMedianSql("pairs", "priority", "slope")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q176
+
+  /** q176: robust outlier screen per market segment — median account
+    * balance, MAD (median absolute deviation), and the count of
+    * customers beyond 3·1.4826·MAD (the Gaussian-consistent robust
+    * z-screen). The robust counterpart to q127's mean/stddev anomaly
+    * band, immune to the outliers it hunts.
+    *
+    * Scale shape: two [[groupedMedian]] passes (balances, then absolute
+    * deviations) — each one corpus aggregate + a value-domain-bounded
+    * window (2-decimal balances ⇒ ≤ ~1.1M distinct values regardless of
+    * row count) — plus a broadcast of the 5-row median/MAD frames.
+    */
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_mktsegment").as("seg"), col("c_acctbal").cast("double").as("v"))
+    val med = groupedMedian(
+      c.groupBy(col("seg"), col("v")).agg(count(lit(1)).as("c")), "seg", "med")
+    val dev = c.join(broadcast(med), Seq("seg"))
+    val mad = groupedMedian(
+      dev.select(col("seg"), abs(col("v") - col("med")).as("v"))
+        .groupBy(col("seg"), col("v")).agg(count(lit(1)).as("c")), "seg", "mad")
+    dev.join(broadcast(mad), Seq("seg"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(min(col("med")), 6).as("median_bal"),
+        round(min(col("mad")), 6).as("mad"),
+        sum(when(abs(col("v") - col("med"))
+          > lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  val qMadOutliersSql: String = {
+    val medRel = groupedMedianSql(
+      "(SELECT c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS v FROM customer)",
+      "seg", "med")
+    s"""WITH med AS (SELECT * FROM $medRel),
+       |dev AS (
+       |  SELECT c.c_mktsegment AS seg, CAST(c.c_acctbal AS DOUBLE) AS v, m.med
+       |  FROM customer c JOIN med m ON m.seg = c.c_mktsegment),
+       |mad AS (SELECT * FROM ${groupedMedianSql(
+             "(SELECT seg, ABS(v - med) AS v FROM dev)", "seg", "mad")})
+       |SELECT dev.seg, COUNT(*) AS n_customers,
+       |  ROUND(MIN(dev.med), 6) AS median_bal,
+       |  ROUND(MIN(mad.mad), 6) AS mad,
+       |  CAST(SUM(CASE WHEN ABS(dev.v - dev.med)
+       |    > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.mad
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM dev JOIN mad ON mad.seg = dev.seg
+       |GROUP BY dev.seg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_benford" -> (qBenford _),
+    "q171_mann_whitney" -> (qMannWhitney _),
+    "q174_theil_sen" -> (qTheilSen _),
+    "q176_mad_outliers" -> (qMadOutliers _),
     "q163_auc" -> (qAuc _),
     "q149_trimmed_mean" -> (qTrimmedMean _),
     "q159_winsorized_mean" -> (qWinsorizedMean _),
@@ -603,6 +890,10 @@ object Stats {
     "q133_anova" -> (qAnova _))
 
   val oracle: Map[String, String] = Map(
+    "q170_benford" -> qBenfordSql,
+    "q171_mann_whitney" -> qMannWhitneySql,
+    "q174_theil_sen" -> qTheilSenSql,
+    "q176_mad_outliers" -> qMadOutliersSql,
     "q163_auc" -> qAucSql,
     "q149_trimmed_mean" -> qTrimmedMeanSql,
     "q159_winsorized_mean" -> qWinsorizedMeanSql,

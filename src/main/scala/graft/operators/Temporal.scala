@@ -938,7 +938,68 @@ object Temporal {
        |WHERE t.s_all <> 0.0""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q178
+
+  /** q178: run-length encoding of per-user event-type streams — collapse
+    * consecutive repeats into runs (gaps-and-islands), then profile runs
+    * per event type: how many, how long on average, the longest. The
+    * compression/telemetry primitive for detecting stuck emitters and
+    * repeat-flood sessions; also exactly the state-run shape q160's
+    * Markov matrix abstracts away.
+    *
+    * Scale shape: windows partition by user_id (millions of independent
+    * partitions — no global sort); the island id is one running sum per
+    * user; run sizes aggregate on (user, island) then the bounded
+    * event-type domain. Time axis is epoch-µs (the engine-portable axis
+    * for this parquet) with event_id as total-order tiebreak.
+    */
+  def qEventRle(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts_utc")).as("us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val runs = e
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"), col("event_type"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("run_len")).as("n_events"),
+        max(col("run_len")).as("max_run"),
+        round(sum(col("run_len")).cast("double") / count(lit(1)), 6).as("avg_run"))
+  }
+
+  val qEventRleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+      |m AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN lag(event_type) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id) IS DISTINCT FROM
+      |        event_type
+      |      THEN 1 ELSE 0 END AS chg,
+      |    us, event_id
+      |  FROM e),
+      |i AS (
+      |  SELECT user_id, event_type,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m),
+      |runs AS (
+      |  SELECT user_id, island, event_type, COUNT(*) AS run_len
+      |  FROM i GROUP BY 1, 2, 3)
+      |SELECT event_type, COUNT(*) AS n_runs,
+      |  CAST(SUM(run_len) AS BIGINT) AS n_events,
+      |  CAST(MAX(run_len) AS BIGINT) AS max_run,
+      |  ROUND(CAST(SUM(run_len) AS DOUBLE) / COUNT(*), 6) AS avg_run
+      |FROM runs GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_event_rle" -> (qEventRle _),
     "q164_cusum_changepoint" -> (qCusumChangepoint _),
     "q165_acf" -> (qAcf _),
     "q168_seasonal_index" -> (qSeasonalIndex _),
@@ -955,6 +1016,7 @@ object Temporal {
     "q136_debounce" -> (qDebounce _))
 
   val oracle: Map[String, String] = Map(
+    "q178_event_rle" -> qEventRleSql,
     "q164_cusum_changepoint" -> qCusumChangepointSql,
     "q165_acf" -> qAcfSql,
     "q168_seasonal_index" -> qSeasonalIndexSql,

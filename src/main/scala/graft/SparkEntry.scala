@@ -278,6 +278,9 @@ object SparkEntry {
         TextOps.minhashSignatures(graft.Tables.load(s, dir, "documents")))),
     "x111_chunk_dedup_xxhash" -> (Curation.chunkDedupXx _),
     "x117_cross_corpus_xxhash" -> (CrossCorpus.qCrossCorpusDedupXx _),
+    "x154_source_overlap_xxhash" ->
+      ((s, dir) => TextOps.sourceOverlap(
+        graft.Tables.load(s, dir, "documents"), hashShingles = true)),
     "x49_jaccard_xxhash" ->
       ((s, dir) => TextOps.jaccardPairs(
           graft.Tables.load(s, dir, "documents"), hashShingles = true)

@@ -324,10 +324,13 @@ object Curation {
     // blocks from different rotations from cross-joining. The key is
     // xxhash64'd to 8 bytes BEFORE the shuffle — the exchange and the
     // join hash table carry a long, not a two-word string. A collision
-    // merging two blocks can only ADD candidates (the exact levenshtein
-    // filter re-screens them), so the only divergence risk vs the
-    // string-keyed oracle is a colliding pair that ALSO happens to sit
-    // within maxDist — odds ~|blocks|²/2⁶⁵, accepted like q47/q48.
+    // merging two blocks usually only ADDs candidates (the exact
+    // levenshtein filter re-screens them) — but it interacts with the
+    // maxBlock hot-block cap: if the merged block's member count crosses
+    // the cap, the WHOLE merged block is dropped, REMOVING candidates the
+    // string-keyed oracle keeps. Divergence is therefore two-directional;
+    // both directions carry the same ~|blocks|²/2⁶⁵ odds, accepted like
+    // q47/q48.
     def bk(tag: String, i: Int, j: Int) =
       xxhash64(lit(tag), col("w").getItem(i), col("w").getItem(j))
     val blocked = sh.select(col("shingle"),

@@ -732,7 +732,10 @@ object Stats {
       sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
       sum((col("ca").cast("double") * col("avg_rank"))
         .cast(DecimalType(28, 1))).cast("double").as("ra"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      // t cast to double BEFORE cubing: a hot tied value (t > ~2.1M,
+      // plausible at 100 TB) would silently wrap t³ on Long; as exact
+      // integer-valued doubles the sum stays order-independent below 2⁵³.
+      sum(col("t").cast("double") * col("t") * col("t") - col("t")).as("ties"))
     val na = col("na").cast("double")
     val nb = col("nb").cast("double")
     val nn = na + nb
@@ -766,7 +769,7 @@ object Stats {
       |    CAST(CAST(SUM(CAST(CAST(ca AS DOUBLE) *
       |      (CAST(less AS DOUBLE) + CAST(t + 1 AS DOUBLE) * 0.5)
       |      AS DECIMAL(28,1))) AS VARCHAR) AS DOUBLE) AS ra,
-      |    CAST(SUM(t * t * t - t) AS DOUBLE) AS ties
+      |    SUM(CAST(t AS DOUBLE) * t * t - t) AS ties
       |  FROM r)
       |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
       |  ra - na * (na + 1.0) * 0.5 AS u_a,

@@ -959,9 +959,11 @@ object Temporal {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val runs = e
       .withColumn("prev", lag(col("event_type"), 1).over(w))
+      // <=> (null-safe equality) mirrors the oracle's IS DISTINCT FROM:
+      // a NULL event_type following a NULL continues the run (and the
+      // leading NULL prev still breaks against any non-null type).
       .withColumn("chg",
-        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
-          .otherwise(0L))
+        when(!(col("prev") <=> col("event_type")), 1L).otherwise(0L))
       .withColumn("island", sum(col("chg"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("island"), col("event_type"))

@@ -2055,21 +2055,24 @@ object TextOps {
     * leakage even when no document is copied whole — the signal that
     * two "different" crawls share a boilerplate substrate.
     *
-    * Scale shape: ONE corpus-scale shuffle — group by the xxhash64'd
-    * shingle (8-byte keys on the exchange; collisions merge two
-    * shingles' source sets at odds ~|shingles|²/2⁶⁵, the q47/q48
-    * convention) into the set of sources containing it (set size is
-    * bounded by the source DOMAIN, so partial collect_set combines
-    * map-side). Source pairs are then generated ROW-LOCALLY from each
-    * sorted source set — no self-join, no second corpus-scale shuffle;
-    * everything downstream is |sources|- or |sources|²-bounded.
+    * Scale shape: ONE corpus-scale shuffle — group by shingle into the
+    * set of sources containing it (set size is bounded by the source
+    * DOMAIN, so partial collect_set combines map-side). Source pairs are
+    * then generated ROW-LOCALLY from each sorted source set — no
+    * self-join, no second corpus-scale shuffle; everything downstream is
+    * |sources|- or |sources|²-bounded. The gated q154 groups on the raw
+    * shingle string (spelling-identical to the DuckDB oracle, the
+    * q49/x49 convention); the scale default (bench x154) xxhash64's the
+    * key so the exchange carries 8 bytes — collisions merge two
+    * shingles' source sets at odds ~|shingles|²/2⁶⁵, like q47/q48.
     */
-  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val bySh = t(s, dir, "documents")
+  def sourceOverlap(docs: DataFrame, hashShingles: Boolean = false): DataFrame = {
+    val bySh = docs
       .select(col("source"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
       .select(col("source"), explode(array_distinct(shingleArr)).as("shingle"))
-      .groupBy(xxhash64(col("shingle")).as("sh"))
+      .groupBy((if (hashShingles) xxhash64(col("shingle"))
+                else col("shingle")).as("sh"))
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
       .persist()
     val sizes = bySh.select(explode(col("srcs")).as("source"))
@@ -2089,6 +2092,10 @@ object TextOps {
         round(col("common").cast("double") / col("n_a"), 6).as("containment_a"),
         round(col("common").cast("double") / col("n_b"), 6).as("containment_b"))
   }
+
+  /** q154 gated spelling: raw-string shingle keys, oracle-identical. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(t(s, dir, "documents"))
 
   val qSourceOverlapSql: String =
     """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks

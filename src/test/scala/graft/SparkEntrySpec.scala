@@ -31,6 +31,19 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
 
+  test("README counts match the live SparkEntry surface") {
+    // Three straight rounds of count drift (r6-r8) — README/COVERAGE said
+    // 159/157 while the surface was 175/173. README now carries the counts
+    // in exactly these phrases; regenerate them when the surface grows.
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8").mkString
+    val total = SparkEntry.queries.size
+    val gated = (SparkEntry.queries.keySet intersect SparkEntry.oracleSql.keySet).size
+    assert(readme.contains(s"$total named queries"),
+      s"README.md does not say '$total named queries' — counts are stale")
+    assert(readme.contains(s"$gated oracle-checked queries"),
+      s"README.md does not say '$gated oracle-checked queries' — counts are stale")
+  }
+
   test("oracle SQL contains no Spark-only syntax markers") {
     // the oracle runs in DuckDB: no backticks, no Spark-only STRING cast
     SparkEntry.oracleSql.foreach { case (name, sql) =>

@@ -281,6 +281,9 @@ object SparkEntry {
     "x154_source_overlap_xxhash" ->
       ((s, dir) => TextOps.sourceOverlap(
         graft.Tables.load(s, dir, "documents"), hashShingles = true)),
+    "x180_substring_dedup_xxhash" ->
+      ((s, dir) => Curation.substringDupStats(
+        graft.Tables.load(s, dir, "documents"), hashGrams = true)),
     "x49_jaccard_xxhash" ->
       ((s, dir) => TextOps.jaccardPairs(
           graft.Tables.load(s, dir, "documents"), hashShingles = true)

@@ -477,6 +477,144 @@ object Curation {
       |  CAST(base + local_off AS BIGINT) AS offset
       |FROM within JOIN bases ON within.source = bases.source""".stripMargin
 
+  /** Domains dropped by the URL blocklist pass (the C4 "bad-domain" list;
+    * in production this is a broadcast table — here a literal because the
+    * oracle must spell the same set).
+    */
+  private val DomainBlocklist = Seq("src3", "src7", "src13")
+
+  /** q179: C4-style URL/domain filter stack — the preprocessing pass a web
+    * corpus runs BEFORE any content heuristics: synthesize each document's
+    * canonical URL (deterministically from source + doc_id, since the
+    * synthetic corpus carries no URL column), parse it back into
+    * host/registered-domain/TLD, then apply the two-stage gate: (1) the
+    * domain blocklist (C4's bad-domain list), (2) a minimum-length quality
+    * floor for docs that survive (1). Output is the per-TLD triage report
+    * (kept / blocked_domain / blocked_quality) a curation run publishes.
+    *
+    * Scale: URL synthesis + `parse_url` + regexp extraction are row-local
+    * codegen'd expressions — zero shuffles until the final |TLD|×|status|
+    * group-by (combine-friendly counts + avg; countDistinct(domain) over a
+    * domain universe that is orders of magnitude below row count). The
+    * blocklist is a literal `isin` here; at a real 100 TB run it becomes a
+    * broadcast left_anti join against the blocklist table — either way the
+    * probe side never shuffles.
+    */
+  def qUrlFilterStack(s: SparkSession, dir: String): DataFrame = {
+    val tlds = array(lit(".com"), lit(".org"), lit(".net"), lit(".io"))
+    val withUrl = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      concat(lit("https://www."), col("source"),
+        element_at(tlds, (col("doc_id") % 4).cast("int") + 1),
+        lit("/doc/"), col("doc_id").cast("string")).as("url"))
+    val parsed = withUrl
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("domain", regexp_extract(col("host"), "^www\\.([^.]+)\\.", 1))
+      .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
+    parsed
+      .withColumn("status",
+        when(col("domain").isin(DomainBlocklist: _*), lit("blocked_domain"))
+          .when(col("n_chars") < 200, lit("blocked_quality"))
+          .otherwise(lit("kept")))
+      .groupBy(col("tld"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("domain")).as("n_domains"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+  }
+
+  val qUrlFilterStackSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    'https://www.' || source ||
+      |      (['.com', '.org', '.net', '.io'])[CAST(doc_id % 4 AS INT) + 1] ||
+      |      '/doc/' || doc_id AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_chars,
+      |    regexp_extract(url, '^https?://([^/]+)', 1) AS host
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id, n_chars,
+      |    regexp_extract(host, '^www\.([^.]+)\.', 1) AS domain,
+      |    regexp_extract(host, '\.([a-z]+)$', 1) AS tld
+      |  FROM p),
+      |st AS (
+      |  SELECT tld, n_chars, domain,
+      |    CASE WHEN domain IN ('src3', 'src7', 'src13') THEN 'blocked_domain'
+      |         WHEN n_chars < 200 THEN 'blocked_quality'
+      |         ELSE 'kept' END AS status
+      |  FROM q)
+      |SELECT tld, status, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT domain) AS n_domains,
+      |  ROUND(AVG(n_chars), 2) AS avg_chars
+      |FROM st GROUP BY tld, status""".stripMargin
+
+  /** Exact-substring duplication stats (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 — the
+    * suffix-array ExactSubstr pass, re-expressed for a shuffle engine at
+    * sliding-gram granularity): a doc position is duplicated iff the
+    * k-token gram starting there also appears in ANOTHER document. Emits
+    * per-doc gram counts, duplicated-gram counts, the duplicated fraction,
+    * and the ≥50% drop verdict. A true suffix array is a single-machine
+    * structure; the equivalent corpus-scale signal is the stride-1 gram
+    * (vs q111's disjoint chunks — stride k — which miss duplicates that
+    * straddle chunk cuts; stride 1 catches every alignment).
+    *
+    * Scale: gram emission is row-local (`transform(sequence)` + explode —
+    * never materializing the quadratic suffix set); the gram stream is
+    * persisted once and drives (1) a combine-friendly
+    * countDistinct(doc_id)-per-gram aggregate whose survivors (`nd >= 2`)
+    * are (2) shuffle-joined back on the gram key — the dup set scales with
+    * corpus redundancy, so no broadcast assumption — then (3) one
+    * doc_id-keyed count. With `hashGrams` the shuffled key is
+    * xxhash64's 8 bytes instead of a ~60-byte string (bench-only x180,
+    * same convention as x49/x154; 2^-64 collisions conflate two gram
+    * contents).
+    */
+  def substringDupStats(docs: DataFrame, k: Int = 10,
+      hashGrams: Boolean = false): DataFrame = {
+    val grams = docs.withColumn("toks", toks(col("text")))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("gram"))
+    val keyed = (if (hashGrams)
+        grams.select(col("doc_id"), xxhash64(col("gram")).as("gkey"))
+      else grams.select(col("doc_id"), col("gram").as("gkey"))).persist()
+    val dup = keyed.groupBy(col("gkey"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("gkey"), lit(1).as("isdup"))
+    keyed.join(dup, Seq("gkey"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("isdup")).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+          .as("dup_frac"),
+        when(col("n_dup_grams").cast("double") / col("n_grams") >= 0.5, 1)
+          .otherwise(0).as("drop_doc"))
+  }
+
+  /** q180: per-doc exact-substring duplication report at k=10. */
+  def qSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDupStats(t(s, dir, "documents"))
+
+  val qSubstringDedupSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 9),
+      |    i -> array_to_string(toks[i:i+9], ' '))) AS gram
+      |  FROM d WHERE len(toks) >= 10),
+      |dup AS (SELECT gram FROM g GROUP BY gram
+      |        HAVING COUNT(DISTINCT doc_id) >= 2),
+      |per AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(dup.gram) AS n_dup_grams
+      |  FROM g LEFT JOIN dup USING (gram) GROUP BY g.doc_id)
+      |SELECT doc_id, n_grams, n_dup_grams,
+      |  ROUND(CAST(n_dup_grams AS DOUBLE) / n_grams, 6) AS dup_frac,
+      |  CAST(CAST(n_dup_grams AS DOUBLE) / n_grams >= 0.5 AS INT) AS drop_doc
+      |FROM per""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_token_manifest" -> (qTokenManifest _),
     "q123_overlap_chunks" -> (qOverlapChunks _),
@@ -485,7 +623,9 @@ object Curation {
     "q113_mad_robust" -> (qMadRobust _),
     "q114_group_heavy_hitters" -> (qGroupHeavyHitters _),
     "q115_oov_rate" -> (qOovRate _),
-    "q116_fuzzy_pairs" -> (qFuzzyPairs _))
+    "q116_fuzzy_pairs" -> (qFuzzyPairs _),
+    "q179_url_filter_stack" -> (qUrlFilterStack _),
+    "q180_substring_dedup" -> (qSubstringDedup _))
 
   val oracle: Map[String, String] = Map(
     "q132_token_manifest" -> qTokenManifestSql,
@@ -495,5 +635,7 @@ object Curation {
     "q113_mad_robust" -> qMadRobustSql,
     "q114_group_heavy_hitters" -> qGroupHeavyHittersSql,
     "q115_oov_rate" -> qOovRateSql,
-    "q116_fuzzy_pairs" -> qFuzzyPairsSql)
+    "q116_fuzzy_pairs" -> qFuzzyPairsSql,
+    "q179_url_filter_stack" -> qUrlFilterStackSql,
+    "q180_substring_dedup" -> qSubstringDedupSql)
 }

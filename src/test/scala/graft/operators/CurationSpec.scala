@@ -42,6 +42,58 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("substring-dedup: shared 12-token prefix dups 3 of 6 grams; intra-doc repeats don't count") {
+    val a = (1 to 15).map(i => s"t$i").mkString(" ")
+    val b = ((1 to 12).map(i => s"t$i") ++ Seq("b13", "b14", "b15")).mkString(" ")
+    val c = (1 to 15).map(i => s"c$i").mkString(" ")
+    // 20 tokens, second half repeats the first: the self-repeat must NOT
+    // count as duplication (dup needs >= 2 DISTINCT docs)
+    val d = ((1 to 10).map(i => s"d$i") ++ (1 to 10).map(i => s"d$i")).mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, a, "s1", 1L), (2L, b, "s1", 1L), (3L, c, "s1", 1L), (4L, d, "s1", 1L)))
+    val got = Curation.qSubstringDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    // a/b share tokens 1..12 -> grams starting at 1..3 match (10-token
+    // windows fit inside the shared prefix); 3/6 = 0.5 crosses the drop bar
+    val want = Set(
+      (1L, 6L, 3L, 0.5, 1),
+      (2L, 6L, 3L, 0.5, 1),
+      (3L, 6L, 0L, 0.0, 0),
+      (4L, 11L, 0L, 0.0, 0))
+    assert(got == want)
+  }
+
+  test("xxhash64 substring-dedup spelling matches the string-keyed gated spelling") {
+    val dir = docsDir(Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" "), "s1", 1L),
+      (2L, (5 to 40).map(i => s"t$i").mkString(" "), "s1", 1L),
+      (3L, (1 to 25).map(i => s"u$i").mkString(" "), "s2", 1L)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val str = Curation.substringDupStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hsh = Curation.substringDupStats(docs, hashGrams = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(str == hsh)
+  }
+
+  test("url filter stack: blocklist precedes quality; 200-char floor is strict") {
+    val dir = docsDir(Seq(
+      (0L, "x", "src3", 500L),  // doc_id%4=0 -> .com; blocklisted domain wins over length
+      (1L, "x", "src1", 199L),  // .org; 199 < 200 -> blocked_quality
+      (2L, "x", "src1", 200L),  // .net; exactly 200 -> kept
+      (3L, "x", "src2", 300L))) // .io; kept
+    val got = Curation.qUrlFilterStack(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val want = Set(
+      ("com", "blocked_domain", 1L, 1L, 500.0),
+      ("org", "blocked_quality", 1L, 1L, 199.0),
+      ("net", "kept", 1L, 1L, 200.0),
+      ("io", "kept", 1L, 1L, 300.0))
+    assert(got == want)
+  }
+
   test("token manifest: offsets chain within source and across source bases") {
     val dir = docsDir(Seq(
       (1L, "a b c", "A", 1L), (3L, "d e", "A", 1L),   // A: 3 + 2 tokens

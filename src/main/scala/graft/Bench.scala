@@ -32,7 +32,12 @@ object Bench {
       try {
         once(fn) // warmup: plan + codegen + IO caches
         System.gc() // don't let the previous query's garbage bill this one
-        val times = (1 to 2).map { _ =>
+        // Best-of-3 (r10, was best-of-2): this VM shows multi-second
+        // scheduler hiccups under threaded load (a 20-row shuffle can hit
+        // 3 s at p-max with min 0.2 s) — with 2 runs a single hiccup sets
+        // the official number (the r9 q105 9.3 s reading). The DuckDB
+        // anchor (tools/make_anchor.py) uses the same best-of-3.
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           once(fn)
           (System.nanoTime() - t0) / 1e9
@@ -42,6 +47,15 @@ object Bench {
         case e: Throwable =>
           errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           name -> -1.0
+      } finally {
+        // Cache hygiene: query builders persist query-local intermediates
+        // (banded signature tables, gram streams) that the returned lazy
+        // plan references more than once — they cannot unpersist before
+        // returning without defeating the cache. The session-owner releases
+        // them instead: each query's cached frames live exactly for its
+        // warmup + timed runs (steady-state reuse), then are dropped so a
+        // 177-query sweep never accumulates storage memory across queries.
+        spark.catalog.clearCache()
       }
     }
 

@@ -506,8 +506,12 @@ object Curation {
       concat(lit("https://www."), col("source"),
         element_at(tlds, (col("doc_id") % 4).cast("int") + 1),
         lit("/doc/"), col("doc_id").cast("string")).as("url"))
+    // Host via the same regexp spelling as the oracle (ADVICE r9):
+    // parse_url routes through java.net.URI and yields NULL for
+    // URI-invalid characters where a plain regexp still extracts — one
+    // shared derivation keeps both engines bit-identical on any source.
     val parsed = withUrl
-      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
       .withColumn("domain", regexp_extract(col("host"), "^www\\.([^.]+)\\.", 1))
       .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
     parsed
@@ -569,6 +573,13 @@ object Curation {
     * xxhash64's 8 bytes instead of a ~60-byte string (bench-only x180,
     * same convention as x49/x154; 2^-64 collisions conflate two gram
     * contents).
+    *
+    * Cache lifetime: the persisted gram stream is the largest intermediate
+    * in the suite and is referenced twice by the returned lazy plan, so it
+    * cannot unpersist here without defeating the reuse. The session owner
+    * releases it — Bench/Verify clearCache after each query — and a
+    * long-lived session that never clears relies on LRU eviction
+    * (MEMORY_AND_DISK default never OOMs, it spills).
     */
   def substringDupStats(docs: DataFrame, k: Int = 10,
       hashGrams: Boolean = false): DataFrame = {

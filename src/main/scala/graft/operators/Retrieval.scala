@@ -195,18 +195,31 @@ object Retrieval {
       .union(edges.select(col("dst").as("token"))).distinct().persist()
     val nV = nodes.count() // bounded: |vocabulary|, a metadata-sized count
     val init = nodes.withColumn("pr", lit(1.0 / nV))
-    val ranks = (1 to PrIters).foldLeft(init) { (pr, _) =>
+    // Persist + materialize each round's rank frame (|V| rows, MBs):
+    // the un-cached foldLeft spelling re-planned every PRIOR round's
+    // contrib aggregate when round i broadcast its rank frame — i passes
+    // over the edge frame at round i (1+2+3 = 6 total) instead of one.
+    // With the per-round persist each iteration is exactly one map-side
+    // join over the cached edges + one bounded aggregate. Predecessor
+    // frames unpersist immediately; the final one is released by the
+    // session owner (Bench/Verify clearCache per query).
+    var pr = init
+    for (_ <- 1 to PrIters) {
       val contribs = broadcast(pr).join(e, pr("token") === e("src"))
         .select(col("dst").as("token"),
           (col("pr") * col("frac")).cast(DecimalType(18, 9)).as("w"))
         .groupBy(col("token"))
         .agg(sum(col("w")).cast("double").as("in_w"))
-      nodes.join(broadcast(contribs), Seq("token"), "left")
+      val next = nodes.join(broadcast(contribs), Seq("token"), "left")
         .select(col("token"),
           (lit((1.0 - Damping) / nV) +
             lit(Damping) * coalesce(col("in_w"), lit(0.0))).as("pr"))
+        .persist()
+      next.count() // materialize before dropping the predecessor
+      pr.unpersist(blocking = false)
+      pr = next
     }
-    ranks.select(col("token"), round(col("pr"), 9).as("pagerank"))
+    pr.select(col("token"), round(col("pr"), 9).as("pagerank"))
       .orderBy(col("pagerank").desc, col("token").asc)
       .limit(20)
   }

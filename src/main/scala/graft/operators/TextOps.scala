@@ -2406,9 +2406,15 @@ object TextOps {
         / max(col("k"))).as("q"))
       .withColumn("variance", col("q") - col("mu") * col("mu"))
       .where(col("variance") > 0.0)
+    // Persisted: z is sources×30 rows (tiny), but its lineage is the whole
+    // grid/stats pipeline over the cached cst — without the persist the
+    // self-join below plans that lineage twice (TakeOrdered + two broadcast
+    // builds each side). Released by the session owner (Bench/Verify
+    // clearCache per query).
     val z = grid.join(broadcast(stats), Seq("token"))
       .select(col("source"), col("token"),
         round((col("f") - col("mu")) / sqrt(col("variance")), 6).as("z"))
+      .persist()
     z.as("a").join(z.as("b"),
         col("a.token") === col("b.token") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

@@ -18,12 +18,14 @@ object Profile {
     names.foreach { name =>
       val fn = (SparkEntry.queries ++ SparkEntry.benchOnly)(name)
       fn(spark, sfDir).count() // warmup
+      System.gc() // same convention as Bench: don't bill prior garbage
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
       }
       println(f"== $name: best ${times.min}%.3fs of ${times.map(t => f"$t%.2f").mkString(",")}")
       if (wantPlan) println(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+      spark.catalog.clearCache() // per-query cache policy, same as Bench
     }
     spark.stop()
   }

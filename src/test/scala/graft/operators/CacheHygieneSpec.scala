@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Guards the r9→r10 cache-hygiene contract: query builders persist
+  * query-local frames that the returned lazy plan references more than
+  * once, and the SESSION OWNER (Bench/Verify) releases them with
+  * `spark.catalog.clearCache()` after each query. This spec proves the
+  * contract leaves nothing behind — repeated invocation of the heaviest
+  * persist-using queries in one session is storage-flat, so a 177-query
+  * sweep (or a resident service re-running operators) cannot accumulate
+  * storage memory across invocations.
+  */
+class CacheHygieneSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cachedRddCount: Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  test("repeated heavy-query invocation with per-query clearCache is storage-flat") {
+    spark.catalog.clearCache()
+    val base = cachedRddCount
+    // q180 (persisted gram stream — the suite's largest intermediate),
+    // q105 (rides the persisted simhash band table), q147 (persisted
+    // edges + per-iteration rank frames with eager unpersist).
+    val heavy = Seq(
+      "q180" -> ((d: String) => Curation.qSubstringDedup(spark, d)),
+      "q105" -> ((d: String) => TextOps.qDupSourceMatrix(spark, d)),
+      "q147" -> ((d: String) => Retrieval.qTokenPagerank(spark, d)))
+    for (_ <- 1 to 3; (name, fn) <- heavy) {
+      assert(fn(dir).count() > 0, s"$name returned no rows")
+      spark.catalog.clearCache()
+      assert(cachedRddCount <= base,
+        s"$name leaked ${cachedRddCount - base} cached RDDs past clearCache")
+    }
+  }
+
+  test("q147 per-iteration rank frames do not outlive the query") {
+    spark.catalog.clearCache()
+    Retrieval.qTokenPagerank(spark, dir).count()
+    // Intermediate rank rounds unpersist eagerly inside the builder; only
+    // builder-persisted frames current to the final plan may remain, and
+    // clearCache must drop those too.
+    spark.catalog.clearCache()
+    assert(cachedRddCount == 0,
+      s"$cachedRddCount cached RDDs survived clearCache")
+  }
+}

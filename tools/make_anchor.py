@@ -4,9 +4,10 @@
 Usage: python3 tools/make_anchor.py <sf_dir> <oracle_sql.json> <out.json>
 
 Runs every oracle SQL in DuckDB (views over the same parquet the Spark
-bench reads), warm best-of-2 per query, and writes {total_sec, queries}.
-Mirrors graft.Bench's method (warmup + best-of-2) so the ratio compares
-steady-state against steady-state.
+bench reads), warm best-of-3 per query, and writes {total_sec, queries}.
+Mirrors graft.Bench's method (warmup + best-of-3, r10 — both sides moved
+from best-of-2 together so the ratio stays steady-state vs steady-state
+on a box with multi-second scheduler hiccups).
 """
 import json
 import sys
@@ -30,7 +31,7 @@ def main(sf_dir: str, oracle_path: str, out_path: str) -> None:
         try:
             con.execute(sql).fetchall()  # warmup
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)

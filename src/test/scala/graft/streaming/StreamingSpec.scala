@@ -17,13 +17,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming hourly agg (AvailableNow) matches batch exactly") {
     val batchDf = Tables.load(spark, dir, "events")
-    val schema = batchDf.schema
     // the file stream source wants a directory of arriving files
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val stream = Tables.loadStream(spark, dir, "events", streamDir)
     assert(stream.isStreaming)
 
     val q = Events.hourlyAgg(stream).writeStream
@@ -48,8 +47,7 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    val stream = spark.readStream
-      .schema(Tables.load(spark, dir, "events").schema).parquet(streamDir)
+    val stream = Tables.loadStream(spark, dir, "events", streamDir)
       .withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
     val q = Events.hourlyWithWatermark(stream)
       .writeStream.format("memory").queryName("wm_hourly")
@@ -84,8 +82,8 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events_b.parquet"))
-    val stream = spark.readStream.schema(batchDf.schema)
-      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val stream = Tables.loadStream(spark, dir, "events", streamDir,
+      Map("maxFilesPerTrigger" -> "1"))
     val q = Events.dedupEvents(stream)
       .groupBy().count()
       .writeStream.format("memory").queryName("dedup_stream")
@@ -103,7 +101,7 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    val stream = spark.readStream.schema(batchDf.schema).parquet(streamDir)
+    val stream = Tables.loadStream(spark, dir, "events", streamDir)
     val q = Events.runningUserTotals(stream)
       .writeStream.format("memory").queryName("running_totals")
       .outputMode("update")
@@ -131,8 +129,8 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events_b.parquet"))
-    val stream = spark.readStream.schema(batchDf.schema)
-      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val stream = Tables.loadStream(spark, dir, "events", streamDir,
+      Map("maxFilesPerTrigger" -> "1"))
     val q = Events.runningValuePercentiles(stream)
       .writeStream.format("memory").queryName("kll_stream")
       .outputMode("update")
@@ -163,8 +161,7 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$streamDir/events.parquet"))
-    val stream = spark.readStream
-      .schema(Tables.load(spark, dir, "events").schema).parquet(streamDir)
+    val stream = Tables.loadStream(spark, dir, "events", streamDir)
       .withColumn("ts_utc", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
     // stream-stream joins emit in APPEND mode only; aggregate the sink
     val q = Events.pairsWithinBand(stream, stream)
@@ -194,9 +191,8 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       java.nio.file.Paths.get(s"$streamDir/d2.parquet"))
-    val stream = spark.readStream.schema(batchDf.schema)
-      .option("maxFilesPerTrigger", "1") // force two micro-batches
-      .parquet(streamDir)
+    val stream = Tables.loadStream(spark, dir, "documents", streamDir,
+      Map("maxFilesPerTrigger" -> "1")) // force two micro-batches
     val q = Docs.dedupBySignature(stream).writeStream
       .format("memory").queryName("docs_dedup")
       .outputMode("append")

@@ -510,8 +510,12 @@ object Curation {
     // parse_url routes through java.net.URI and yields NULL for
     // URI-invalid characters where a plain regexp still extracts — one
     // shared derivation keeps both engines bit-identical on any source.
+    // The pattern skips userinfo and stops before port/path (ADVICE r10),
+    // and — unlike parse_url — yields '' (not NULL) on non-matching
+    // input; both engines share that convention by construction.
     val parsed = withUrl
-      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("host",
+        regexp_extract(col("url"), "^https?://(?:[^/@]*@)?([^/:]+)", 1))
       .withColumn("domain", regexp_extract(col("host"), "^www\\.([^.]+)\\.", 1))
       .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
     parsed
@@ -534,7 +538,7 @@ object Curation {
       |  FROM documents),
       |p AS (
       |  SELECT doc_id, n_chars,
-      |    regexp_extract(url, '^https?://([^/]+)', 1) AS host
+      |    regexp_extract(url, '^https?://(?:[^/@]*@)?([^/:]+)', 1) AS host
       |  FROM d),
       |q AS (
       |  SELECT doc_id, n_chars,

@@ -24,7 +24,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     val base = cachedRddCount
     // q180 (persisted gram stream — the suite's largest intermediate),
     // q105 (rides the persisted simhash band table), q147 (persisted
-    // edges + per-iteration rank frames with eager unpersist).
+    // edge/node frames feeding the lazy iteration chain).
     val heavy = Seq(
       "q180" -> ((d: String) => Curation.qSubstringDedup(spark, d)),
       "q105" -> ((d: String) => TextOps.qDupSourceMatrix(spark, d)),
@@ -39,12 +39,17 @@ class CacheHygieneSpec extends AnyFunSuite {
 
   test("q147 per-iteration rank frames do not outlive the query") {
     spark.catalog.clearCache()
+    // Relative to a post-clearCache baseline, not absolute zero: the
+    // session is shared across suites, so an absolute assertion would
+    // turn flaky if suite-level parallelism were ever enabled (ADVICE
+    // r10) — and a concurrent suite's persists are not q147's leak.
+    val base = cachedRddCount
     Retrieval.qTokenPagerank(spark, dir).count()
-    // Intermediate rank rounds unpersist eagerly inside the builder; only
-    // builder-persisted frames current to the final plan may remain, and
-    // clearCache must drop those too.
+    // Only the builder-persisted edge/node frames may remain after the
+    // run (the rank chain itself is lazy, never cached), and clearCache
+    // must drop those too.
     spark.catalog.clearCache()
-    assert(cachedRddCount == 0,
-      s"$cachedRddCount cached RDDs survived clearCache")
+    assert(cachedRddCount <= base,
+      s"${cachedRddCount - base} cached RDDs survived clearCache")
   }
 }

@@ -356,22 +356,31 @@ object Relational {
     * behind recommenders and anomaly screens, on an UNBOUNDED key domain
     * (parts), unlike q151's bounded event-type affinity.
     *
-    * Scale shape: the self-join is keyed on l_orderkey, so per-order
-    * fanout is C(items-per-order, 2) — bounded by basket size, never a
-    * part×part product. Top-20 is TakeOrderedAndProject with a full
-    * (count, part_a, part_b) tiebreak; the part marginals join AFTER
-    * the limit, against 20 rows broadcast — the marginal table itself
-    * (|parts|-sized) is never broadcast.
+    * Scale shape: ONE shuffle on l_orderkey builds the per-order basket
+    * (`collect_set` — the distinct ride along free), and the C(items, 2)
+    * pair expansion is a row-local sorted-array transform, so per-order
+    * fanout is bounded by basket size, never a part×part product, and
+    * the former spelling's distinct + self-join (4 exchanges: distinct,
+    * two join sides, pair agg) collapses to basket + pair agg. Top-20 is
+    * TakeOrderedAndProject with a full (count, part_a, part_b) tiebreak;
+    * the part marginals join AFTER the limit, against 20 rows broadcast
+    * — the marginal table itself (|parts|-sized) is never broadcast.
     */
   def qBasketLift(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
-    val nOrders = op.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-    val marg = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
-    val top = op.as("a").join(op.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    val baskets = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .persist()
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val marg = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+    // sorted basket ⇒ emitted pairs already satisfy a < b
+    val top = baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)

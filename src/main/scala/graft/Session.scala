@@ -16,8 +16,8 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session timezone for oracle (DuckDB) parity on timestamps.
   */
 object Session {
-  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -37,6 +37,15 @@ object Session {
       // the injection actually fires.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
+    // Single-JVM masters move shuffle blocks through loopback memory /
+    // page cache, where lz4 framing of KB-sized blocks is pure per-stage
+    // latency; on a real (network-bound) cluster the default ON is
+    // correct, so only local masters opt out.
+    if (master.startsWith("local"))
+      b.config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+    else b
+  }
 
   /** [[builder]] plus a PERSISTENT catalog (SURVEY §2.1 S11): the
     * Hive-compatible metastore replaces the reference's Glue crawler —

@@ -198,8 +198,13 @@ object Retrieval {
       .persist()
     val nodes = edges.select(col("src").as("token"))
       .union(edges.select(col("dst").as("token"))).distinct().persist()
-    val nV = nodes.count() // bounded: |vocabulary|, a metadata-sized count
-    val init = nodes.withColumn("pr", lit(1.0 / nV))
+    // |V| attaches as a 1-row broadcast reused across all rounds (identical
+    // BroadcastExchanges dedupe via ReuseExchange) instead of a
+    // driver-blocking count job; the arithmetic is the same elementwise
+    // IEEE ops the literal spelling baked in, so values are bit-identical.
+    val nv = nodes.agg(count(lit(1)).as("v"))
+    val init = nodes.crossJoin(broadcast(nv))
+      .select(col("token"), (lit(1.0) / col("v")).as("pr"))
     // The r8 un-cached foldLeft + explicit broadcast() re-planned every
     // PRIOR round when round i's broadcast build materialized its rank
     // frame (each build is its own query execution, so nothing is
@@ -216,9 +221,9 @@ object Retrieval {
           (col("pr") * col("frac")).cast(DecimalType(18, 9)).as("w"))
         .groupBy(col("token"))
         .agg(sum(col("w")).cast("double").as("in_w"))
-      pr = nodes.join(contribs, Seq("token"), "left")
+      pr = nodes.crossJoin(broadcast(nv)).join(contribs, Seq("token"), "left")
         .select(col("token"),
-          (lit((1.0 - Damping) / nV) +
+          ((lit(1.0) - lit(Damping)) / col("v") +
             lit(Damping) * coalesce(col("in_w"), lit(0.0))).as("pr"))
     }
     pr.select(col("token"), round(col("pr"), 9).as("pagerank"))

@@ -338,14 +338,19 @@ object Curation {
     val hot = blocked.groupBy(col("bk")).agg(count(lit(1)).as("members"))
       .where(col("members") > maxBlock).select(col("bk"))
     val keep = blocked.join(broadcast(hot), Seq("bk"), "left_anti")
+    // Thresholded levenshtein (banded O(k·n) with early exit, returns -1
+    // past the bound) screens every in-block candidate — the hot loop —
+    // instead of the full O(n²) DP; the bounded call returns the EXACT
+    // distance for every kept pair (≤ maxDist), so `dist` and the
+    // oracle's unbounded spelling agree on the surviving rows.
     keep.select(col("bk"), col("shingle").as("sa"))
       .join(keep.select(col("bk"), col("shingle").as("sb")), Seq("bk"))
       .where(col("sa") < col("sb") &&
-        levenshtein(col("sa"), col("sb")) <= maxDist)
+        levenshtein(col("sa"), col("sb"), maxDist) >= 0)
       .select(col("sa"), col("sb"))
       .distinct()
       .select(col("sa").as("shingle_a"), col("sb").as("shingle_b"),
-        levenshtein(col("sa"), col("sb")).as("dist"))
+        levenshtein(col("sa"), col("sb"), maxDist).as("dist"))
   }
 
   /** q116: top-50 fuzzy shingle pairs, (dist, a, b)-ordered. */

@@ -201,6 +201,28 @@ class CurationSpec extends AnyFunSuite {
       "2-position diff should be outside blocking recall")
   }
 
+  test("thresholded levenshtein screen agrees with the unbounded oracle spelling") {
+    // The q116 candidate filter uses levenshtein(a, b, k) (banded,
+    // early-exit, -1 past the bound); the oracle keeps the unbounded
+    // spelling. Pin the contract the swap relies on: within the bound
+    // the distances are EQUAL, past it the bounded call reports -1
+    // exactly when the true distance exceeds k.
+    import spark.implicits._
+    val pairs = Seq(
+      ("aa bb cc", "aa bb cc"), ("aa bb cc", "aa bb cx"),
+      ("aa bb cc", "ax by cc"), ("aa bb cc", "xx yy zz"),
+      ("short", "a much longer string"), ("", "ab"))
+      .toDF("a", "b")
+    val rows = pairs.selectExpr(
+      "levenshtein(a, b) AS full",
+      "levenshtein(a, b, 2) AS bounded").collect()
+    rows.foreach { r =>
+      val (full, bounded) = (r.getInt(0), r.getInt(1))
+      if (full <= 2) assert(bounded == full, s"bounded=$bounded full=$full")
+      else assert(bounded == -1, s"expected -1 past bound, got $bounded (full=$full)")
+    }
+  }
+
   test("fuzzy pairs: hot blocks above maxBlock are capped out") {
     import spark.implicits._
     val docs = Seq(

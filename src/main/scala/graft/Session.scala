@@ -40,8 +40,10 @@ object Session {
     // Single-JVM masters move shuffle blocks through loopback memory /
     // page cache, where lz4 framing of KB-sized blocks is pure per-stage
     // latency; on a real (network-bound) cluster the default ON is
-    // correct, so only local masters opt out.
-    if (master.startsWith("local"))
+    // correct, so only single-JVM masters opt out. `local-cluster[...]`
+    // deliberately does NOT match (ADVICE r11): it moves blocks between
+    // executor JVMs over sockets, where the network-default applies.
+    if (master == "local" || master.startsWith("local["))
       b.config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
     else b

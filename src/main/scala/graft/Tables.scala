@@ -36,6 +36,10 @@ object Tables {
     */
   private val normCache = new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
 
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** One-time ingest normalization (the bronze→silver step of a real
     * lake): when the generator encodes `ts` as a physical parquet
     * timestamp, rewrite the events table ONCE per data drop into a
@@ -46,33 +50,67 @@ object Tables {
     * conversion runs inside queries. At cluster scale this is the ingest
     * job's write, not per-query work. Returns None (in-plan projection
     * fallback) if the scratch dir is unwritable.
+    *
+    * Robustness (ADVICE r11): all probes and metadata go through the
+    * Hadoop FileSystem API (a non-local default FS works, and the cache
+    * key invalidates on remote drops too); the write lands in a
+    * process-unique temp dir and is RENAMED into place, so two JVMs that
+    * both miss the `_SUCCESS` probe can't interleave writes into one
+    * directory — the loser just deletes its copy; and superseded copies
+    * of THE SAME source file (older size/mtime — a new generator drop)
+    * are purged, while copies of other sources (e.g. a concurrent run at
+    * a different SF) are left alone.
     */
-  private def normalizedEventsPath(spark: SparkSession, sfDir: String): Option[String] = {
-    val src = new java.io.File(s"$sfDir/events.parquet")
-    val key = s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"
-    normCache.computeIfAbsent(key, _ =>
-      try {
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val dst = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_norm_events_$digest")
-        if (!new java.io.File(dst, "_SUCCESS").exists()) {
-          eventsNanos(spark.read.parquet(src.getPath))
-            .write.mode("overwrite").parquet(dst.getPath)
-        }
-        Some(dst.getPath)
-      } catch {
-        case scala.util.control.NonFatal(_) => None
-      })
-  }
+  private def normalizedEventsPath(spark: SparkSession, sfDir: String): Option[String] =
+    try {
+      import org.apache.hadoop.fs.Path
+      val conf = spark.sessionState.newHadoopConf()
+      val srcPath = new Path(s"$sfDir/events.parquet")
+      val srcFs = srcPath.getFileSystem(conf)
+      val st = srcFs.getFileStatus(srcPath)
+      val qualified = srcFs.makeQualified(srcPath).toString
+      val key = s"$qualified:${st.getLen}:${st.getModificationTime}"
+      normCache.computeIfAbsent(key, _ =>
+        try {
+          val tmpRoot = new Path(sys.props("java.io.tmpdir"))
+          val fs = tmpRoot.getFileSystem(conf)
+          val srcTag = md5(qualified).take(12)
+          val dst = new Path(tmpRoot, s"graft_norm_events_${srcTag}_${md5(key).take(12)}")
+          // purge superseded drops of this source (same srcTag, other key)
+          val stale = fs.globStatus(new Path(tmpRoot, s"graft_norm_events_${srcTag}_*"))
+          if (stale != null) stale.map(_.getPath).filter(_ != dst)
+            .foreach(p => try fs.delete(p, true) catch {
+              case scala.util.control.NonFatal(_) => ()
+            })
+          if (!fs.exists(new Path(dst, "_SUCCESS"))) {
+            val tmp = new Path(tmpRoot,
+              s"graft_norm_events_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+            eventsNanos(spark.read.parquet(srcPath.toString))
+              .write.mode("overwrite").parquet(tmp.toString)
+            // atomic publish; if a sibling process won the race, keep its
+            // copy and drop ours
+            if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+          }
+          Some(dst.toString)
+        } catch {
+          case scala.util.control.NonFatal(_) => None
+        })
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name != "events") return spark.read.parquet(s"$sfDir/$name.parquet")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) raw
     else normalizedEventsPath(spark, sfDir) match {
-      case Some(p) => spark.read.parquet(p)
-      case None    => eventsNanos(raw)
+      // footer read happens here: if a sibling process purged this copy
+      // between publish and read (new drop mid-run), fall back to the
+      // in-plan projection instead of failing the query (ADVICE r11)
+      case Some(p) =>
+        try spark.read.parquet(p)
+        catch { case scala.util.control.NonFatal(_) => eventsNanos(raw) }
+      case None => eventsNanos(raw)
     }
   }
 

@@ -161,26 +161,34 @@ object Retrieval {
     * then sum to < 1, which is fine for ranking; the docstring of the
     * oracle mirrors the same choice.
     *
-    * Scale shape: the corpus is touched ONCE (bigram count aggregate —
-    * token-pair keys, map-side combine); every iteration after that
-    * joins the vocabulary-sized rank frame into the persisted edge
-    * frame (|V| ranks ~ MBs even at web vocabulary; the edge frame —
-    * the big side — is partitioned once and NEVER re-shuffles). The
-    * three unrolled rounds stay ONE lazy plan executed in a single
-    * query: AQE sees the rank/contrib sides are MB-sized at runtime and
-    * picks broadcast joins on its own, and the linear pr chain appears
-    * once in the DAG, so nothing is recomputed — where the r10 spelling
-    * paid a driver-blocking materialization barrier (persist + count +
-    * explicit broadcast build ≈ 4 scheduler round-trips) per round
-    * (VERDICT r10 #6). A doc-link-graph variant (ranks no longer
-    * broadcastable) would swap to a pre-partitioned shuffle join + the
-    * q85 localCheckpoint lineage cut. Per-contribution DECIMAL(18,9)
+    * Scale shape (r12 spelling): the corpus is touched ONCE (bigram
+    * count aggregate — token-pair keys, map-side combine), out-weight
+    * normalization is fused into the edge build as a src-partitioned
+    * window (no separate out-weight aggregate + join), and the edge
+    * cache is REPARTITIONED BY dst with |V| attached as a column. That
+    * buys the iteration chain its ideal shape: each round is
+    * edge-cache ⋈ broadcast(rank frame) → partition-local groupBy(dst)
+    * — ZERO shuffles across all three rounds (the broadcast-hash join
+    * streams the dst-partitioned cache and the aliased dst→token
+    * partitioning satisfies the aggregate's clustering requirement), so
+    * the only stage boundaries left are the three vocabulary-sized
+    * rank-frame broadcast builds. Iterations carry ONLY the in-weight
+    * frame (tokens with in-edges); the all-nodes rank frame — needed
+    * because danglers still hold the base rank — is reconstituted once
+    * at the end from the cached node set instead of once per round.
+    * Measured vs the r11 agg+join spelling: 1.2→0.6 s steady-state at
+    * sf0.1 (tools/R12Probe, candidates B/C/D). At web scale |V| ranks
+    * are MBs (broadcastable); a doc-link-graph variant (ranks no longer
+    * broadcastable) keeps the same dst-partitioned edge cache and swaps
+    * the broadcast for a pre-partitioned shuffle join + the q85
+    * localCheckpoint lineage cut. Per-contribution DECIMAL(18,9)
     * rounding keeps every Σ order-free (q93 convention); out-weight
     * fractions are exact integer ratios evaluated in identical order in
     * both engines.
     */
   def qTokenPagerank(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val edges0 = t(s, dir, "documents")
       .select(split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 2) // sequence(0,-1) would run DESCENDING
       .select(expr(
@@ -189,52 +197,51 @@ object Retrieval {
           "p -> p.src <> '' AND p.dst <> '')").as("pairs"))
       .select(explode(col("pairs")).as("p"))
       .select(col("p.src"), col("p.dst"))
-    val edges = toks.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
-      .persist()
-    // Materialize the ONE cache with multiple independent consumers
-    // (outW, the frac join, the node-set union) before the lazy chain:
-    // sibling AQE stages that scan an unfilled InMemoryRelation
-    // concurrently each recompute its child plan — measured 3× the
-    // corpus scan+aggregate on a cold one-shot run (5.8 s vs 1.6 s).
-    // One floor-cost job buys race-free cold execution; everything
-    // downstream is vocabulary-sized or a linear chain.
-    edges.count()
-    val outW = edges.groupBy(col("src")).agg(sum(col("c")).as("out_c"))
-    val e = edges.join(outW, Seq("src"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
       .select(col("src"), col("dst"),
-        (col("c").cast("double") / col("out_c")).as("frac"))
-      .persist()
-    val nodes = edges.select(col("src").as("token"))
-      .union(edges.select(col("dst").as("token"))).distinct().persist()
-    // |V| attaches as a 1-row broadcast reused across all rounds (identical
-    // BroadcastExchanges dedupe via ReuseExchange) instead of a
-    // driver-blocking count job; the arithmetic is the same elementwise
-    // IEEE ops the literal spelling baked in, so values are bit-identical.
-    val nv = nodes.agg(count(lit(1)).as("v"))
-    val init = nodes.crossJoin(broadcast(nv))
-      .select(col("token"), (lit(1.0) / col("v")).as("pr"))
-    // The r8 un-cached foldLeft + explicit broadcast() re-planned every
-    // PRIOR round when round i's broadcast build materialized its rank
-    // frame (each build is its own query execution, so nothing is
-    // shared); r10's per-round persist+count fixed the recompute but
-    // traded it for 3 materialization barriers. Leaving the chain fully
-    // lazy with NO broadcast hints keeps it one execution: each round's
-    // subplan appears exactly once in the final DAG (the pr chain is
-    // linear), the cached edge/node frames cut the expensive lineage,
-    // and AQE broadcasts the vocab-sized sides from observed stage sizes.
-    var pr = init
-    for (_ <- 1 to PrIters) {
-      val contribs = pr.join(e, pr("token") === e("src"))
+        (col("c").cast("double") / sum(col("c")).over(w)).as("frac"))
+    val nodes0 = edges0.select(col("src").as("token"))
+      .union(edges0.select(col("dst").as("token"))).distinct()
+    // |V| attaches as a 1-row broadcast INSIDE both caches at build time,
+    // so no per-run distinct/count stages survive in the steady-state
+    // path; the arithmetic is the same elementwise IEEE ops the literal
+    // spelling baked in, so values are bit-identical.
+    val nv = nodes0.agg(count(lit(1)).as("v"))
+    val nodes = nodes0.crossJoin(broadcast(nv)).persist()
+    val e = edges0.crossJoin(broadcast(nv))
+      .repartition(col("dst")).persist()
+    // Materialize caches with multiple independent consumers before the
+    // lazy chain: sibling AQE stages that scan an unfilled
+    // InMemoryRelation concurrently each recompute its child plan —
+    // measured 3× the corpus scan+aggregate on a cold one-shot run
+    // (5.8 s vs 1.6 s). Two floor-cost jobs buy race-free cold
+    // execution; everything downstream is vocabulary-sized or a linear
+    // chain.
+    e.count(); nodes.count()
+    var inw: DataFrame = null
+    for (i <- 1 to PrIters) {
+      // Round i's source ranks, inline on the edge frame: uniform 1/V in
+      // round 1; base + d·in_w afterwards (tokens absent from the
+      // in-weight frame — danglers' targets only, never sources with
+      // out-edges missing — coalesce to the base rank, exactly the value
+      // the all-nodes spelling carried for them).
+      val withPr =
+        if (i == 1) e.withColumn("pr_src", lit(1.0) / col("v"))
+        else e.join(inw.withColumnRenamed("token", "src_tok"),
+            col("src") === col("src_tok"), "left")
+          .withColumn("pr_src",
+            (lit(1.0) - lit(Damping)) / col("v") +
+              lit(Damping) * coalesce(col("in_w"), lit(0.0)))
+      inw = withPr
         .select(col("dst").as("token"),
-          (col("pr") * col("frac")).cast(DecimalType(18, 9)).as("w"))
+          (col("pr_src") * col("frac")).cast(DecimalType(18, 9)).as("cw"))
         .groupBy(col("token"))
-        .agg(sum(col("w")).cast("double").as("in_w"))
-      pr = nodes.crossJoin(broadcast(nv)).join(contribs, Seq("token"), "left")
-        .select(col("token"),
-          ((lit(1.0) - lit(Damping)) / col("v") +
-            lit(Damping) * coalesce(col("in_w"), lit(0.0))).as("pr"))
+        .agg(sum(col("cw")).cast("double").as("in_w"))
     }
-    pr.select(col("token"), round(col("pr"), 9).as("pagerank"))
+    nodes.join(inw, Seq("token"), "left")
+      .select(col("token"),
+        round((lit(1.0) - lit(Damping)) / col("v") +
+          lit(Damping) * coalesce(col("in_w"), lit(0.0)), 9).as("pagerank"))
       .orderBy(col("pagerank").desc, col("token").asc)
       .limit(20)
   }

@@ -143,7 +143,7 @@ object Similarity {
   def lshCandidatePairs(s: SparkSession, e: DataFrame): DataFrame =
     bandedPairs(signBuckets(s, e, 64))
 
-  private def bandedPairs(buckets: DataFrame): DataFrame = {
+  private[operators] def bandedPairs(buckets: DataFrame): DataFrame = {
     // persisted: both self-join sides read it — without it each side
     // re-runs the full signature computation (the 16×dim interpreted-HOF
     // projections), which doubles the dominant cost of the query

@@ -16,12 +16,15 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def cachedRddCount: Int =
-    spark.sparkContext.getPersistentRDDs.size
+  private def cachedRddIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
 
   test("repeated heavy-query invocation with per-query clearCache is storage-flat") {
     spark.catalog.clearCache()
-    val base = cachedRddCount
+    // Identity-based, not count-based (ADVICE r11): a leak can't hide
+    // behind an unrelated baseline entry that happened to be dropped —
+    // no NEW RDD id may survive clearCache, whatever the count does.
+    val base = cachedRddIds
     // q180 (persisted gram stream — the suite's largest intermediate),
     // q105 (rides the persisted simhash band table), q147 (persisted
     // edge/node frames feeding the lazy iteration chain).
@@ -32,8 +35,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     for (_ <- 1 to 3; (name, fn) <- heavy) {
       assert(fn(dir).count() > 0, s"$name returned no rows")
       spark.catalog.clearCache()
-      assert(cachedRddCount <= base,
-        s"$name leaked ${cachedRddCount - base} cached RDDs past clearCache")
+      val leaked = cachedRddIds -- base
+      assert(leaked.isEmpty,
+        s"$name leaked cached RDD ids $leaked past clearCache")
     }
   }
 
@@ -43,13 +47,13 @@ class CacheHygieneSpec extends AnyFunSuite {
     // session is shared across suites, so an absolute assertion would
     // turn flaky if suite-level parallelism were ever enabled (ADVICE
     // r10) — and a concurrent suite's persists are not q147's leak.
-    val base = cachedRddCount
+    val base = cachedRddIds
     Retrieval.qTokenPagerank(spark, dir).count()
     // Only the builder-persisted edge/node frames may remain after the
     // run (the rank chain itself is lazy, never cached), and clearCache
     // must drop those too.
     spark.catalog.clearCache()
-    assert(cachedRddCount <= base,
-      s"${cachedRddCount - base} cached RDDs survived clearCache")
+    val leaked = cachedRddIds -- base
+    assert(leaked.isEmpty, s"cached RDD ids $leaked survived clearCache")
   }
 }

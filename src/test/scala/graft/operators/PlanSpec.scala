@@ -158,6 +158,26 @@ class PlanSpec extends AnyFunSuite {
     val p = executedPlan("q147_token_pagerank")
     assert(p.contains("InMemoryTableScan"),
       "edge/rank frames must be persisted — iterations must not re-aggregate the corpus")
+    // r12 shape: the edge cache is dst-partitioned and |V| rides as a
+    // column, so the whole 3-round chain is broadcast-join + partition-
+    // local aggregate — the steady-state plan may contain NO shuffle
+    // exchange at all (stage boundaries are rank-frame broadcasts only).
+    // Walk the real plan tree (a string check would see the CACHE BUILD
+    // plans inlined under InMemoryRelation and false-positive).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q147_token_pagerank")(spark, dir)
+    df.count()
+    def flat(pl: SparkPlan): Seq[SparkPlan] = pl +: (pl match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec        => flat(q.plan)
+      case _                        => pl.children.flatMap(flat)
+    })
+    val shuffles = flat(df.queryExecution.executedPlan)
+      .filter(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles.isEmpty,
+      s"iteration chain must not shuffle — dst-partitioned edge cache lost: $shuffles")
   }
 
   test("events ts range predicate pushes to the parquet scan (normalized ingest)") {

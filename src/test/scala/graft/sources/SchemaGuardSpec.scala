@@ -65,8 +65,14 @@ class SchemaGuardSpec extends AnyFunSuite {
         case ArrayType(el, _) => ArrayType(norm(el), containsNull = true)
         case other => other
       }
+      // expected.get, not apply: a table added to Tables.names before this
+      // spec learns its contract should fail with a named, actionable
+      // message, not a bare NoSuchElementException (ADVICE r11)
+      val exp = expected.getOrElse(name,
+        fail(s"table '$name' is registered in Tables.names but has no " +
+          "contract here — add its (column, type) list to SchemaGuardSpec"))
       val gotN = got.map { case (n, t) => (n, norm(t)) }
-      val expN = expected(name).map { case (n, t) => (n, norm(t)) }
+      val expN = exp.map { case (n, t) => (n, norm(t)) }
       assert(gotN == expN,
         s"table '$name' drifted from its contract:\n  got      $gotN\n  expected $expN\n" +
           "If the generator changed the on-disk shape, update the loaders " +

@@ -356,24 +356,28 @@ object Relational {
     * behind recommenders and anomaly screens, on an UNBOUNDED key domain
     * (parts), unlike q151's bounded event-type affinity.
     *
-    * Scale shape: ONE shuffle on l_orderkey builds the per-order basket
-    * (`collect_set` — the distinct ride along free), and the C(items, 2)
-    * pair expansion is a row-local sorted-array transform, so per-order
-    * fanout is bounded by basket size, never a part×part product, and
-    * the former spelling's distinct + self-join (4 exchanges: distinct,
-    * two join sides, pair agg) collapses to basket + pair agg. Top-20 is
-    * TakeOrderedAndProject with a full (count, part_a, part_b) tiebreak;
-    * the part marginals join AFTER the limit, against 20 rows broadcast
-    * — the marginal table itself (|parts|-sized) is never broadcast.
+    * Scale shape (r12): ONE shuffle on l_orderkey builds the per-order
+    * basket (`collect_set` — the distinct rides along free), and the
+    * C(items, 2) pair expansion is a row-local sorted-array transform,
+    * so per-order fanout is bounded by basket size, never a part×part
+    * product. Top-20 is TakeOrderedAndProject with a full
+    * (count, part_a, part_b) tiebreak. Marginals are filtered BELOW the
+    * aggregate: only the ≤40 parts appearing in the top-20 pairs ever
+    * need `n_p`, so the exploded parts are semi-joined against the
+    * broadcast 40-part list FIRST and the count runs over the survivors
+    * (a ~40-group exchange) — the r11 spelling aggregated the full
+    * |parts|-sized marginal table twice. `top` has three consumers
+    * (part list + both marginal attachments), hence the 20-row persist;
+    * without it the heavy pair aggregate would re-run per consumer. At
+    * 100 TB the same shape holds: marginal counting touches only the
+    * surviving keys, never the full part domain, and everything after
+    * the pair aggregate is broadcast-sized.
     */
   def qBasketLift(s: SparkSession, dir: String): DataFrame = {
     val baskets = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
       .persist()
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    val marg = baskets.select(explode(col("ps")).as("l_partkey"))
-      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
     // sorted basket ⇒ emitted pairs already satisfy a < b
     val top = baskets
       .select(explode(expr(
@@ -384,13 +388,20 @@ object Relational {
       .agg(count(lit(1)).as("n_ab"))
       .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
-    val withA = marg.select(col("l_partkey").as("part_a"), col("n_p").as("n_a"))
-      .join(broadcast(top), Seq("part_a"))
-    // withA is still ≤20 rows but Spark can't infer that through the
-    // broadcast join — hint it too, so BOTH marg joins stream the
-    // |parts|-sized marginal table map-side with zero shuffles
-    marg.select(col("l_partkey").as("part_b"), col("n_p").as("n_b"))
-      .join(broadcast(withA), Seq("part_b"))
+      .persist()
+    val parts = top
+      .select(explode(array(col("part_a"), col("part_b"))).as("l_partkey"))
+      .distinct()
+    val counts = baskets.select(explode(col("ps")).as("l_partkey"))
+      .join(broadcast(parts), Seq("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+      .persist()
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    top
+      .join(broadcast(counts.select(col("l_partkey").as("part_a"), col("n_p").as("n_a"))),
+        Seq("part_a"))
+      .join(broadcast(counts.select(col("l_partkey").as("part_b"), col("n_p").as("n_b"))),
+        Seq("part_b"))
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
         round((col("n_ab") * col("n_orders")).cast("double")

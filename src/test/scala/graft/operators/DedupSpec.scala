@@ -139,7 +139,9 @@ class DedupSpec extends AnyFunSuite {
     val n = 30L
     val nodes = (1L to n).toDF("node")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
-    val got = TextOps.connectedComponents(nodes, edges, maxIters = 40)
+    // driverBudget = 0: this test pins the LOOP's convergence, so bypass
+    // the small-graph union-find fast path
+    val got = TextOps.connectedComponents(nodes, edges, maxIters = 40, driverBudget = 0L)
       .collect().map(r => r.getLong(1)).toSet
     assert(got == Set(1L)) // one component, min label everywhere
   }
@@ -156,6 +158,25 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == 1000)
     assert(got.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents: driver union-find fast path matches the distributed loop") {
+    import spark.implicits._
+    val nodes = (1L to 60L).toDF("node")
+    val rnd = new scala.util.Random(11)
+    val edges = ((1L to 14L).map(i => (i, i + 1)) ++ // chain (transitive depth)
+      (16L to 29L).map(i => (16L, i + 1)) ++ // star
+      (0 until 30).map { _ => // random clutter inside 31..45
+        val a = 31L + rnd.nextInt(15); val b = 31L + rnd.nextInt(15); (a, b)
+      }).toDF("a", "b")
+    val fast = TextOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driverBudget = 0 forces the distributed propagation loop
+    val dist = TextOps.connectedComponents(nodes, edges, driverBudget = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(Seq(1L to 15L: _*).forall(fast(_) == 1L))
+    assert(Seq(46L to 60L: _*).forall(n => fast(n) == n))
   }
 
   test("connectedComponentsStar matches propagation labeling on a mixed graph") {

@@ -30,6 +30,27 @@ object Bench {
       case (name, Some(ts)) if ts.min > minAbs && ts.max / ts.min > spread => name
     }.take(cap)
 
+  /** Pure heavy-tail rule (unit-tested in BenchSpec): a query whose best
+    * exceeds BOTH `minAbs` and `k`× the sweep-wide median of bests earns a
+    * deferred re-measurement EVEN IF its own triple is internally
+    * consistent — a hot window that outlasts all three consecutive runs
+    * shows no spread (the r12 dev3 q147 reading: 1.38 s uniform vs 0.68 s
+    * steady), and the heavy tail is exactly the set that drives anchor
+    * ratios. Legitimately-heavy queries just re-confirm their min; the
+    * cost is bounded by the retry cap. Errored queries are never retried.
+    */
+  def heavyOf(first: Seq[(String, Option[Seq[Double]])],
+      minAbs: Double = 0.5, k: Double = 3.0): Seq[String] = {
+    val bests = first.collect { case (_, Some(ts)) => ts.min }
+    if (bests.isEmpty) Nil
+    else {
+      val med = bests.sorted.apply(bests.size / 2)
+      first.collect {
+        case (name, Some(ts)) if ts.min > minAbs && ts.min > k * med => name
+      }
+    }
+  }
+
   /** Pure fold of first-pass + retry observations into the reported
     * per-query value (overall minimum) and the emitted med/min spreads
     * (only non-degenerate ones — spread >1.5 on a >0.1 s best — so the
@@ -108,7 +129,11 @@ object Bench {
     // AFTER the full sweep, minutes later, and the overall min wins. The
     // retry is capped so the pass stays bounded even if the whole sweep
     // ran hot.
-    val turbulent = turbulentOf(firstPass)
+    // Two independent triggers, one deferred pass: internal spread
+    // (turbulentOf) catches a spike inside a triple; the heavy-tail rule
+    // (heavyOf) catches a window that inflated ALL THREE runs uniformly —
+    // no spread, but the absolute sits far above the sweep's own median.
+    val turbulent = (turbulentOf(firstPass) ++ heavyOf(firstPass)).distinct.take(30)
     val retried = turbulent.flatMap { name =>
       val fn = (SparkEntry.queries ++ SparkEntry.benchOnly)(name)
       measure(name, fn).map(name -> _)

@@ -27,6 +27,27 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.turbulentOf(hot, cap = 3) == Seq("q01", "q02", "q03"))
   }
 
+  test("heavyOf: a uniformly-inflated heavy query retries even with zero internal spread") {
+    // 20 calm ~0.15 s queries set the median; "hot" ran 1.4 s three times
+    // in a row (a window that outlasted the triple — turbulentOf is blind
+    // to it), "big" is legitimately heavy but below 3× the median only if
+    // the median is large enough — here 3×0.15 = 0.45, so both qualify;
+    // "small" is above 3× median but under the 0.5 s absolute floor.
+    val calm = (1 to 20).map(i => obs(f"c$i%02d", 0.15, 0.16, 0.15))
+    val first = calm ++ Seq(
+      obs("hot", 1.4, 1.41, 1.39),
+      obs("big", 1.6, 1.65, 1.62),
+      obs("small", 0.48, 0.49, 0.48),
+      "dead" -> None)
+    assert(Bench.heavyOf(first).toSet == Set("hot", "big"))
+    assert(Bench.turbulentOf(first).isEmpty) // spread rule alone misses all of it
+  }
+
+  test("heavyOf: empty and all-errored sweeps return nothing") {
+    assert(Bench.heavyOf(Nil).isEmpty)
+    assert(Bench.heavyOf(Seq("dead" -> None)).isEmpty)
+  }
+
   test("foldRuns: retry observations can rescue a spiked first pass; min wins") {
     val first = Seq(obs("spiky", 4.5, 4.6, 4.4), obs("calm", 0.5, 0.5, 0.5))
     val (results, _) = Bench.foldRuns(first, Map("spiky" -> Seq(0.8, 0.7, 0.75)))

@@ -180,6 +180,17 @@ class PlanSpec extends AnyFunSuite {
       s"iteration chain must not shuffle — dst-partitioned edge cache lost: $shuffles")
   }
 
+  test("q85 fast path: labeling is one broadcast join on the corpus scan, no propagation loop") {
+    // r12 shape: the near-dup graph is metadata-sized after banding, so
+    // the RETURNED plan must be documents ⋈ broadcast(label map) — the
+    // iterative loop (per-round shuffles + checkpoints) must not appear.
+    val p = executedPlan("q85_dup_clusters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label map must broadcast-join onto the doc scan: $p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fast-path labeling must not shuffle: $p")
+  }
+
   test("events ts range predicate pushes to the parquet scan (normalized ingest)") {
     // the one-time ingest normalization must leave `ts` a physical BIGINT
     // so row-group pruning survives — the property that keeps a 100 TB

@@ -607,7 +607,10 @@ object TextOps {
     if (integral && nEdges <= driverBudget) {
       val spark = nodes.sparkSession
       import spark.implicits._
-      val pairs = sym.select(col("a").cast("long"), col("b").cast("long"))
+      // collect the canonical half only — sym carries both directions for
+      // the distributed loop, but union-find needs each edge once
+      val pairs = sym.where(col("a") < col("b"))
+        .select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].collect()
       sym.unpersist()
       val parent = scala.collection.mutable.LongMap.empty[Long]

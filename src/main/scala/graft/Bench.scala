@@ -95,7 +95,11 @@ object Bench {
     // The session-owner releases them instead: each query's cached frames
     // live exactly for its warmup + timed runs (steady-state reuse), then
     // are dropped so a 186-query sweep never accumulates storage memory.
-    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Seq[Double]] =
+    // recordErr=false on the deferred retry pass: a retry that throws must
+    // not stamp an errs entry onto a query whose FIRST pass succeeded —
+    // the line's contract is that errors and positive times are disjoint.
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordErr: Boolean = true): Option[Seq[Double]] =
       try {
         once(fn) // warmup: plan + codegen + IO caches + persist() fills
         System.gc() // don't let the previous query's garbage bill this one
@@ -111,7 +115,7 @@ object Bench {
         })
       } catch {
         case e: Throwable =>
-          errs.getOrElseUpdate(name,
+          if (recordErr) errs.getOrElseUpdate(name,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           None
       } finally {
@@ -133,11 +137,20 @@ object Bench {
     // (turbulentOf) catches a spike inside a triple; the heavy-tail rule
     // (heavyOf) catches a window that inflated ALL THREE runs uniformly —
     // no spread, but the absolute sits far above the sweep's own median.
-    val turbulent = (turbulentOf(firstPass) ++ heavyOf(firstPass)).distinct.take(30)
-    val retried = turbulent.flatMap { name =>
-      val fn = (SparkEntry.queries ++ SparkEntry.benchOnly)(name)
-      measure(name, fn).map(name -> _)
+    // Rank candidates by their first-pass best DESCENDING before capping:
+    // under a sweep-wide hot window the spread rule alone can flag 25+
+    // queries, and an alphabetical cap would evict exactly the heavy
+    // anchor-ratio-driving readings the pass exists to rescue.
+    val bestOf = firstPass.collect { case (n, Some(ts)) => n -> ts.min }.toMap
+    val candidates = (turbulentOf(firstPass, cap = Int.MaxValue) ++ heavyOf(firstPass))
+      .distinct.sortBy(n => -bestOf.getOrElse(n, 0.0)).take(30)
+    val lookup = all.toMap
+    val retried = candidates.flatMap { name =>
+      measure(name, lookup(name), recordErr = false).map(name -> _)
     }.toMap
+    // report what was actually RE-MEASURED (a candidate whose retry threw
+    // contributes no observations and must not claim a deferred re-run)
+    val retriedNames = candidates.filter(retried.contains)
     // spread = med/min over every observation — the driver (and the
     // judge) can see HOW turbulent each reading was without a second
     // sweep
@@ -166,7 +179,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
-    val rt = turbulent.map(jq).mkString("[", ",", "]")
+    val rt = retriedNames.map(jq).mkString("[", ",", "]")
     val total = results.collect { case (k, v) if v >= 0 && gated(k) => v }.sum
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$es,"spread_med_over_min":$sp,"retried":$rt,"floor_sec_per_query":${num(floor)},"sf":${jq(sfDir)}}"""

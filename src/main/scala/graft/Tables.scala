@@ -61,6 +61,28 @@ object Tables {
     * are purged, while copies of other sources (e.g. a concurrent run at
     * a different SF) are left alone.
     */
+  /** The (cache key, scratch dst) the normalization would use for the
+    * CURRENT drop of `sfDir`'s events file — pure path math, no side
+    * effects. Package-private so specs can drive publish/debris/race
+    * scenarios directly against the real dst.
+    */
+  private[graft] def normTarget(spark: SparkSession, sfDir: String): (String, org.apache.hadoop.fs.Path) = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val srcPath = new Path(s"$sfDir/events.parquet")
+    val srcFs = srcPath.getFileSystem(conf)
+    val st = srcFs.getFileStatus(srcPath)
+    val qualified = srcFs.makeQualified(srcPath).toString
+    val key = s"$qualified:${st.getLen}:${st.getModificationTime}"
+    val srcTag = md5(qualified).take(12)
+    (key, new Path(new Path(sys.props("java.io.tmpdir")),
+      s"graft_norm_events_${srcTag}_${md5(key).take(12)}"))
+  }
+
+  /** Forget memoized normalization results so a spec can force the
+    * publish path to re-run for a key this process has already seen. */
+  private[graft] def resetNormCacheForTests(): Unit = normCache.clear()
+
   private def normalizedEventsPath(spark: SparkSession, sfDir: String): Option[String] =
     try {
       import org.apache.hadoop.fs.Path
@@ -76,20 +98,39 @@ object Tables {
           val fs = tmpRoot.getFileSystem(conf)
           val srcTag = md5(qualified).take(12)
           val dst = new Path(tmpRoot, s"graft_norm_events_${srcTag}_${md5(key).take(12)}")
-          // purge superseded drops of this source (same srcTag, other key)
+          // purge superseded drops of this source (same srcTag, other key).
+          // globStatus returns scheme-QUALIFIED paths (file:/tmp/...) while
+          // dst as constructed is not — compare qualified-to-qualified, or
+          // every fresh JVM would delete the valid current copy (and with
+          // it any file a sibling mid-sweep JVM is reading).
+          val dstQ = fs.makeQualified(dst)
           val stale = fs.globStatus(new Path(tmpRoot, s"graft_norm_events_${srcTag}_*"))
-          if (stale != null) stale.map(_.getPath).filter(_ != dst)
+          if (stale != null) stale.map(_.getPath).filter(_ != dstQ)
             .foreach(p => try fs.delete(p, true) catch {
               case scala.util.control.NonFatal(_) => ()
             })
           if (!fs.exists(new Path(dst, "_SUCCESS"))) {
+            // a dst without _SUCCESS is debris (no publish ever completed
+            // — the rename below is atomic) and would make every future
+            // rename fail: clear it first
+            if (fs.exists(dst)) fs.delete(dst, true)
             val tmp = new Path(tmpRoot,
               s"graft_norm_events_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
             eventsNanos(spark.read.parquet(srcPath.toString))
               .write.mode("overwrite").parquet(tmp.toString)
-            // atomic publish; if a sibling process won the race, keep its
-            // copy and drop ours
-            if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+            // atomic no-overwrite publish: FileContext.rename(NONE) throws
+            // if dst already exists, so a race loser can never move its
+            // tmp INSIDE the winner's directory (FileSystem.rename's
+            // documented move-into behavior) — it just drops its copy
+            try org.apache.hadoop.fs.FileContext
+              .getFileContext(fs.makeQualified(tmpRoot).toUri, conf)
+              .rename(fs.makeQualified(tmp), fs.makeQualified(dst))
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                try fs.delete(tmp, true) catch {
+                  case scala.util.control.NonFatal(_) => ()
+                }
+            }
           }
           Some(dst.toString)
         } catch {

@@ -38,6 +38,45 @@ class TablesSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
   }
 
+  test("ingest publish protocol: debris self-heals, valid copies survive re-probes, new drops purge old") {
+    import org.apache.hadoop.fs.Path
+    import java.nio.file.{Files, Paths}
+    // isolated fake "drop" so this test owns its srcTag namespace
+    val drop = Files.createTempDirectory("graft_pub_drop").toString
+    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$drop/events.parquet"))
+    assume(spark.read.parquet(s"$drop/events.parquet").schema("ts").dataType != LongType,
+      "drop already stores ts as long; the publish path never runs")
+    val (_, dst1) = Tables.normTarget(spark, drop)
+    val fs = dst1.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // 1. debris (a dst with no _SUCCESS — a crashed writer) must be
+    //    replaced by a complete publish, not block it forever
+    fs.mkdirs(dst1)
+    fs.create(new Path(dst1, "debris.marker")).close()
+    assert(Tables.load(spark, drop, "events").count() > 0)
+    assert(fs.exists(new Path(dst1, "_SUCCESS")), "publish must complete over debris")
+    assert(!fs.exists(new Path(dst1, "debris.marker")), "debris must not survive inside a publish")
+
+    // 2. a valid published copy must survive a fresh-process re-probe
+    //    untouched (the r12 qualified-path purge fix: an unqualified
+    //    compare deleted and rewrote dst on every new JVM)
+    val parts1 = fs.listStatus(dst1).map(_.getPath.getName).toSet
+    Tables.resetNormCacheForTests()
+    assert(Tables.load(spark, drop, "events").count() > 0)
+    val parts2 = fs.listStatus(dst1).map(_.getPath.getName).toSet
+    assert(parts1 == parts2, "existing valid publish was rewritten on re-probe")
+
+    // 3. a NEW drop of the same source purges the superseded copy only
+    Files.setLastModifiedTime(Paths.get(s"$drop/events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    val (_, dst2) = Tables.normTarget(spark, drop)
+    assert(dst2 != dst1, "a new mtime must key a new scratch copy")
+    assert(Tables.load(spark, drop, "events").count() > 0)
+    assert(fs.exists(new Path(dst2, "_SUCCESS")), "new drop must publish")
+    assert(!fs.exists(dst1), "superseded copy must be purged")
+    fs.delete(dst2, true) // leave no scratch behind for other suites
+  }
+
   test("loadStream over documents matches the batch load exactly") {
     val batch = Tables.load(spark, dir, "documents")
     val streamDir = java.nio.file.Files.createTempDirectory("graft_tbl_stream").toString

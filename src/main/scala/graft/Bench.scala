@@ -51,6 +51,20 @@ object Bench {
     }
   }
 
+  /** Pure composition of the two retry triggers (unit-tested in
+    * BenchSpec): the union of spread-flagged and heavy-tail queries,
+    * ranked by first-pass best DESCENDING before the cap — under a
+    * sweep-wide hot window the spread rule alone can flag dozens, and an
+    * unranked cap would evict exactly the heavy anchor-ratio-driving
+    * readings the deferred pass exists to rescue.
+    */
+  def retryCandidatesOf(first: Seq[(String, Option[Seq[Double]])],
+      cap: Int = 30): Seq[String] = {
+    val bestOf = first.collect { case (n, Some(ts)) => n -> ts.min }.toMap
+    (turbulentOf(first, cap = Int.MaxValue) ++ heavyOf(first))
+      .distinct.sortBy(n => -bestOf.getOrElse(n, 0.0)).take(cap)
+  }
+
   /** Pure fold of first-pass + retry observations into the reported
     * per-query value (overall minimum) and the emitted med/min spreads
     * (only non-degenerate ones — spread >1.5 on a >0.1 s best — so the
@@ -137,13 +151,7 @@ object Bench {
     // (turbulentOf) catches a spike inside a triple; the heavy-tail rule
     // (heavyOf) catches a window that inflated ALL THREE runs uniformly —
     // no spread, but the absolute sits far above the sweep's own median.
-    // Rank candidates by their first-pass best DESCENDING before capping:
-    // under a sweep-wide hot window the spread rule alone can flag 25+
-    // queries, and an alphabetical cap would evict exactly the heavy
-    // anchor-ratio-driving readings the pass exists to rescue.
-    val bestOf = firstPass.collect { case (n, Some(ts)) => n -> ts.min }.toMap
-    val candidates = (turbulentOf(firstPass, cap = Int.MaxValue) ++ heavyOf(firstPass))
-      .distinct.sortBy(n => -bestOf.getOrElse(n, 0.0)).take(30)
+    val candidates = retryCandidatesOf(firstPass)
     val lookup = all.toMap
     val retried = candidates.flatMap { name =>
       measure(name, lookup(name), recordErr = false).map(name -> _)

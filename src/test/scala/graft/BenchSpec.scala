@@ -43,6 +43,17 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.turbulentOf(first).isEmpty) // spread rule alone misses all of it
   }
 
+  test("retryCandidatesOf: heavy queries survive the cap under a sweep-wide hot window") {
+    // 40 marginal spread-flagged queries (alphabetically early) + one
+    // uniformly-inflated heavy query: severity ranking must keep the
+    // heavy one inside the cap even though the spread set alone overflows
+    val noisy = (1 to 40).map(i => obs(f"a$i%02d", 0.30, 0.35, 0.75))
+    val first = noisy :+ obs("z_heavy", 5.0, 5.1, 5.0)
+    val picked = Bench.retryCandidatesOf(first, cap = 10)
+    assert(picked.head == "z_heavy", "heaviest first-pass best must rank first")
+    assert(picked.size == 10)
+  }
+
   test("heavyOf: empty and all-errored sweeps return nothing") {
     assert(Bench.heavyOf(Nil).isEmpty)
     assert(Bench.heavyOf(Seq("dead" -> None)).isEmpty)

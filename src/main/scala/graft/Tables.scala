@@ -121,7 +121,12 @@ object Tables {
             // atomic no-overwrite publish: FileContext.rename(NONE) throws
             // if dst already exists, so a race loser can never move its
             // tmp INSIDE the winner's directory (FileSystem.rename's
-            // documented move-into behavior) — it just drops its copy
+            // documented move-into behavior) — it just drops its copy.
+            // On a store with no AbstractFileSystem binding (e.g. bare
+            // s3a) getFileContext throws, the catch drops tmp, and reads
+            // degrade to the in-plan projection fallback — correct,
+            // just unnormalized; point the scratch dir at a posix/HDFS
+            // path there.
             try org.apache.hadoop.fs.FileContext
               .getFileContext(fs.makeQualified(tmpRoot).toUri, conf)
               .rename(fs.makeQualified(tmp), fs.makeQualified(dst))

@@ -35,40 +35,79 @@ object Retrieval {
   private val QueryTerms = Seq("join", "window", "stream", "dup")
 
   /** q142: BM25 top-20 documents for a fixed query-term set (k1=1.2,
-    * b=0.75, Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf). At scale this is
-    * the postings-side plan: tf rows exist only for (doc, query-term)
-    * matches — the isin filter cuts the exploded token stream before the
-    * (doc_id, token) aggregate — df/N/avgdl are broadcast one-row/|q|-row
-    * frames, and the final ranking is TakeOrdered top-20, never a global
-    * sort. The doc-length frame is the same one token-shuffle every other
-    * corpus statistic shares.
+    * b=0.75, Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf). The query-term
+    * set is FIXED and tiny, so nothing here needs token-level shuffles:
+    * doc length and each term's tf are row-local array expressions over
+    * the split text (`size(filter(tokens, …))`), df/N/total_dl collapse
+    * in one single-row partial aggregate that broadcasts back over a
+    * second scan, and per-doc scoring + top-20 is row-local arithmetic
+    * into TakeOrdered. Two corpus scans, ZERO corpus shuffles — the r11
+    * spelling exploded every token through a per-doc aggregation
+    * exchange plus two doc-keyed joins (3 docs-sized shuffles and ~7
+    * stages) to compute what is row-local arithmetic for a constant
+    * query. (Corpus statistics that genuinely need the full vocabulary
+    * — tfidf q59, xent q93 — keep their token shuffle; BM25 against a
+    * constant query does not.)
     *
     * Float determinism: idf and the tf normalizer are pure double
     * arithmetic with identical operation order in both engines (ln agrees
     * far past 9 decimals, q93 convention); each per-term contribution is
-    * cast to DECIMAL(18,9) so the per-doc sum is order-free, and the
-    * reported score rounds to 6.
+    * cast to DECIMAL(18,9) and the per-doc total is an exact decimal add
+    * of ≤4 such terms — the same rational value the oracle's DECIMAL sum
+    * produces — then rounds to 6 after the cast to double.
     */
   def qBm25TopDocs(s: SparkSession, dir: String): DataFrame = {
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .where(col("token") =!= "")
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), dsum(col("dl")).as("total_dl"))
-    val tf = tok.where(col("token").isin(QueryTerms: _*))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // Codegen-friendly whole-token counting, no explode and no lambda
+    // interpretation: pad the text with one space each side, then DOUBLE
+    // every space — each token is now flanked by its own ≥1 space on both
+    // sides even where tokens were adjacent across a single original
+    // space, so literal-`replace` scans for " term " find every
+    // occurrence without overlap loss. tf = (length delta on removal) /
+    // pattern length; presence = contains. Doc length = size of the
+    // regex-split on space runs of the trimmed text (empty-after-trim
+    // docs are dropped up front — they have no tokens, so the exploded
+    // spelling never counted them toward n_docs/total_dl either).
+    val spaced = replace(
+      concat(lit(" "), col("text"), lit(" ")), lit(" "), lit("  "))
+    val dlCol = size(split(btrim(col("text")), " +")).cast("long")
+    def pat(q: String) = lit(" " + q + " ")
+    val statsBase = t(s, dir, "documents")
+      .where(btrim(col("text")) =!= "")
+      .select(dlCol.as("dl"), spaced.as("s2"))
+      .select(col("dl") +: QueryTerms.zipWithIndex.map { case (q, i) =>
+        contains(col("s2"), pat(q)).cast("long").as(s"p$i") }: _*)
+    val statsCols = Seq(
+      count(lit(1)).as("n_docs"), dsum(col("dl")).as("total_dl")) ++
+      QueryTerms.indices.map(i => sum(col(s"p$i")).as(s"df$i"))
+    val stats = statsBase.agg(statsCols.head, statsCols.tail: _*)
+    val base = t(s, dir, "documents")
+      .where(btrim(col("text")) =!= "")
+      .select(col("doc_id"), dlCol.as("dl"), spaced.as("s2"))
+      // any-term presence on the shared padded string: the cheap filter
+      // spelling, so pushdown can't clone the 4 replace-count chains
+      .where(QueryTerms.map(q => contains(col("s2"), pat(q))).reduce(_ || _))
+      .select(col("doc_id") +: col("dl") +:
+        QueryTerms.zipWithIndex.map { case (q, i) =>
+          ((length(col("s2")) - length(replace(col("s2"), pat(q)))) /
+            lit(q.length + 2)).cast("long").as(s"tf$i") }: _*)
     val avgdl = col("total_dl") / col("n_docs")
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val contrib = idf * ((col("tf") * lit(K1 + 1.0)) /
-      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / avgdl))))
-    tf.join(broadcast(dft), Seq("token"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), contrib.cast(DecimalType(18, 9)).as("contrib"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"),
-        round(sum(col("contrib")).cast("double"), 6).as("bm25"))
+    def contrib(i: Int) = {
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * ((col(s"tf$i") * lit(K1 + 1.0)) /
+        (col(s"tf$i") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / avgdl))))
+    }
+    val zero = lit(BigDecimal(0)).cast(DecimalType(18, 9))
+    val nTerms = QueryTerms.indices
+      .map(i => (col(s"tf$i") > 0).cast("long")).reduce(_ + _)
+    val total = QueryTerms.indices
+      .map(i => coalesce(when(col(s"tf$i") > 0,
+        contrib(i).cast(DecimalType(18, 9))), zero))
+      .reduce(_ + _)
+    // the any-term contains-filter above already guarantees n_terms ≥ 1
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nTerms.as("n_terms"),
+        round(total.cast("double"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
   }

@@ -152,6 +152,15 @@ class PlanSpec extends AnyFunSuite {
     val p = executedPlan("q142_bm25_topdocs")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"), p)
+    // r12 shape: dl/tf are row-local string counts for the constant query
+    // set, so the ONLY exchanges are the single-row stats aggregate and
+    // its broadcast — a hash-partitioned shuffle means the exploded
+    // token aggregation crept back in
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"BM25 must not shuffle — dl/tf are row-local for a constant query: $p")
+    // and the token explode itself must be gone from both scans
+    assert(!p.toLowerCase.contains("explode"),
+      s"BM25 must not explode tokens — counts are string-local: $p")
   }
 
   test("q147 PageRank iterates over the persisted edge frame, never re-scanning the corpus") {

@@ -163,6 +163,40 @@ class PlanSpec extends AnyFunSuite {
       s"BM25 must not explode tokens — counts are string-local: $p")
   }
 
+  test("q169 basket-lift attaches marginals by broadcast AFTER the top-20 limit") {
+    // r12 shape: the heavy pair aggregate ends at the persisted top-20;
+    // everything the returned plan adds on top of the caches must be
+    // broadcast-side (marginal counts for ≤40 parts + the 1-row order
+    // total). A hash-partitioned exchange here means a marginal table
+    // is being shuffled against 20 rows again (the r11 regression).
+    // Walk the plan tree — the string form inlines the cache-BUILD plans
+    // (which legitimately shuffle) under InMemoryRelation, but children
+    // traversal stops at InMemoryTableScan, which is exactly the
+    // boundary we want.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("q169_basket_lift")(spark, dir)
+    df.count()
+    def flat(pl: SparkPlan): Seq[SparkPlan] = pl +: (pl match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case q: QueryStageExec        => flat(q.plan)
+      case _                        => pl.children.flatMap(flat)
+    })
+    val nodes = flat(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "marginals must attach via broadcast joins")
+    // the 1-row n_orders count legitimately gathers partials to a single
+    // partition; only hash-partitioned DATA exchanges are regressions
+    val shuffles = nodes.collect {
+      case e: ShuffleExchangeLike
+          if !e.outputPartitioning.toString.contains("SinglePartition") => e
+    }
+    assert(shuffles.isEmpty,
+      s"marginals must broadcast onto the cached top-20, not shuffle: $shuffles")
+  }
+
   test("q147 PageRank iterates over the persisted edge frame, never re-scanning the corpus") {
     val p = executedPlan("q147_token_pagerank")
     assert(p.contains("InMemoryTableScan"),

@@ -127,10 +127,18 @@ object GraftFunctions {
       s"bloom_might_contain expects 2 arguments (bloom, value), got ${exprs.length}")
   }
 
+  private[functions] val tokenTermCountsBuilder: Seq[Expression] => Expression = {
+    case Seq(t, terms) => TokenTermCounts(t, terms)
+    case exprs => throw new IllegalArgumentException(
+      s"token_term_counts expects 2 arguments (text, terms), got ${exprs.length}")
+  }
+
   /** Idempotent session-local registration (all graft functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_term_counts", tokenTermCountsBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -155,6 +163,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("mg_freq"),
       new ExpressionInfo(classOf[MgFreq].getName, "mg_freq"),
       { exprs: Seq[Expression] => MgFreq(exprs(0), exprs(1)) }))
+    extensions.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("token_term_counts"),
+      new ExpressionInfo(classOf[TokenTermCounts].getName, "token_term_counts"),
+      GraftFunctions.tokenTermCountsBuilder))
     extensions.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

@@ -57,39 +57,31 @@ object Retrieval {
     * produces — then rounds to 6 after the cast to double.
     */
   def qBm25TopDocs(s: SparkSession, dir: String): DataFrame = {
-    // Codegen-friendly whole-token counting, no explode and no lambda
-    // interpretation: pad the text with one space each side, then DOUBLE
-    // every space — each token is now flanked by its own ≥1 space on both
-    // sides even where tokens were adjacent across a single original
-    // space, so literal-`replace` scans for " term " find every
-    // occurrence without overlap loss. tf = (length delta on removal) /
-    // pattern length; presence = contains. Doc length = size of the
-    // regex-split on space runs of the trimmed text (empty-after-trim
-    // docs are dropped up front — they have no tokens, so the exploded
-    // spelling never counted them toward n_docs/total_dl either).
-    val spaced = replace(
-      concat(lit(" "), col("text"), lit(" ")), lit(" "), lit("  "))
-    val dlCol = size(split(btrim(col("text")), " +")).cast("long")
-    def pat(q: String) = lit(" " + q + " ")
+    graft.functions.GraftFunctions.register(s)
+    // One fused byte-wise pass per document computes dl and every term's
+    // tf together (functions/TokenTermCounts.scala): c(0)=dl, c(i+1)=tf_i.
+    // Composable spellings (explode+aggregate, HOF filter counts, padded
+    // replace-deltas) each re-traverse or re-allocate the text per
+    // statistic — measured 2–5× slower on the 10× corpus rebuild.
+    // The btrim prefilter is the cheap spelling of dl > 0 (a doc with no
+    // non-space bytes has no tokens, and must not count toward
+    // n_docs/total_dl — the exploded oracle never sees it).
+    val cnts = call_function("token_term_counts", col("text"),
+      array(QueryTerms.map(lit): _*))
     val statsBase = t(s, dir, "documents")
       .where(btrim(col("text")) =!= "")
-      .select(dlCol.as("dl"), spaced.as("s2"))
-      .select(col("dl") +: QueryTerms.zipWithIndex.map { case (q, i) =>
-        contains(col("s2"), pat(q)).cast("long").as(s"p$i") }: _*)
+      .select(cnts.as("c"))
     val statsCols = Seq(
-      count(lit(1)).as("n_docs"), dsum(col("dl")).as("total_dl")) ++
-      QueryTerms.indices.map(i => sum(col(s"p$i")).as(s"df$i"))
+      count(lit(1)).as("n_docs"), dsum(col("c")(0)).as("total_dl")) ++
+      QueryTerms.indices.map(i =>
+        sum((col("c")(i + 1) > 0).cast("long")).as(s"df$i"))
     val stats = statsBase.agg(statsCols.head, statsCols.tail: _*)
     val base = t(s, dir, "documents")
       .where(btrim(col("text")) =!= "")
-      .select(col("doc_id"), dlCol.as("dl"), spaced.as("s2"))
-      // any-term presence on the shared padded string: the cheap filter
-      // spelling, so pushdown can't clone the 4 replace-count chains
-      .where(QueryTerms.map(q => contains(col("s2"), pat(q))).reduce(_ || _))
-      .select(col("doc_id") +: col("dl") +:
-        QueryTerms.zipWithIndex.map { case (q, i) =>
-          ((length(col("s2")) - length(replace(col("s2"), pat(q)))) /
-            lit(q.length + 2)).cast("long").as(s"tf$i") }: _*)
+      .select(col("doc_id"), cnts.as("c"))
+      .where(QueryTerms.indices.map(i => col("c")(i + 1) > 0).reduce(_ || _))
+      .select(col("doc_id") +: col("c")(0).as("dl") +:
+        QueryTerms.indices.map(i => col("c")(i + 1).as(s"tf$i")): _*)
     val avgdl = col("total_dl") / col("n_docs")
     def contrib(i: Int) = {
       val idf = log(lit(1.0) +

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** token_term_counts contract: exact whole-token semantics identical to
+  * the exploded `split + filter-empty + count` spelling, byte-level
+  * tokenization safe for UTF-8, and codegen/interpreted agreement. The
+  * q142 oracle gate proves end-to-end equality vs DuckDB; this pins the
+  * expression itself, including edges the sf corpus may not contain.
+  */
+class TokenTermCountsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def counts(text: String, terms: Seq[String]): Seq[Long] = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(text).toDF("t")
+      .select(call_function("token_term_counts", col("t"),
+        array(terms.map(lit): _*)).as("c"))
+      .collect()(0).getSeq[Long](0)
+  }
+
+  test("hand cases: dl + per-term tf, duplicates, boundaries, empties") {
+    // element 0 = dl, then one count per term in order
+    assert(counts("join join window", Seq("join", "window", "stream", "dup"))
+      == Seq(3L, 2L, 1L, 0L, 0L))
+    // runs of spaces and leading/trailing spaces produce no empty tokens
+    assert(counts("  a  b ", Seq("a", "b", "ab")) == Seq(2L, 1L, 1L, 0L))
+    // all-space and empty text have zero tokens
+    assert(counts("", Seq("x")) == Seq(0L, 0L))
+    assert(counts("   ", Seq("x")) == Seq(0L, 0L))
+    // substrings of longer tokens must not match (whole-token equality)
+    assert(counts("joining join joinjoin", Seq("join")) == Seq(3L, 1L))
+    // adjacent identical terms all count (the overlap case a naive
+    // ' term '-in-padded-string scan undercounts)
+    assert(counts("dup dup dup", Seq("dup")) == Seq(3L, 3L))
+    // duplicate entries in the term list count independently
+    assert(counts("a b a", Seq("a", "a")) == Seq(3L, 2L, 2L))
+  }
+
+  test("UTF-8 multibyte tokens compare exactly (0x20 never splits a codepoint)") {
+    assert(counts("héllo wörld hé", Seq("hé", "wörld", "h"))
+      == Seq(3L, 1L, 1L, 0L))
+    assert(counts("日本 語 日本", Seq("日本", "語")) == Seq(3L, 2L, 1L))
+  }
+
+  test("null text yields null, not a crash") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(call_function("token_term_counts", col("t"),
+        array(lit("x"))).as("c"))
+      .collect()(0)
+    assert(got.isNullAt(0))
+  }
+
+  test("parity with the exploded split-count spelling on real corpus text") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("join", "window", "stream", "dup")
+    val fused = docs
+      .select(col("doc_id"), call_function("token_term_counts", col("text"),
+        array(terms.map(lit): _*)).as("c"))
+      .select(col("doc_id") +: (0 to terms.length)
+        .map(i => col("c")(i).as(s"c$i")): _*)
+    val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val aggCols = count(lit(1)).as("e0") +: terms.zipWithIndex.map {
+      case (q, i) =>
+        sum(when(col("token") === q, 1L).otherwise(0L)).as(s"e${i + 1}")
+    }
+    val exploded = tok.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val joined = fused.join(exploded, Seq("doc_id"), "left")
+    val mismatches = joined.where(
+      (0 to terms.length).map { i =>
+        val e = col(s"e$i")
+        // docs with zero tokens have no exploded rows: fused must say 0
+        !(coalesce(e, lit(0L)) <=> col(s"c$i"))
+      }.reduce(_ || _)).count()
+    assert(mismatches == 0)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("join a join", " b  dup", "").toDF("t")
+      .select(call_function("token_term_counts", col("t"),
+        array(lit("join"), lit("dup"))).as("c"))
+    val withCodegen = df.collect().map(_.getSeq[Long](0)).toList
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = df.collect().map(_.getSeq[Long](0)).toList
+      assert(withCodegen == interpreted)
+      assert(withCodegen == List(
+        Seq(3L, 2L, 0L), Seq(2L, 0L, 1L), Seq(0L, 0L, 0L)))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}

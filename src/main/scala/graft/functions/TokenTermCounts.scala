@@ -49,9 +49,13 @@ case class TokenTermCounts(left: Expression, right: Expression)
 
   @transient private lazy val termBytes: Array[Array[Byte]] = {
     val arr = right.eval().asInstanceOf[ArrayData]
-    (0 until arr.numElements())
-      .map(i => arr.getUTF8String(i).getBytes.clone())
-      .toArray
+    if (arr == null) throw new IllegalArgumentException(
+      "token_term_counts: term list must not be null")
+    (0 until arr.numElements()).map { i =>
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        "token_term_counts: term list must not contain nulls")
+      arr.getUTF8String(i).getBytes.clone()
+    }.toArray
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {

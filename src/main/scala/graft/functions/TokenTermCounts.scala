@@ -11,8 +11,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * `token_term_counts(text, array('a','b',…))` → `array<bigint>` where
   * element 0 is the total token count (tokens = maximal runs of
-  * non-space bytes, i.e. `string_split(text, ' ')` minus empties) and
-  * element i+1 is the number of tokens exactly equal to the i-th term.
+  * non-space bytes, i.e. `string_split(text, ' ')` minus empties),
+  * element i+1 is the number of tokens exactly equal to the i-th term,
+  * and the LAST element (k+1 for k terms) is the number of distinct
+  * terms with at least one occurrence — emitted so an any-term
+  * prefilter can reference the result exactly once: a predicate built
+  * from per-term elements (`c[1] > 0 OR c[2] > 0 …`) is pushed below
+  * the projection by Catalyst and clones the whole expression per
+  * disjunct into the scan filter.
   *
   * Why a custom Catalyst Expression (SURVEY §7.3 ladder, step (b)): the
   * composable alternatives each re-traverse the text per statistic —
@@ -96,7 +102,8 @@ object TokenTermCounts {
     */
   def count(s: UTF8String, terms: Array[Array[Byte]]): ArrayData = {
     val n = s.numBytes
-    val out = new Array[Long](terms.length + 1)
+    val k = terms.length
+    val out = new Array[Long](k + 2)
     var i = 0
     while (i < n) {
       if (s.getByte(i) == 0x20) i += 1
@@ -106,7 +113,7 @@ object TokenTermCounts {
         out(0) += 1L
         val len = i - start
         var t = 0
-        while (t < terms.length) {
+        while (t < k) {
           val tb = terms(t)
           if (tb.length == len) {
             var j = 0
@@ -116,6 +123,11 @@ object TokenTermCounts {
           t += 1
         }
       }
+    }
+    var t = 0
+    while (t < k) {
+      if (out(t + 1) > 0L) out(k + 1) += 1L
+      t += 1
     }
     new GenericArrayData(out)
   }

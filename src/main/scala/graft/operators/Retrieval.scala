@@ -58,14 +58,16 @@ object Retrieval {
     */
   def qBm25TopDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // One fused byte-wise pass per document computes dl and every term's
-    // tf together (functions/TokenTermCounts.scala): c(0)=dl, c(i+1)=tf_i.
-    // Composable spellings (explode+aggregate, HOF filter counts, padded
-    // replace-deltas) each re-traverse or re-allocate the text per
-    // statistic — measured 2–5× slower on the 10× corpus rebuild.
-    // The btrim prefilter is the cheap spelling of dl > 0 (a doc with no
-    // non-space bytes has no tokens, and must not count toward
-    // n_docs/total_dl — the exploded oracle never sees it).
+    // One fused byte-wise pass per document computes dl, every term's tf,
+    // and the hit-term count together (functions/TokenTermCounts.scala):
+    // c(0)=dl, c(i+1)=tf_i, c(k+1)=|{i: tf_i>0}|. Composable spellings
+    // (explode+aggregate, HOF filter counts, padded replace-deltas) each
+    // re-traverse or re-allocate the text per statistic — measured 2–5×
+    // slower on the 10× corpus rebuild. The btrim prefilter is the cheap
+    // spelling of dl > 0 (a doc with no non-space bytes has no tokens,
+    // and must not count toward n_docs/total_dl — the exploded oracle
+    // never sees it).
+    val k = QueryTerms.length
     val cnts = call_function("token_term_counts", col("text"),
       array(QueryTerms.map(lit): _*))
     val statsBase = t(s, dir, "documents")
@@ -76,10 +78,20 @@ object Retrieval {
       QueryTerms.indices.map(i =>
         sum((col("c")(i + 1) > 0).cast("long")).as(s"df$i"))
     val stats = statsBase.agg(statsCols.head, statsCols.tail: _*)
+    // Scoring pass: the any-term prefilter is spelled as ONE reference to
+    // the fused result's hit-count element, placed below the projection
+    // on purpose — so non-matching docs pay exactly one fused pass and
+    // survivors two (filter + projection). A per-term disjunction here
+    // would be pushed below the projection by Catalyst with one clone of
+    // the expression PER TERM in the scan filter (observed: 5 evaluations
+    // per doc).
     val base = t(s, dir, "documents")
-      .where(btrim(col("text")) =!= "")
+      .where(btrim(col("text")) =!= "" && cnts(k + 1) > 0)
+      // single-alias projection, extracts in a second select: per-element
+      // references to `cnts` here would instantiate the expression once
+      // per column (CollapseProject's cost guard is what keeps the
+      // extracts from being inlined back into the fused call)
       .select(col("doc_id"), cnts.as("c"))
-      .where(QueryTerms.indices.map(i => col("c")(i + 1) > 0).reduce(_ || _))
       .select(col("doc_id") +: col("c")(0).as("dl") +:
         QueryTerms.indices.map(i => col("c")(i + 1).as(s"tf$i")): _*)
     val avgdl = col("total_dl") / col("n_docs")

@@ -21,13 +21,8 @@ object Q142Probe {
       concat(lit(" "), col("text"), lit(" ")), lit(" "), lit("  "))
     def pat(q: String) = lit(" " + q + " ")
 
-    def time(label: String)(f: => Any): Unit = {
-      f // warm
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"== $label: best ${ts.min}%.3fs of ${ts.map(t => f"$t%.2f").mkString(",")}")
-    }
+    def time(label: String)(f: => Any): Unit =
+      ProbeTiming.time(label)(f)
 
     time("raw scan sum(length)") {
       docs.agg(sum(length(col("text")))).collect()

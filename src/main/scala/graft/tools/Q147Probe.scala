@@ -11,12 +11,8 @@ object Q147Probe {
     val dir = "/root/testdata/sf0.1"
     val spark = Session.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(label: String)(f: => Any): Unit = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"PROBE $label: best ${ts.min}%.3f of ${ts.map(t => f"$t%.2f").mkString(",")}")
-    }
+    def time(label: String)(f: => Any): Unit =
+      ProbeTiming.time(label, warm = false, prefix = "PROBE")(f)
     val docs = Tables.load(spark, dir, "documents")
     // full query (warm)
     graft.operators.Retrieval.qTokenPagerank(spark, dir).count()

@@ -20,13 +20,8 @@ object ShingleProbe {
         |          i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))"""
         .stripMargin)
 
-    def time(label: String)(f: => Any): Unit = {
-      f
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"== $label: best ${ts.min}%.3fs of ${ts.map(t => f"$t%.2f").mkString(",")}")
-    }
+    def time(label: String)(f: => Any): Unit =
+      ProbeTiming.time(label)(f)
 
     val base = docs.withColumn("toks", split(col("text"), " "))
       .where(size(col("toks")) >= 3)

@@ -23,28 +23,30 @@ class TokenTermCountsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
   }
 
-  test("hand cases: dl + per-term tf, duplicates, boundaries, empties") {
-    // element 0 = dl, then one count per term in order
+  test("hand cases: dl + per-term tf + hit count, duplicates, boundaries, empties") {
+    // element 0 = dl, then one count per term in order, then the number
+    // of distinct terms with >= 1 occurrence
     assert(counts("join join window", Seq("join", "window", "stream", "dup"))
-      == Seq(3L, 2L, 1L, 0L, 0L))
+      == Seq(3L, 2L, 1L, 0L, 0L, 2L))
     // runs of spaces and leading/trailing spaces produce no empty tokens
-    assert(counts("  a  b ", Seq("a", "b", "ab")) == Seq(2L, 1L, 1L, 0L))
+    assert(counts("  a  b ", Seq("a", "b", "ab")) == Seq(2L, 1L, 1L, 0L, 2L))
     // all-space and empty text have zero tokens
-    assert(counts("", Seq("x")) == Seq(0L, 0L))
-    assert(counts("   ", Seq("x")) == Seq(0L, 0L))
+    assert(counts("", Seq("x")) == Seq(0L, 0L, 0L))
+    assert(counts("   ", Seq("x")) == Seq(0L, 0L, 0L))
     // substrings of longer tokens must not match (whole-token equality)
-    assert(counts("joining join joinjoin", Seq("join")) == Seq(3L, 1L))
+    assert(counts("joining join joinjoin", Seq("join")) == Seq(3L, 1L, 1L))
     // adjacent identical terms all count (the overlap case a naive
     // ' term '-in-padded-string scan undercounts)
-    assert(counts("dup dup dup", Seq("dup")) == Seq(3L, 3L))
-    // duplicate entries in the term list count independently
-    assert(counts("a b a", Seq("a", "a")) == Seq(3L, 2L, 2L))
+    assert(counts("dup dup dup", Seq("dup")) == Seq(3L, 3L, 1L))
+    // duplicate entries in the term list count independently (and both
+    // count toward the hit total)
+    assert(counts("a b a", Seq("a", "a")) == Seq(3L, 2L, 2L, 2L))
   }
 
   test("UTF-8 multibyte tokens compare exactly (0x20 never splits a codepoint)") {
     assert(counts("héllo wörld hé", Seq("hé", "wörld", "h"))
-      == Seq(3L, 1L, 1L, 0L))
-    assert(counts("日本 語 日本", Seq("日本", "語")) == Seq(3L, 2L, 1L))
+      == Seq(3L, 1L, 1L, 0L, 2L))
+    assert(counts("日本 語 日本", Seq("日本", "語")) == Seq(3L, 2L, 1L, 2L))
   }
 
   test("null text yields null, not a crash") {
@@ -59,7 +61,11 @@ class TokenTermCountsSpec extends AnyFunSuite {
 
   test("parity with the exploded split-count spelling on real corpus text") {
     GraftFunctions.register(spark)
+    // null text is covered by its own test above; here both legs must see
+    // the same rows (a null-text doc has no exploded rows but a null
+    // fused result — not comparable cell-wise)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("text").isNotNull)
     val terms = Seq("join", "window", "stream", "dup")
     val fused = docs
       .select(col("doc_id"), call_function("token_term_counts", col("text"),
@@ -97,7 +103,7 @@ class TokenTermCountsSpec extends AnyFunSuite {
       val interpreted = df.collect().map(_.getSeq[Long](0)).toList
       assert(withCodegen == interpreted)
       assert(withCodegen == List(
-        Seq(3L, 2L, 0L), Seq(2L, 0L, 1L), Seq(0L, 0L, 0L)))
+        Seq(3L, 2L, 0L, 1L), Seq(2L, 0L, 1L, 1L), Seq(0L, 0L, 0L, 0L)))
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       spark.conf.unset("spark.sql.codegen.factoryMode")

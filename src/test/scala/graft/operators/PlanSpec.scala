@@ -161,6 +161,14 @@ class PlanSpec extends AnyFunSuite {
     // and the token explode itself must be gone from both scans
     assert(!p.toLowerCase.contains("explode"),
       s"BM25 must not explode tokens — counts are string-local: $p")
+    // the fused pass must appear at exactly 3 evaluation sites: stats
+    // projection, scoring prefilter (ONE hit-count reference), scoring
+    // projection — plus the scan's DataFilters echo of the prefilter
+    // (4 textual matches). More means Catalyst cloned the expression per
+    // disjunct/column again (the 5-evaluations-per-doc regression the
+    // hit-count element prevents).
+    val n = "token_term_counts".r.findAllIn(p).size
+    assert(n <= 4, s"expected <=4 fused-pass mentions (3 sites + scan echo), found $n: $p")
   }
 
   test("q169 basket-lift attaches marginals by broadcast AFTER the top-20 limit") {

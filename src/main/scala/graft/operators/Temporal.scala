@@ -30,13 +30,34 @@ object Temporal {
 
   /** Per-user event pairs within 5 minutes (strictly later), rolled up to
     * ordered type-pair counts.
+    *
+    * Band-bucketed equi-join (r12 rewrite): a plain `user_id` equi-join
+    * with the band as a post-join filter materializes EVERY same-user
+    * pair — O(Σ per-user n²) candidates, which a 10× rebuild measured
+    * growing linearly in users (0.72 → 3.50 s) while the embedded
+    * oracle's sort-based range join grew sublinearly. Bucketing ts into
+    * band-width cells and joining on (user, bucket) — with the A side
+    * exploded to its own and the NEXT bucket, since `ts_b ∈
+    * (ts_a, ts_a+Band]` can only land in those two — bounds candidates
+    * to events in adjacent 5-minute cells (~true pairs, here ~1000×
+    * fewer than all same-user pairs at ~11 h mean inter-event gap);
+    * each qualifying pair is generated exactly once because bkt_b takes
+    * a single value. The exact strict/band predicates stay in the join
+    * condition, so results are hash-identical to the oracle's plain
+    * range-join spelling. At 100 TB the shuffle carries 3× the event
+    * rows (A twice + B once) on (user, bucket) keys — skew-resistant
+    * (a key = one user's one 5-minute window) — instead of per-user
+    * quadratic candidate streams.
     */
   def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events").select("user_id", "ts", "event_type")
     val a = e.toDF("user_id", "ts_a", "type_a")
+      .withColumn("bkt", explode(array(
+        expr(s"ts_a DIV $BandNs"), expr(s"ts_a DIV $BandNs") + lit(1L))))
     val b = e.toDF("user_id_b", "ts_b", "type_b")
+      .withColumn("bkt_b", expr(s"ts_b DIV $BandNs"))
     a.join(b,
-        col("user_id") === col("user_id_b") &&
+        col("user_id") === col("user_id_b") && col("bkt") === col("bkt_b") &&
           col("ts_b") > col("ts_a") && col("ts_b") - col("ts_a") <= BandNs)
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_pairs"))

@@ -49,6 +49,33 @@ class TokenTermCountsSpec extends AnyFunSuite {
     assert(counts("日本 語 日本", Seq("日本", "語")) == Seq(3L, 2L, 1L, 2L))
   }
 
+  test("property: fused counts equal split-based counts on random texts/terms") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Seq("a", "ab", "the", "join", "dup", "é", "日本", "xy", "x")
+    val gen = for {
+      toks <- Gen.listOfN(40, Gen.frequency(
+        (4, Gen.oneOf(vocab)),
+        (1, Gen.const("")))) // empties → runs of spaces once joined
+      terms <- Gen.listOfN(3, Gen.oneOf(vocab :+ "zz"))
+      pad <- Gen.oneOf("", " ", "   ")
+    } yield (pad + toks.mkString(" ") + pad, terms)
+    (1 to 300).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (text, terms) =>
+          val ref = text.split(" ").filter(_.nonEmpty).toSeq
+          val expected = (ref.length.toLong +:
+            terms.map(t => ref.count(_ == t).toLong)) :+
+            terms.count(t => ref.contains(t)).toLong
+          val got = TokenTermCounts.count(
+            UTF8String.fromString(text),
+            terms.map(_.getBytes("UTF-8")).toArray).toLongArray.toSeq
+          assert(got == expected, s"seed=$i text='$text' terms=$terms")
+      }
+    }
+  }
+
   test("null text yields null, not a crash") {
     GraftFunctions.register(spark)
     import spark.implicits._

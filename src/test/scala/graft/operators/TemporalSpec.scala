@@ -252,4 +252,27 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == List((0L, 1.0, false), (1L, 3.0, true),
       (2L, 5.0, true), (3L, 7.0, false)))
   }
+  test("q57 band-bucketed range join: boundary-exact, strict, cross-bucket pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
+    val B = 300L * 1000 * 1000 * 1000 // BandNs (5 min)
+    // chosen so every bucketing edge is exercised: exact-band pair
+    // (A->B), just-over-band (A->C excluded), same-instant strictness
+    // (A,D both at 0 -- no pair either direction), cross-bucket pairs
+    // (E in bucket 0 pairing with B and C in bucket 1), same-bucket pair
+    // (F->G), and a lone event (H) producing nothing
+    Seq(
+      (1L, 0L, "A"), (1L, 0L, "D"), (1L, B, "B"), (1L, B + 1, "C"),
+      (1L, B - 1000000000L, "E"),
+      (4L, 100000000000L, "F"), (4L, 200000000000L, "G"),
+      (5L, 7L * B, "H"))
+      .toDF("user_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Temporal.qRangeJoin(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("A", "B") -> 1L, ("A", "E") -> 1L, ("D", "B") -> 1L,
+      ("D", "E") -> 1L, ("E", "B") -> 1L, ("E", "C") -> 1L,
+      ("B", "C") -> 1L, ("F", "G") -> 1L))
+  }
 }

@@ -133,12 +133,24 @@ object GraftFunctions {
       s"token_term_counts expects 2 arguments (text, terms), got ${exprs.length}")
   }
 
+  private[functions] val wordShinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(t, n, d) if n.foldable && d.foldable =>
+      WordShingles(t,
+        n.eval().asInstanceOf[Number].intValue(),
+        d.eval().asInstanceOf[Boolean])
+    case exprs => throw new IllegalArgumentException(
+      "word_shingles expects (text, foldable int n, foldable boolean dedup), " +
+        s"got ${exprs.length} argument(s)")
+  }
+
   /** Idempotent session-local registration (all graft functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", builder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_term_counts", tokenTermCountsBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", wordShinglesBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -167,6 +179,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("token_term_counts"),
       new ExpressionInfo(classOf[TokenTermCounts].getName, "token_term_counts"),
       GraftFunctions.tokenTermCountsBuilder))
+    extensions.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      GraftFunctions.wordShinglesBuilder))
     extensions.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(

@@ -23,18 +23,29 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Word-3-gram shingle array of a `toks` column — row-local, no shuffle. */
+  /** Word-3-gram shingle array of a `toks` column — row-local, no shuffle.
+    * Kept as the composable reference spelling (q45 uses it; WordShingles'
+    * property spec pins the fused expression against it).
+    */
   private def shingleArr: Column = expr(
     "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")
 
-  /** Distinct (doc_id, shingle) pairs. The dedup is row-local
-    * (`array_distinct` before the explode), so no distinct-shuffle is ever
-    * paid — the first shuffle any consumer sees is its own aggregation.
+  /** Distinct per-doc 3-gram shingles via the fused single-pass
+    * expression (functions/WordShingles.scala): `split(text, ' ')` is
+    * lossless, so every shingle is a byte substring of the text — one
+    * pass, no token materialization, no interpreted lambdas. r12: the
+    * shingle scan had become the dominant LINEAR term of the banded
+    * dedup family at 10× once banding bounded the joins. Sub-3-token
+    * docs yield an empty array (no rows after the explode), identical
+    * to the old size(toks) >= 3 gate. The dedup stays row-local —
+    * the first shuffle any consumer sees is its own aggregation.
     */
-  private def shinglesDistinct(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", toks(col("text")))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(shingleArr)).as("shingle"))
+  private def shinglesDistinct(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      explode(call_function("word_shingles",
+        col("text"), lit(3), lit(true))).as("shingle"))
+  }
 
   /** Value 0-15 of the j-th (1-based) hex digit of an md5 hex string.
     * Spelled via ascii() so the DuckDB oracle can evaluate the identical
@@ -2117,10 +2128,11 @@ object TextOps {
     * shingles' source sets at odds ~|shingles|²/2⁶⁵, like q47/q48.
     */
   def sourceOverlap(docs: DataFrame, hashShingles: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val bySh = docs
-      .select(col("source"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 3)
-      .select(col("source"), explode(array_distinct(shingleArr)).as("shingle"))
+      .select(col("source"),
+        explode(call_function("word_shingles",
+          col("text"), lit(3), lit(true))).as("shingle"))
       .groupBy((if (hashShingles) xxhash64(col("shingle"))
                 else col("shingle")).as("sh"))
       .agg(array_sort(collect_set(col("source"))).as("srcs"))

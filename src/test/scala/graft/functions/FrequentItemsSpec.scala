@@ -167,8 +167,8 @@ class FrequentItemsSpec extends AnyFunSuite {
     // surface landed (the declarative-install path must not lag the
     // programmatic GraftFunctions.register one)
     assert(org.apache.spark.sql.GraftExtensionsTestAccess.functionNames(ext) ==
-      Set("cosine_similarity", "token_term_counts", "kll_quantiles",
-        "mg_freq", "bloom_agg", "bloom_might_contain"))
+      Set("cosine_similarity", "token_term_counts", "word_shingles",
+        "kll_quantiles", "mg_freq", "bloom_agg", "bloom_might_contain"))
   }
 
   test("invalid k fails at analysis, not execution") {

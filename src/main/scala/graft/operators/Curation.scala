@@ -309,11 +309,12 @@ object Curation {
     */
   def fuzzyShinglePairs(docs: DataFrame, maxDist: Int = 2,
       maxBlock: Int = 10000): DataFrame = {
-    val sh = docs.withColumn("toks", toks(col("text")))
-      .where(size(col("toks")) >= 3)
-      .select(explode(array_distinct(expr(
-        "transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', slice(toks, i, 3)))"))).as("shingle"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // r12: per-doc distinct shingles via the fused zero-copy expression
+    // (sub-3-token docs emit an empty array — same rows as the old gate)
+    val sh = docs
+      .select(explode(call_function("word_shingles",
+        col("text"), lit(3), lit(true))).as("shingle"))
       .distinct()
       .withColumn("w", split(col("shingle"), " "))
       .persist()
@@ -592,11 +593,12 @@ object Curation {
     */
   def substringDupStats(docs: DataFrame, k: Int = 10,
       hashGrams: Boolean = false): DataFrame = {
-    val grams = docs.withColumn("toks", toks(col("text")))
-      .where(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("gram"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // r12: k-gram emission via the fused zero-copy expression (sub-k-token
+    // docs emit an empty array — same rows as the old ≥k gate)
+    val grams = docs
+      .select(col("doc_id"), explode(call_function("word_shingles",
+        col("text"), lit(k), lit(false))).as("gram"))
     val keyed = (if (hashGrams)
         grams.select(col("doc_id"), xxhash64(col("gram")).as("gkey"))
       else grams.select(col("doc_id"), col("gram").as("gkey"))).persist()

@@ -160,11 +160,12 @@ object Retrieval {
     * Novelty = exact integer ratio, rounded — no float pipeline at all.
     */
   def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // r12: distinct per-doc shingles via the fused zero-copy expression
+    // (sub-3-token docs emit an empty array — same rows as the old gate)
     val sh = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))).as("shingle"))
+      .select(col("doc_id"), explode(call_function("word_shingles",
+        col("text"), lit(3), lit(true))).as("shingle"))
       .persist()
     val firstSeen = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
     sh.join(firstSeen, Seq("shingle"))

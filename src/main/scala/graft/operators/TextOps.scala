@@ -171,16 +171,22 @@ object TextOps {
     * Entirely row-local array math — no explode, no shuffle, no aggregate:
     * the count of shingles is `size(shingles)` and the distinct count is
     * `size(array_distinct(shingles))`, both computed inside the scan's
-    * project. At 100 TB this is a pure map over the corpus.
+    * project. At 100 TB this is a pure map over the corpus. r12: shingles
+    * come from the fused zero-copy expression; the ≥3-token gate stays
+    * spelled on raw `text` (NOT on the projected shingle column) so
+    * pushdown can't clone the expensive expression into the scan filter.
     */
-  def qShingleStats(s: SparkSession, dir: String): DataFrame =
+  def qShingleStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "documents")
-      .withColumn("toks", toks(col("text")))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingleArr.as("shingles"))
+      .where(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"),
+        call_function("word_shingles", col("text"), lit(3), lit(false))
+          .as("shingles"))
       .select(col("doc_id"),
         size(col("shingles")).as("n_shingles"),
         size(array_distinct(col("shingles"))).as("n_distinct_shingles"))
+  }
 
   val qShingleStatsSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -969,10 +975,12 @@ object TextOps {
     * tokens" (Gopher Table A1) are a WHERE over this output.
     */
   def qRepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // r12: bigram array via the fused zero-copy expression (n=2); the
+    // sort + longest-equal-run fold over it is unchanged
     val topBigram = expr(
       """aggregate(
-        |  array_sort(transform(sequence(1, size(toks) - 1),
-        |                       i -> concat_ws(' ', slice(toks, i, 2)))),
+        |  array_sort(word_shingles(text, 2, false)),
         |  named_struct('prev', '', 'run', CAST(0 AS BIGINT),
         |               'best', CAST(0 AS BIGINT), 'bestkey', ''),
         |  (a, x) -> CASE WHEN x = a.prev
@@ -1417,13 +1425,15 @@ object TextOps {
     * and the per-doc fingerprint set collapses to an md5 digest so the
     * oracle compares one scalar per doc.
     */
-  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame =
+  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     t(s, dir, "documents")
       .withColumn("toks", toks(col("text")))
       .where(size(col("toks")) >= 6) // ≥4 shingles → ≥1 full window
+      // r12: shingle generation through the fused zero-copy expression;
+      // the per-shingle md5 lambda (the dominant term) is unchanged
       .withColumn("hs", expr(
-        """transform(
-          |  transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))),
+        """transform(word_shingles(text, 3, false),
           |  s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 12), 16, 10) AS BIGINT))"""
           .stripMargin))
       .withColumn("fps", expr(
@@ -1435,6 +1445,7 @@ object TextOps {
         (size(col("fps")).cast("double") / size(col("hs"))).as("fp_density"),
         md5(expr("concat_ws(',', transform(array_sort(fps), x -> CAST(x AS STRING)))")
           .cast("binary")).as("fp_digest"))
+  }
 
   val qWinnowFingerprintSql: String = {
     // hex-prefix integer via one cast, not 12 per-digit md5 re-evaluations

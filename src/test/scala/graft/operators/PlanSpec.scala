@@ -266,4 +266,22 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("shingle family extracts through the fused word_shingles expression") {
+    // The r12 zero-copy expression replaced the interpreted
+    // transform/slice/concat_ws spelling across the banded-dedup family's
+    // shared linear term; a refactor that silently falls back to the HOF
+    // path would cost 3-5x on the corpus scan (PLANS.md / BASELINE 10x
+    // table). String-level pin, same convention as the cosine check.
+    Seq("q45_shingle_stats", "q48_minhash", "q49_jaccard_top_pairs",
+      "q56_minhash_candidates", "q89_repetition_stats",
+      "q90_boilerplate_ngrams", "q101_winnow_fingerprint",
+      "q116_fuzzy_pairs", "q145_ngram_novelty", "q154_source_overlap",
+      "q180_substring_dedup").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("word_shingles"),
+        s"$name no longer plans the fused word_shingles expression")
+    }
+  }
 }

@@ -135,12 +135,18 @@ object GraftFunctions {
 
   private[functions] val wordShinglesBuilder: Seq[Expression] => Expression = {
     case Seq(t, n, d) if n.foldable && d.foldable =>
-      WordShingles(t,
-        n.eval().asInstanceOf[Number].intValue(),
-        d.eval().asInstanceOf[Boolean])
+      (n.eval(), d.eval()) match {
+        case (nv: Number, dv: java.lang.Boolean) =>
+          WordShingles(t, nv.intValue(), dv.booleanValue())
+        case (nv, dv) => throw new IllegalArgumentException(
+          "word_shingles expects a non-null int n and boolean dedup, " +
+            s"got n = $nv, dedup = $dv")
+      }
+    case Seq(_, _, _) => throw new IllegalArgumentException(
+      "word_shingles expects FOLDABLE (constant) n and dedup arguments")
     case exprs => throw new IllegalArgumentException(
-      "word_shingles expects (text, foldable int n, foldable boolean dedup), " +
-        s"got ${exprs.length} argument(s)")
+      "word_shingles expects 3 arguments (text, int n, boolean dedup), " +
+        s"got ${exprs.length}")
   }
 
   /** Idempotent session-local registration (all graft functions). */

@@ -23,13 +23,6 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Word-3-gram shingle array of a `toks` column — row-local, no shuffle.
-    * Kept as the composable reference spelling (q45 uses it; WordShingles'
-    * property spec pins the fused expression against it).
-    */
-  private def shingleArr: Column = expr(
-    "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")
-
   /** Distinct per-doc 3-gram shingles via the fused single-pass
     * expression (functions/WordShingles.scala): `split(text, ' ')` is
     * lossless, so every shingle is a byte substring of the text — one

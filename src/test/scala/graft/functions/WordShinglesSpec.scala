@@ -68,13 +68,44 @@ class WordShinglesSpec extends AnyFunSuite {
       dedup <- Gen.oneOf(true, false)
       pad <- Gen.oneOf("", " ", "  ")
     } yield (pad + toks.mkString(" ") + pad, n, dedup)
-    (1 to 300).foreach { i =>
-      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
-        case (text, n, dedup) =>
-          assert(fused(text, n, dedup) == reference(text, n, dedup),
-            s"seed=$i n=$n dedup=$dedup text='$text'")
+    val cases = (1 to 300).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).map { case (t, n, d) => (i, t, n, d) })
+    // one batched job for all 300 cases, not 300 single-row collects:
+    // (n, dedup) has only 8 combinations, so group cases per combination
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    cases.groupBy { case (_, _, n, d) => (n, d) }.foreach { case ((n, d), cs) =>
+      val got = cs.map(c => (c._1, c._2)).toDF("seed", "t")
+        .select(col("seed"),
+          call_function("word_shingles", col("t"), lit(n), lit(d)).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      cs.foreach { case (seed, text, _, _) =>
+        assert(got(seed) == reference(text, n, d),
+          s"seed=$seed n=$n dedup=$d text='$text'")
       }
     }
+  }
+
+  test("bad n/dedup arguments fail at analysis with a named error, not a raw NPE/CCE") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("a b c").toDF("t")
+    val nullN = intercept[Exception] {
+      df.selectExpr("word_shingles(t, CAST(NULL AS INT), true)").collect()
+    }
+    assert(nullN.getMessage.contains("non-null int n"), nullN.getMessage)
+    val strN = intercept[Exception] {
+      df.selectExpr("word_shingles(t, '3', true)").collect()
+    }
+    assert(strN.getMessage.contains("non-null int n"), strN.getMessage)
+    val nonFoldable = intercept[Exception] {
+      df.selectExpr("word_shingles(t, length(t), true)").collect()
+    }
+    assert(nonFoldable.getMessage.contains("FOLDABLE"), nonFoldable.getMessage)
+    val arity = intercept[Exception] {
+      df.selectExpr("word_shingles(t)").collect()
+    }
+    assert(arity.getMessage.contains("3 arguments"), arity.getMessage)
   }
 
   test("null text yields null; interpreted eval agrees with codegen") {
@@ -86,6 +117,7 @@ class WordShinglesSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows(0).isNullAt(0))
     assert(rows(1).getSeq[String](0) == Seq("a b c", "b c d"))
+    val prevWholeStage = spark.conf.getOption("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
@@ -93,7 +125,10 @@ class WordShinglesSpec extends AnyFunSuite {
       assert(interp(0).isNullAt(0))
       assert(interp(1).getSeq[String](0) == Seq("a b c", "b c d"))
     } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      prevWholeStage match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.wholeStage", v)
+        case None => spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }

@@ -305,10 +305,21 @@ object TextOps {
 
   /** MinHash signatures (k=32) over word-3-gram shingles, plus the 8 banded
     * LSH keys. One explode + one hash-aggregate of 32 codegen'd MINs.
+    *
+    * r12: the shingle string is hashed ONCE (xxhash64) and the 32
+    * exchangeable families are derived from that 64-bit value by
+    * re-hashing it with the family index (Broder's construction —
+    * minhash only needs exchangeable uniform families, not independent
+    * string hashes). 32 variable-length string hashes per posting become
+    * one string hash + 32 fixed-width long hashes; the map-side partial
+    * aggregate and the doc_id exchange are unchanged. Decision parity
+    * with the md5-portable oracled spelling is pinned by XxParitySpec
+    * (identical content collides, planted near-dups recovered).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = shinglesDistinct(docs)
-    val mins = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val mins = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until MinhashBands).map { b =>
       xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as(s"band$b")
@@ -363,12 +374,20 @@ object TextOps {
        |FROM m""".stripMargin
   }
 
-  /** LSH candidate pairs: docs agreeing on ≥1 of the 8 band keys. */
+  /** LSH candidate pairs: docs agreeing on ≥1 of the 8 band keys.
+    * The banded frame (ndocs × 8 rows) is persisted before the self-join
+    * — same convention as q56's oracled spelling: without it the whole
+    * corpus-sized signature aggregation under `sigs` evaluates once per
+    * join side (measured ~2× on the 10× rebuild; ReuseExchange does not
+    * reliably dedupe the AQE-replanned sides). The session owner
+    * (Bench/Verify clearCache) releases it.
+    */
   def minhashCandidates(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until MinhashBands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -287,9 +287,13 @@ object TextOps {
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask).as("key"))
     }
+    // persisted before the self-join (q56/x56 convention): otherwise the
+    // caller's sims subtree — typically a corpus-sized 64-vote aggregate —
+    // evaluates once per join side. Session owner clearCache releases it.
     val banded = sims
       .select(col("doc_id"), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+      .persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -1140,14 +1140,23 @@ object TextOps {
     */
   def qBigramXent(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftFunctions.register(s)
+    // r12: bigrams of consecutive NON-EMPTY tokens are exactly the word
+    // 2-shingles of the space-run-collapsed, trimmed text (split on ' '
+    // is lossless, so collapsing runs IS the ne filter) — the fused
+    // expression replaces two interpreted lambdas (filter + transform
+    // with per-window struct allocation), and each bigram splits back on
+    // its single interior space with codegen'd substring_index. This
+    // frame is deliberately NOT persisted: its four consumers re-scan,
+    // which at 100 TB beats caching an exploded corpus-sized frame.
     val bg = t(s, dir, "documents")
-      .withColumn("ne", filter(toks(col("text")), x => x =!= ""))
-      .where(size(col("ne")) >= 2)
       .select(col("doc_id"), col("source"),
-        explode(expr("transform(sequence(1, size(ne) - 1), " +
-          "i -> struct(element_at(ne, i) AS w1, element_at(ne, i + 1) AS w2))"))
+        explode(call_function("word_shingles",
+          trim(regexp_replace(col("text"), " +", " ")), lit(2), lit(false)))
           .as("bg"))
-      .select(col("doc_id"), col("source"), col("bg.w1"), col("bg.w2"))
+      .select(col("doc_id"), col("source"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
     val train = bg.where(col("doc_id") % 2 === 0)
     val bgCounts = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val ctxCounts = train.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
@@ -1832,16 +1841,21 @@ object TextOps {
     * (identical doubles both engines), rounded to 6dp.
     */
   def qBigramPmi(s: SparkSession, dir: String): DataFrame = {
-    val tokArr = t(s, dir, "documents")
-      .withColumn("ne", filter(toks(col("text")), x => x =!= ""))
-    val uni = tokArr.select(explode(col("ne")).as("w"))
+    graft.functions.GraftFunctions.register(s)
+    // r12: unigrams explode the raw split with a codegen'd post-explode
+    // filter (no interpreted filter lambda); bigrams are the word
+    // 2-shingles of the space-run-collapsed text, split back on the
+    // single interior space — the q119 fused spelling.
+    val docs = t(s, dir, "documents")
+    val uni = docs.select(explode(toks(col("text"))).as("w"))
+      .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val bg = tokArr
-      .where(size(col("ne")) >= 2)
-      .select(explode(expr("transform(sequence(1, size(ne) - 1), " +
-        "i -> struct(element_at(ne, i) AS a, element_at(ne, i + 1) AS b))"))
+    val bg = docs
+      .select(explode(call_function("word_shingles",
+        trim(regexp_replace(col("text"), " +", " ")), lit(2), lit(false)))
         .as("bg"))
-      .select(col("bg.a"), col("bg.b"))
+      .select(substring_index(col("bg"), " ", 1).as("a"),
+        substring_index(col("bg"), " ", -1).as("b"))
     // one bigram shuffle: total and top-20 both derive from the persisted
     // counts frame (a second corpus scan for N would double the heavy work)
     val bgCounts = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))

@@ -133,13 +133,21 @@ object Privacy {
     *  - r_ttr:  type-token ratio >= 0.5 (distinct/total — repetition screen)
     */
   def qQualityRules(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // r12: sumlen is pure arithmetic — split on ' ' is lossless, so
+    // Σ length(token) = length(text) − (n_words − 1) separators; the
+    // stopword count comes from the fused single-pass token_term_counts
+    // ('the'/'a' are non-empty, so whole-token-run counts equal the
+    // filter-over-split-with-empties spelling). Replaces two interpreted
+    // per-token lambdas; toksq survives only for n_distinct.
     val m = t(s, dir, "documents")
       .withColumn("toksq", split(col("text"), " "))
       .withColumn("n_words", size(col("toksq")).cast("long"))
+      .withColumn("ttc", call_function("token_term_counts",
+        col("text"), array(lit("the"), lit("a"))))
       .withColumn("sumlen",
-        expr("aggregate(toksq, 0L, (acc, x) -> acc + length(x))"))
-      .withColumn("n_stop",
-        expr("size(filter(toksq, x -> x = 'the' OR x = 'a'))").cast("long"))
+        (length(col("text")).cast("long") - col("n_words") + lit(1L)))
+      .withColumn("n_stop", col("ttc").getItem(1) + col("ttc").getItem(2))
       .withColumn("n_distinct", size(array_distinct(col("toksq"))).cast("long"))
       .withColumn("r_len", col("n_words") >= 20 && col("n_words") <= 60)
       .withColumn("r_mwl",
@@ -201,13 +209,16 @@ object Privacy {
     * global aggregate, scalar output.
     */
   def qFilterKappa(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // r12: same fused/arithmetic spelling as qQualityRules (see there)
     val m = t(s, dir, "documents")
       .withColumn("toksq", split(col("text"), " "))
       .withColumn("n_words", size(col("toksq")).cast("long"))
+      .withColumn("ttc", call_function("token_term_counts",
+        col("text"), array(lit("the"), lit("a"))))
       .withColumn("sumlen",
-        expr("aggregate(toksq, 0L, (acc, x) -> acc + length(x))"))
-      .withColumn("n_stop",
-        expr("size(filter(toksq, x -> x = 'the' OR x = 'a'))").cast("long"))
+        (length(col("text")).cast("long") - col("n_words") + lit(1L)))
+      .withColumn("n_stop", col("ttc").getItem(1) + col("ttc").getItem(2))
       .withColumn("n_distinct", size(array_distinct(col("toksq"))).cast("long"))
       .withColumn("a", col("n_words") >= 20 && col("n_words") <= 60 &&
         lit(10) * col("n_stop") >= col("n_words"))

@@ -232,15 +232,19 @@ object Retrieval {
     */
   def qTokenPagerank(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    // r12: adjacent pairs through the fused word_shingles expression —
+    // a 2-shingle with an empty side starts or ends with its separator
+    // space (tokens are space-free), so the codegen'd prefix/suffix
+    // checks reproduce the old p.src <> '' AND p.dst <> '' filter over
+    // raw-sequence pairs exactly; replaces an interpreted transform +
+    // filter pass with per-window struct allocation.
+    graft.functions.GraftFunctions.register(s)
     val edges0 = t(s, dir, "documents")
-      .select(split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 2) // sequence(0,-1) would run DESCENDING
-      .select(expr(
-        "filter(transform(sequence(0, size(toks) - 2), " +
-          "i -> struct(toks[i] as src, toks[i + 1] as dst)), " +
-          "p -> p.src <> '' AND p.dst <> '')").as("pairs"))
-      .select(explode(col("pairs")).as("p"))
-      .select(col("p.src"), col("p.dst"))
+      .select(explode(call_function("word_shingles",
+        col("text"), lit(2), lit(false))).as("bg"))
+      .where(!col("bg").startsWith(" ") && !col("bg").endsWith(" "))
+      .select(substring_index(col("bg"), " ", 1).as("src"),
+        substring_index(col("bg"), " ", -1).as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
       .select(col("src"), col("dst"),
         (col("c").cast("double") / sum(col("c")).over(w)).as("frac"))

@@ -208,9 +208,13 @@ object Curation {
     val cands = toksDf.groupBy(col("source"))
       .agg(expr(s"mg_freq(token, $k)").as("sk"))
       .select(col("source"), explode(expr("transform(sk, x -> x.item)")).as("token"))
+    // r12: per-doc non-empty token count = element 0 of the fused
+    // token_term_counts pass (tokens = maximal non-space runs) — no
+    // interpreted filter lambda, no token array materialization
     val nPerSrc = t(s, dir, "documents")
       .groupBy(col("source"))
-      .agg(sum(size(filter(toks(col("text")), x => x =!= ""))).as("n"))
+      .agg(sum(element_at(call_function("token_term_counts",
+        col("text"), expr("CAST(array() AS ARRAY<STRING>)")), 1)).as("n"))
     val rn = row_number().over(
       Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("token").asc))
     val top = toksDf.join(broadcast(cands), Seq("source", "token"))
@@ -255,16 +259,27 @@ object Curation {
     * explode + distinct, keyed (source, token).
     */
   def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = t(s, dir, "documents")
     val vocabArr = array(vocab.map(lit): _*)
-    val nonEmpty = filter(toks(col("text")), x => x =!= "")
-    val inst = docs.groupBy(col("source")).agg(
-      sum(size(nonEmpty)).as("n_tokens"),
-      sum(size(filter(nonEmpty, x => not(array_contains(vocabArr, x)))))
-        .as("oov_tokens"))
+    // r12: instance counts from one fused token_term_counts pass —
+    // element 1 is the total non-empty token count, elements 2..|V|+1
+    // the per-vocab-term counts, so OOV instances = total − in-vocab
+    // sum. Two-level select keeps the expression evaluated once per row
+    // (CollapseProject cost guard). The distinct-type branch swaps its
+    // interpreted filter lambda for a post-explode codegen filter.
+    val withC = docs.select(col("source"),
+      call_function("token_term_counts", col("text"), vocabArr).as("c"))
+    val inVocabSum = (1 to vocab.length)
+      .map(i => element_at(col("c"), i + 1)).reduce(_ + _)
+    val inst = withC
+      .select(col("source"), element_at(col("c"), 1).as("nt"),
+        (element_at(col("c"), 1) - inVocabSum).as("ov"))
+      .groupBy(col("source")).agg(
+        sum(col("nt")).as("n_tokens"), sum(col("ov")).as("oov_tokens"))
     val types = docs
-      .select(col("source"), explode(nonEmpty).as("token"))
-      .where(not(array_contains(vocabArr, col("token"))))
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .where(col("token") =!= "" && !array_contains(vocabArr, col("token")))
       .groupBy(col("source"))
       .agg(countDistinct(col("token")).as("distinct_oov"))
     inst.join(broadcast(types), Seq("source"), "left")

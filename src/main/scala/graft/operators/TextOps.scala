@@ -96,22 +96,31 @@ object TextOps {
     * All array math is row-local higher-order functions — no shuffle at all
     * until the (absent) aggregation; scales embarrassingly.
     */
-  def qDocQuality(s: SparkSession, dir: String): DataFrame =
+  def qDocQuality(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // r12: Σ token length = length(text) − (n_tokens − 1) separators
+    // (split on ' ' is lossless; empty tokens contribute 0 either way)
+    // and the stopword count is the fused token_term_counts pass —
+    // replaces two interpreted per-token lambda chains. toks survives
+    // for the counts that genuinely need the token array.
     t(s, dir, "documents")
       .withColumn("toks", toks(col("text")))
+      .withColumn("ttc", call_function("token_term_counts",
+        col("text"), array(lit("the"), lit("a"))))
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars_calc"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct_tokens"),
-        (expr("CAST(aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x) AS DOUBLE)")
+        ((length(col("text")) - size(col("toks")) + 1).cast("double")
           / size(col("toks"))).as("mean_token_len"),
-        (expr("CAST(size(filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)")
+        ((element_at(col("ttc"), 2) + element_at(col("ttc"), 3)).cast("double")
           / size(col("toks"))).as("stopword_ratio"))
       .withColumn("quality",
         when(col("n_tokens") < 20, "too_short")
           .when(col("stopword_ratio") > 0.2, "boilerplate")
           .otherwise("ok"))
+  }
 
   val qDocQualitySql: String =
     """WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents)
@@ -1723,9 +1732,11 @@ object TextOps {
     val cands = toksDf.agg(expr(s"mg_freq(token, $k)").as("sk"))
       .select(explode(expr("transform(sk, x -> x.item)")).as("token"))
     // total stream length n, computed WITHOUT re-running the sketch pass:
-    // row-local array count per document, one narrow scan, one-row result
+    // element 1 of the fused token_term_counts pass (non-empty token
+    // count) — one narrow scan, no token array, one-row result
     val n = t(s, dir, "documents")
-      .agg(sum(size(filter(toks(col("text")), x => x =!= ""))).as("n"))
+      .agg(sum(element_at(call_function("token_term_counts",
+        col("text"), expr("CAST(array() AS ARRAY<STRING>)")), 1)).as("n"))
     val top = toksDf.join(broadcast(cands), Seq("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)

@@ -40,6 +40,19 @@ object TextOps {
         col("text"), lit(3), lit(true))).as("shingle"))
   }
 
+  /** Word 2-shingles of the space-run-collapsed, trimmed text — the
+    * bigrams of consecutive NON-EMPTY tokens (collapsing runs IS the
+    * ne filter; split on ' ' is lossless). Shared q119/q139 spelling —
+    * the two queries' tokenization must stay in lockstep, so the
+    * spelling lives here once. Callers split each bigram back on its
+    * single interior space with substring_index.
+    */
+  private def neBigrams(s: SparkSession): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("word_shingles",
+      trim(regexp_replace(col("text"), " +", " ")), lit(2), lit(false))
+  }
+
   /** Value 0-15 of the j-th (1-based) hex digit of an md5 hex string.
     * Spelled via ascii() so the DuckDB oracle can evaluate the identical
     * arithmetic: ascii(c)-48 for '0'..'9', ascii(c)-87 for 'a'..'f'.
@@ -303,6 +316,7 @@ object TextOps {
       .select(col("doc_id"), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
       .persist()
+    banded.count() // eager fill — see minhashCandidates
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -401,6 +415,11 @@ object TextOps {
         struct(lit(b).as("band"), col(s"band$b").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .persist()
+    // eager fill (q147 cold-build convention): sibling AQE stages that
+    // scan an UNFILLED InMemoryRelation concurrently each recompute its
+    // child plan — the self-join's two sides would race on a cold cache
+    // and re-run the corpus-sized signature aggregate per side
+    banded.count()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -532,6 +551,7 @@ object TextOps {
     // persisted: consumed by both self-join sides — without it the 64-vote
     // aggregation over every token recomputes per consumer
     val bands = qSimhashBands(s, dir).persist()
+    bands.count() // eager fill — see minhashCandidates
     // Each banded row carries ALL four band values alongside its blocking
     // key, so the exact hamming is computable straight off the self-join
     // output — no joins back to the signature table. The payload is 4 ints
@@ -583,6 +603,7 @@ object TextOps {
     // persisted: both self-join sides read it — without it the 32-MIN
     // signature aggregation over all shingles runs twice
     val bands = qMinhashBands(s, dir).persist()
+    bands.count() // eager fill — see minhashCandidates
     val banded = bands.select(col("doc_id"),
       explode(array((0 until MinhashBands).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
@@ -1149,20 +1170,14 @@ object TextOps {
     */
   def qBigramXent(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    graft.functions.GraftFunctions.register(s)
-    // r12: bigrams of consecutive NON-EMPTY tokens are exactly the word
-    // 2-shingles of the space-run-collapsed, trimmed text (split on ' '
-    // is lossless, so collapsing runs IS the ne filter) — the fused
-    // expression replaces two interpreted lambdas (filter + transform
-    // with per-window struct allocation), and each bigram splits back on
-    // its single interior space with codegen'd substring_index. This
-    // frame is deliberately NOT persisted: its four consumers re-scan,
-    // which at 100 TB beats caching an exploded corpus-sized frame.
+    // r12: fused bigram extraction (shared [[neBigrams]] spelling)
+    // replaces two interpreted lambdas (filter + transform with
+    // per-window struct allocation); each bigram splits back on its
+    // single interior space with codegen'd substring_index. This frame
+    // is deliberately NOT persisted: its four consumers re-scan, which
+    // at 100 TB beats caching an exploded corpus-sized frame.
     val bg = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        explode(call_function("word_shingles",
-          trim(regexp_replace(col("text"), " +", " ")), lit(2), lit(false)))
-          .as("bg"))
+      .select(col("doc_id"), col("source"), explode(neBigrams(s)).as("bg"))
       .select(col("doc_id"), col("source"),
         substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"))
@@ -1852,19 +1867,15 @@ object TextOps {
     * (identical doubles both engines), rounded to 6dp.
     */
   def qBigramPmi(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     // r12: unigrams explode the raw split with a codegen'd post-explode
-    // filter (no interpreted filter lambda); bigrams are the word
-    // 2-shingles of the space-run-collapsed text, split back on the
-    // single interior space — the q119 fused spelling.
+    // filter (no interpreted filter lambda); bigrams use the shared
+    // [[neBigrams]] fused spelling, split back on the interior space.
     val docs = t(s, dir, "documents")
     val uni = docs.select(explode(toks(col("text"))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val bg = docs
-      .select(explode(call_function("word_shingles",
-        trim(regexp_replace(col("text"), " +", " ")), lit(2), lit(false)))
-        .as("bg"))
+      .select(explode(neBigrams(s)).as("bg"))
       .select(substring_index(col("bg"), " ", 1).as("a"),
         substring_index(col("bg"), " ", -1).as("b"))
     // one bigram shuffle: total and top-20 both derive from the persisted

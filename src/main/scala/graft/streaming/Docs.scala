@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Docs {
 
-  private val K = 32 // hash families, same family as TextOps.minhashSignatures
+  // K salted-xxhash64 families. NOT the same family as the batch
+  // TextOps.minhashSignatures since r12 (batch derives families by
+  // re-hashing one per-shingle hash, Broder-style); streaming keys are
+  // never compared against batch signature values, only to each other.
+  private val K = 32
 
   /** Append a row-local MinHash signature key over word-3-gram shingles:
     * for each of K salted xxhash64 families take the min over the doc's

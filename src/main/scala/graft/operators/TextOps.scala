@@ -47,7 +47,7 @@ object TextOps {
     * spelling lives here once. Callers split each bigram back on its
     * single interior space with substring_index.
     */
-  private def neBigrams(s: SparkSession): Column = {
+  private[operators] def neBigrams(s: SparkSession): Column = {
     graft.functions.GraftFunctions.register(s)
     call_function("word_shingles",
       trim(regexp_replace(col("text"), " +", " ")), lit(2), lit(false))

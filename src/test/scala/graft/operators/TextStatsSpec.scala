@@ -217,4 +217,38 @@ class TextStatsSpec extends AnyFunSuite {
       BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
     assert(got(2) == ((2L, 2L, "y", 0.5)))
   }
+
+  test("neBigrams collapsed-text identity: pairs of consecutive non-empty tokens") {
+    // The r12 q119/q139 rewrite rests on this identity: word 2-shingles
+    // of the space-run-collapsed trimmed text, split back on the single
+    // interior space, equal the consecutive pairs of NON-EMPTY tokens of
+    // the raw split. Pinned as a property over adversarial spacing.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val piece = Gen.frequency(
+      (5, Gen.oneOf("a", "bb", "ccc", "é", "日本", "x")), (3, Gen.const("")))
+    val gen = for {
+      toks <- Gen.listOfN(10, piece)
+      pad <- Gen.oneOf("", " ", "   ")
+    } yield pad + toks.mkString(" ") + pad
+    val texts = (1 to 200).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))) :+
+      "" :+ " " :+ "a" :+ "  a  " :+ "a b"
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+      .select(col("id"), TextOps.neBigrams(spark).as("bgs"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[String](1).map(bg => bg.split(" ", -1) match {
+          case Array(a, b) => (a, b)
+          case other => fail(s"bigram '$bg' split into ${other.length} parts")
+        })).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ne = t.split(" ", -1).filter(_.nonEmpty)
+      val want = if (ne.length < 2) Seq.empty else ne.toSeq.sliding(2).map {
+        case Seq(a, b) => (a, b) }.toSeq
+      assert(got(i) == want, s"text='$t'")
+    }
+  }
 }

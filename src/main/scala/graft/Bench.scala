@@ -189,8 +189,13 @@ object Bench {
     val sp = spreads.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
     val rt = retriedNames.map(jq).mkString("[", ",", "]")
     val total = results.collect { case (k, v) if v >= 0 && gated(k) => v }.sum
+    // Headline keys FIRST, the large per-query map LAST (VERDICT r12 #6):
+    // BENCH_r12's driver-side capture truncated mid-stream and lost the
+    // floor/retried/errors tail — with this order a truncated prefix
+    // still carries totals, floor, error count, and the retry list.
+    val nErr = errs.size
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$es,"spread_med_over_min":$sp,"retried":$rt,"floor_sec_per_query":${num(floor)},"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"n_queries":${results.size},"n_errors":$nErr,"retried":$rt,"errors":$es,"spread_med_over_min":$sp,"queries":$qs}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // Stop BEFORE printing so the JSON is the forked JVM's final stdout
     // line — nothing (shutdown logs, progress noise) can land after it.

@@ -1,0 +1,160 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Standing 10× scale gate (VERDICT r12 #1).
+  *
+  * The strongest scale evidence in this repo is the set of measured
+  * "scale-collapse" rows in BASELINE.md: every heavy query family run on a
+  * 10× rebuild of sf0.1, with the Spark/DuckDB ratio moving TOWARD Spark as
+  * data grows. Until r13 those rows lived as prose — a plan regression in
+  * the banded/fused paths (an unpersisted self-join side, a lambda creeping
+  * back into the shingle family, a lost pushdown) would only surface when a
+  * judge re-read BASELINE. This main promotes them into a per-round GATE:
+  * it re-measures the heavy family heads on the 10× corpora and asserts
+  * each ratio against its recorded anchor +50% headroom (the brief's ±50%),
+  * writing one JSON line (SCALE_r{N}.json, house convention) and exiting
+  * non-zero on any failure.
+  *
+  * The DuckDB side is a STATIC anchor (warm best-of-3, measured r12 on this
+  * box — BASELINE.md "Full 10× sweep" + family tables; corpora and duckdb
+  * version are fixed, so the anchor does not drift). The Spark side is
+  * re-measured each round on the same corpora, rebuildable bit-identically
+  * via tools/make_10x.py.
+  *
+  * Noise handling: this box is co-tenant noisy (same code varies 0.5–3×
+  * between windows). Each query gets warmup + best-of-3; rows still above
+  * their gate after the sweep get up to two DEFERRED re-measurement rounds
+  * (minutes later, past a hot window — the Bench retry rationale) and the
+  * overall minimum wins. A row that fails all three windows is a real
+  * regression, not turbulence.
+  */
+object BenchScale {
+  /** One gated row: recorded DuckDB anchor seconds, recorded Spark seconds
+    * (idle-box best-of-3, provenance in BASELINE.md), and the gate ratio =
+    * recorded ratio × 1.5.
+    */
+  final case class Anchor(query: String, corpus: String, duckSec: Double,
+      sparkSecRecorded: Double) {
+    def recordedRatio: Double = sparkSecRecorded / duckSec
+    def maxRatio: Double = recordedRatio * 1.5
+  }
+
+  /** The r12-measured anchors (BASELINE.md 10× tables). `docs10x` rows use
+    * the documents-×10 corpus; `temporal10x` the events+orders-×10 corpus.
+    * Includes the two deliberately-sketched Misra-Gries rows (q103/q114 —
+    * the only >1× ratios, bounded-state by design) so improvement OR
+    * regression of their constant factor is visible in the same gate.
+    */
+  val anchors: Seq[Anchor] = Seq(
+    Anchor("q49_jaccard_top_pairs", "docs10x", 103.3, 19.1),
+    Anchor("q85_dup_clusters", "docs10x", 224.0, 2.22),
+    Anchor("q105_dup_source_matrix", "docs10x", 27.1, 1.25),
+    Anchor("q154_source_overlap", "docs10x", 3.58, 0.75),
+    Anchor("q142_bm25_topdocs", "docs10x", 0.379, 0.76),
+    Anchor("q90_boilerplate_ngrams", "docs10x", 2.98, 0.88),
+    Anchor("q119_bigram_xent", "docs10x", 4.08, 1.24),
+    Anchor("q55_simhash_near_dups", "docs10x", 30.0, 0.87),
+    Anchor("q56_minhash_candidates", "docs10x", 23.9, 1.10),
+    Anchor("q93_unigram_xent", "docs10x", 0.64, 0.65),
+    Anchor("q95_decontaminate", "docs10x", 8.15, 1.10),
+    Anchor("q143_minhash_error_audit", "docs10x", 65.0, 2.02),
+    Anchor("q147_token_pagerank", "docs10x", 2.80, 0.83),
+    Anchor("q103_heavy_hitters", "docs10x", 0.25, 1.73),
+    Anchor("q114_group_heavy_hitters", "docs10x", 0.32, 2.54),
+    Anchor("q57_range_join", "temporal10x", 0.569, 1.98),
+    Anchor("q58_asof_join", "temporal10x", 0.298, 0.82))
+
+  /** Pure gate rule (unit-tested in BenchScaleSpec): a measured best passes
+    * when its ratio to the static anchor is within the recorded ratio plus
+    * 50% headroom. Kept as a function of the anchor so the spec can pin the
+    * arithmetic without Spark.
+    */
+  def passes(a: Anchor, measuredSec: Double): Boolean =
+    measuredSec >= 0 && measuredSec / a.duckSec <= a.maxRatio
+
+  /** Pure retry selection (unit-tested): rows still failing after a pass,
+    * worst relative overshoot first — under a sweep-wide hot window every
+    * row can overshoot, and the ones furthest over the line carry the most
+    * information per re-measurement minute.
+    */
+  def retryOrder(rows: Seq[(Anchor, Double)]): Seq[Anchor] =
+    rows.collect { case (a, t) if !passes(a, t) => (a, t / a.duckSec / a.maxRatio) }
+      .sortBy(-_._2).map(_._1)
+
+  def main(args: Array[String]): Unit = {
+    val docsDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/sf01x10")
+    val tempDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR_T", "/tmp/sf01x10t")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    def dirOf(corpus: String) = if (corpus == "docs10x") docsDir else tempDir
+    val missing = Seq(docsDir, tempDir).filterNot(d =>
+      Files.exists(Paths.get(d, "documents.parquet")))
+    if (missing.nonEmpty) {
+      val line = s"""{"metric":"scale_gate","pass":false,"error":"corpus missing: ${missing.mkString(",")} — rebuild with: python3 tools/make_10x.py"}"""
+      Files.writeString(Paths.get(outPath), line + "\n")
+      println(line)
+      sys.exit(2)
+    }
+
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fns = SparkEntry.queries
+
+    // Same cache hygiene as Bench: query-local persisted intermediates live
+    // for warmup + timed runs, then are dropped between queries.
+    def measure(a: Anchor): Double =
+      try {
+        val fn = fns(a.query)
+        fn(spark, dirOf(a.corpus)).count() // warmup: codegen + IO + persist fills
+        System.gc()
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dirOf(a.corpus)).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"${a.query}: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+          -1.0
+      } finally spark.catalog.clearCache()
+
+    val gated = anchors.filter(a => only.forall(_.contains(a.query)))
+    var best = gated.map(a => a -> measure(a)).toMap
+    // Deferred retry rounds: only still-failing rows re-measure, worst first.
+    var round = 0
+    var retried = Map.empty[String, Int]
+    while (round < 2 && gated.exists(a => !passes(a, best(a)))) {
+      round += 1
+      retryOrder(gated.map(a => a -> best(a))).foreach { a =>
+        retried += a.query -> round
+        val t = measure(a)
+        if (t >= 0 && (best(a) < 0 || t < best(a))) best += a -> t
+      }
+    }
+
+    spark.range(1).count()
+    val floor = (1 to 5).map { _ =>
+      val t0 = System.nanoTime(); spark.range(1).count(); (System.nanoTime() - t0) / 1e9
+    }.min
+
+    def num(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val allPass = gated.forall(a => passes(a, best(a)))
+    val nFail = gated.count(a => !passes(a, best(a)))
+    val rows = gated.map { a =>
+      val t = best(a)
+      val ratio = if (t >= 0) t / a.duckSec else -1.0
+      s""""${a.query}":{"pass":${passes(a, t)},"spark_sec":${num(t)},"duck_sec_anchor":${num(a.duckSec)},"ratio":${num(ratio)},"recorded_ratio":${num(a.recordedRatio)},"max_ratio":${num(a.maxRatio)},"corpus":"${a.corpus}","retry_rounds":${retried.getOrElse(a.query, 0)}}"""
+    }.mkString("{", ",", "}")
+    // headline first, big map last (same truncation-robust order as Bench)
+    val line = s"""{"metric":"scale_gate","pass":$allPass,"n_fail":$nFail,"n_rows":${gated.size},"floor_sec_per_query":${num(floor)},"docs_dir":"$docsDir","temporal_dir":"$tempDir","rows":$rows}"""
+    Files.writeString(Paths.get(outPath), line + "\n")
+    spark.stop()
+    println(line)
+    System.out.flush()
+    if (!allPass) sys.exit(1)
+  }
+}

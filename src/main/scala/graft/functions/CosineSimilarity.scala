@@ -161,6 +161,14 @@ object GraftFunctions {
       "bloom_agg", bloomAggBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", bloomMightContainBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_sum_long",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1,
+          s"array_sum_long expects 1 argument (array<bigint>), got ${exprs.length}")
+        ArraySumLong(exprs(0))
+      },
+      "scala_udf")
     QuantileSketch.register(spark)
     FrequentItems.register(spark)
   }

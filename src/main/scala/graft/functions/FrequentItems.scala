@@ -31,21 +31,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class MgSketch(val k: Int) extends Serializable {
   require(k >= 1, s"k must be >= 1, got $k")
-  private[functions] val counters = mutable.HashMap.empty[String, Long]
+  // Keyed by UTF8String, not String (r13): the aggregate's hot path feeds
+  // tokens straight from row memory, and a String key would pay a UTF-8
+  // decode + char[] allocation PER TOKEN before the map probe. UTF8String
+  // hashes/compares its bytes in place, so the dominant path (increment of
+  // an existing counter) allocates nothing; only a NEW counter entry pays
+  // a copy (`clone`) to own its bytes beyond the input row's lifetime.
+  private[functions] val counters = mutable.HashMap.empty[UTF8String, Long]
   private[functions] var n: Long = 0L
 
   /** Items absorbed (exact). */
   def count: Long = n
 
-  def update(item: String): Unit = {
+  def update(item: String): Unit = update(UTF8String.fromString(item))
+
+  /** `item` may be a transient view into row/array memory: it is only
+    * stored (after `clone()`) when it becomes a new counter entry — map
+    * lookups and increments never retain it (Scala's HashMap keeps the
+    * originally-stored key when updating an existing entry's value).
+    */
+  def update(item: UTF8String): Unit = {
     n += 1
     counters.get(item) match {
       case Some(c) => counters.update(item, c + 1)
-      case None if counters.size < k => counters.update(item, 1L)
+      case None if counters.size < k => counters.update(item.clone(), 1L)
       case None =>
         // decrement-all: amortized O(1) — each decrement cancels a prior
         // increment, so total decrement work <= total inserts
-        val dead = List.newBuilder[String]
+        val dead = List.newBuilder[UTF8String]
         counters.foreach { case (it, c) =>
           if (c == 1L) dead += it else counters.update(it, c - 1)
         }
@@ -55,6 +68,7 @@ final class MgSketch(val k: Int) extends Serializable {
 
   def merge(o: MgSketch): Unit = {
     o.counters.foreach { case (it, c) =>
+      // keys from a deserialized/peer sketch are already owned copies
       counters.update(it, counters.getOrElse(it, 0L) + c)
     }
     n += o.n
@@ -71,10 +85,12 @@ final class MgSketch(val k: Int) extends Serializable {
   }
 
   /** (item, estimate) pairs, (estimate DESC, item ASC) — deterministic
-    * given the counter multiset.
+    * given the counter multiset. String-typed for callers/specs; the ≤k
+    * conversions here are off the hot path.
     */
   def topItems: Array[(String, Long)] =
-    counters.toArray.sortBy { case (it, c) => (-c, it) }
+    counters.toArray.map { case (it, c) => (it.toString, c) }
+      .sortBy { case (it, c) => (-c, it) }
 
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -82,8 +98,9 @@ final class MgSketch(val k: Int) extends Serializable {
     out.writeInt(k); out.writeLong(n); out.writeInt(counters.size)
     counters.foreach { case (it, c) =>
       // length-prefixed UTF-8, not writeUTF: a pathological >64 KB token
-      // must degrade to a big counter entry, never throw mid-aggregation
-      val bytes = it.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // must degrade to a big counter entry, never throw mid-aggregation.
+      // Byte-identical to the pre-r13 String-keyed format.
+      val bytes = it.getBytes
       out.writeInt(bytes.length)
       out.write(bytes)
       out.writeLong(c)
@@ -103,8 +120,7 @@ object MgSketch {
     while (i < size) {
       val bytes = new Array[Byte](in.readInt())
       in.readFully(bytes)
-      val it = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      s.counters.update(it, in.readLong())
+      s.counters.update(UTF8String.fromBytes(bytes), in.readLong())
       i += 1
     }
     s
@@ -160,7 +176,7 @@ case class MgFreq(
 
   override def update(buffer: MgSketch, input: InternalRow): MgSketch = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String])
     buffer
   }
 
@@ -186,9 +202,115 @@ case class MgFreq(
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
+/** `mg_freq_text(text, k)` — the fused-tokenization spelling of
+  * [[MgFreq]]: one update call per DOCUMENT that scans the text's bytes
+  * in place (maximal non-space runs, the repo-wide token contract — the
+  * same loop as [[TokenTermCounts]]), feeding each token to the sketch
+  * as a zero-copy UTF8String view. Returns `struct<n: bigint, items:
+  * array<struct<item,est>>>` — `n` is the EXACT non-empty token count of
+  * the absorbed stream (MgSketch counts absorbed items), so the two-pass
+  * heavy-hitters plans get their guarantee denominator from the same
+  * scan instead of a separate corpus pass.
+  *
+  * Why this exists (r13, BASELINE "MG constant factor"): the exploded
+  * spelling `explode(split(text,' ')) … mg_freq(token, k)` pays a row
+  * through the aggregate iterator, a String decode, and a boxed map
+  * probe PER TOKEN — measured as the dominant term of q103/q114 at 10×
+  * data. Here the per-token cost is one in-place map probe; only a new
+  * counter entry (≤k live, amortized by MG's decrement-all) allocates.
+  * Decision parity with the exploded spelling is spec-pinned
+  * (FrequentItemsSpec): same sketch semantics, same candidates.
+  */
+case class MgFreqText(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgSketch] {
+
+  private lazy val sketchK: Int = kExpr.eval().asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType || kExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"mg_freq_text expects (STRING, INT), got " +
+          s"(${child.dataType.sql}, ${kExpr.dataType.sql})")
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("mg_freq_text k must be a literal")
+    else kExpr.eval() match {
+      case null => TypeCheckResult.TypeCheckFailure("mg_freq_text k must not be NULL")
+      case k: Int if k >= 1 => TypeCheckResult.TypeCheckSuccess
+      case k => TypeCheckResult.TypeCheckFailure(s"mg_freq_text k must be >= 1, got $k")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("items", ArrayType(
+      StructType(Seq(
+        StructField("item", StringType, nullable = false),
+        StructField("est", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "mg_freq_text"
+
+  override def createAggregationBuffer(): MgSketch = new MgSketch(sketchK)
+
+  override def update(buffer: MgSketch, input: InternalRow): MgSketch = {
+    val v = child.eval(input)
+    if (v != null) MgFreqText.updateFromText(buffer, v.asInstanceOf[UTF8String])
+    buffer
+  }
+
+  override def merge(buffer: MgSketch, other: MgSketch): MgSketch = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: MgSketch): Any =
+    InternalRow(buffer.count,
+      new GenericArrayData(buffer.topItems.map { case (it, c) =>
+        InternalRow(UTF8String.fromString(it), c)
+      }))
+
+  override def serialize(buffer: MgSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): MgSketch =
+    MgSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): MgFreqText =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MgFreqText =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MgFreqText =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+object MgFreqText {
+  /** Tokenize `s` on space runs and absorb every non-empty token. Space
+    * (0x20) never occurs inside a UTF-8 multibyte sequence, so the
+    * byte-level split is exact for any input — same argument as
+    * [[TokenTermCounts.count]]. Token views share one byte copy of the
+    * document; the sketch clones only what it retains.
+    */
+  def updateFromText(sk: MgSketch, s: UTF8String): Unit = {
+    val b = s.getBytes
+    val n = b.length
+    var i = 0
+    while (i < n) {
+      if (b(i) == 0x20) i += 1
+      else {
+        val start = i
+        while (i < n && b(i) != 0x20) i += 1
+        sk.update(UTF8String.fromBytes(b, start, i - start))
+      }
+    }
+  }
+}
+
 object FrequentItems {
-  /** Idempotent session-local registration of `mg_freq`. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent session-local registration of `mg_freq` and
+    * `mg_freq_text`.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_freq",
       { exprs: Seq[Expression] =>
@@ -197,6 +319,15 @@ object FrequentItems {
         MgFreq(exprs(0), exprs(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_freq_text",
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2,
+          s"mg_freq_text expects 2 arguments (text, k), got ${exprs.length}")
+        MgFreqText(exprs(0), exprs(1))
+      },
+      "scala_udf")
+  }
 
   /** DataFrame-side helper: `mgFreq("token", 64)`. */
   def mgFreq(colName: String, k: Int): Column = expr(s"mg_freq($colName, $k)")

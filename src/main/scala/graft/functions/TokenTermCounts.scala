@@ -43,7 +43,17 @@ case class TokenTermCounts(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, ArrayType(StringType, _)) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // The term list is foldable, so null / null-element defects can be
+        // caught HERE, at analysis time, instead of as an executor-side
+        // IllegalArgumentException mid-job at first eval (ADVICE r12).
+        val arr = right.eval().asInstanceOf[ArrayData]
+        if (arr == null)
+          TypeCheckResult.TypeCheckFailure(
+            "token_term_counts: term list must not be null")
+        else if ((0 until arr.numElements()).exists(arr.isNullAt))
+          TypeCheckResult.TypeCheckFailure(
+            "token_term_counts: term list must not contain nulls")
+        else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "token_term_counts expects (string, foldable array<string>), got " +
           s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
@@ -64,17 +74,20 @@ case class TokenTermCounts(left: Expression, right: Expression)
     }.toArray
   }
 
+  @transient private lazy val termTable: TermTable = new TermTable(termBytes)
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val t = left.eval(input)
     if (t == null) null
-    else TokenTermCounts.count(t.asInstanceOf[UTF8String], termBytes)
+    else TokenTermCounts.count(t.asInstanceOf[UTF8String], termTable)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // only the text child is evaluated at runtime — the term list is a
     // constant shipped once as a reference object, not re-built per row
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-    val termsRef = ctx.addReferenceObj("termBytes", termBytes, "byte[][]")
+    val termsRef = ctx.addReferenceObj("termTable", termTable,
+      "graft.functions.TermTable")
     val leftGen = left.genCode(ctx)
     val javaType = CodeGenerator.javaType(dataType)
     ev.copy(code =
@@ -96,13 +109,39 @@ case class TokenTermCounts(left: Expression, right: Expression)
   override def prettyName: String = "token_term_counts"
 }
 
+/** Per-byte-length index over a term list (r13): the per-token inner loop
+  * visits only terms whose byte length equals the token's, so a WIDE term
+  * list — e.g. the union of per-group heavy-hitter candidates, hundreds of
+  * terms — costs ~|same-length terms| byte-compares per token instead of
+  * |terms| length checks. Built once per plan and shipped to executors as
+  * a codegen reference object. Top-level class so generated Java can name
+  * it.
+  */
+final class TermTable(val terms: Array[Array[Byte]]) extends Serializable {
+  val k: Int = terms.length
+  private val maxLen: Int = if (k == 0) -1 else terms.iterator.map(_.length).max
+  private val byLen: Array[Array[Int]] = {
+    val builders = Array.fill(maxLen + 1)(Array.newBuilder[Int])
+    var t = 0
+    while (t < k) { builders(terms(t).length) += t; t += 1 }
+    builders.map(_.result())
+  }
+  private val empty = Array.empty[Int]
+
+  /** Indices of terms with byte length `len` (possibly empty). */
+  def candidates(len: Int): Array[Int] =
+    if (len > maxLen) empty else byLen(len)
+}
+
 object TokenTermCounts {
   /** The fused loop: tokenize on 0x20 runs, count all tokens and exact
-    * matches per term. Called from both interpreted eval and codegen.
+    * matches per term (length-bucketed candidate probe). Called from both
+    * interpreted eval and codegen.
     */
-  def count(s: UTF8String, terms: Array[Array[Byte]]): ArrayData = {
+  def count(s: UTF8String, table: TermTable): ArrayData = {
     val n = s.numBytes
-    val k = terms.length
+    val k = table.k
+    val terms = table.terms
     val out = new Array[Long](k + 2)
     var i = 0
     while (i < n) {
@@ -112,15 +151,15 @@ object TokenTermCounts {
         while (i < n && s.getByte(i) != 0x20) i += 1
         out(0) += 1L
         val len = i - start
-        var t = 0
-        while (t < k) {
+        val cand = table.candidates(len)
+        var ci = 0
+        while (ci < cand.length) {
+          val t = cand(ci)
           val tb = terms(t)
-          if (tb.length == len) {
-            var j = 0
-            while (j < len && s.getByte(start + j) == tb(j)) j += 1
-            if (j == len) out(t + 1) += 1L
-          }
-          t += 1
+          var j = 0
+          while (j < len && s.getByte(start + j) == tb(j)) j += 1
+          if (j == len) out(t + 1) += 1L
+          ci += 1
         }
       }
     }
@@ -131,4 +170,8 @@ object TokenTermCounts {
     }
     new GenericArrayData(out)
   }
+
+  /** Compat overload (specs / ad-hoc callers): builds the index per call. */
+  def count(s: UTF8String, terms: Array[Array[Byte]]): ArrayData =
+    count(s, new TermTable(terms))
 }

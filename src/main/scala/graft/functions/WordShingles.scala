@@ -115,7 +115,10 @@ object WordShingles {
       }
       new GenericArrayData(out)
     } else {
-      val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+      // capacity is a hint; clamp so a pathological >2^30-token document
+      // can't overflow Int to a negative capacity (ADVICE r12)
+      val seen = new java.util.LinkedHashSet[UTF8String](
+        Math.max(16, Math.min(count, 1 << 29) * 2))
       var k = 0
       while (k < count) {
         seen.add(UTF8String.fromBytes(bytes, starts(k), starts(k + n) - 1 - starts(k)))

@@ -202,13 +202,88 @@ object Curation {
   def qGroupHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val k = 64
+    // Budget on the eager per-source candidate collect: `source` is a
+    // corpus-origin label (cardinality ~tens by nature), so the O(n_src
+    // × k) collect is metadata-sized — but the bound is DATA-dependent,
+    // so it is budget-gated with the distributed spelling as fallback,
+    // the same policy as q85's union-find collect.
+    val srcBudget = 256
+    // Pass 1 (eager, r13): per-source fused-tokenization sketch — one
+    // narrow scan, no explode, one (n, ≤k candidates) row per source.
+    val sk = t(s, dir, "documents").groupBy(col("source"))
+      .agg(expr(s"mg_freq_text(text, $k)").as("r"))
+      .select(col("source"), expr("transform(r.items, x -> x.item)").as("cands"))
+    val srcRows = sk.limit(srcBudget + 1).collect()
+    val union = srcRows.flatMap(_.getSeq[String](1)).distinct.toSeq
+    if (srcRows.length > srcBudget || union.isEmpty)
+      return qGroupHeavyHittersDistributed(s, dir, k)
+    // Pass 2: ONE fused recount scan — token_term_counts against the
+    // UNION of all sources' candidates (length-bucketed probe keeps the
+    // per-token cost ~|same-length terms|), reduced per source by
+    // array_sum_long into an O(|union|)-long vector. No second explode,
+    // no (source, token) shuffle; the per-source exact counts and exact
+    // stream length (element 1) come out of the same vector. The
+    // per-source top-5 is an ARRAY sort over each source's ≤k candidate
+    // slots (a literal source→candidates map indexed into the count
+    // vector) instead of a row-level window rank: n_src single-row sorts
+    // beat a broadcast join + two window passes' worth of stages, and
+    // the interpreted HOF touches ≤k elements per source, once.
+    val idx = union.zipWithIndex.toMap
+    val candsLit = array(union.map(lit): _*)
+    val per = t(s, dir, "documents").groupBy(col("source"))
+      .agg(call_function("array_sum_long",
+        call_function("token_term_counts", col("text"), candsLit)).as("c"))
+    // the literal map carries candidate INDICES (ints), not
+    // (token, index) structs — token text is recovered from the one
+    // shared candsLit array, keeping the plan's literal footprint (and
+    // its per-invocation analysis cost) small
+    val candMap = map(srcRows.flatMap { r =>
+      Seq(lit(r.getString(0)),
+        array(r.getSeq[String](1).map(tok => lit(idx(tok))): _*)
+          .cast("array<int>"))
+    }.toSeq: _*)
+    val candArr = element_at(candMap, col("source"))
+    val top5 = slice(array_sort(
+      transform(candArr, x =>
+        struct(element_at(col("c"), x + 2).as("cnt"),
+          element_at(candsLit, x + 1).as("token"))),
+      (a, b) => when(a("cnt") > b("cnt"), -1)
+        .when(a("cnt") < b("cnt"), 1)
+        .when(a("token") < b("token"), -1)
+        .when(a("token") > b("token"), 1).otherwise(0)),
+      1, 5)
+    // posexplode_outer: a source whose sketch came back EMPTY (or whose
+    // candidate list is short) still emits a row and reaches the guard
+    // instead of vanishing — same conservative contract as before.
+    per.select(col("source"), element_at(col("c"), 1).as("n"),
+        size(candArr).as("n_cands"), posexplode_outer(top5))
+      .select(col("source"), (col("pos") + 1).as("rank"),
+        col("col.token").as("token"),
+        when(col("n_cands") >= 5 && col("col.cnt") * (k + 1) > col("n"),
+          col("col.cnt"))
+          .otherwise(raise_error(concat(
+            lit("q114 MG safety margin violated for source "), col("source"),
+            lit(": n_cands "),
+            coalesce(col("n_cands").cast("string"), lit("0")),
+            lit(", cnt "), coalesce(col("col.cnt").cast("string"), lit("null")),
+            lit(s", floor n/${k + 1} with n = "), col("n"),
+            lit(s" — raise k above $k")))).as("cnt"))
+  }
+
+  /** The distributed (collect-free) q114 spelling — explode + sketch +
+    * candidate recount join — used when the group cardinality exceeds the
+    * candidate-collect budget. Bit-identical results (both recounts are
+    * exact over the same candidate sets; parity spec-pinned).
+    */
+  private[operators] def qGroupHeavyHittersDistributed(
+      s: SparkSession, dir: String, k: Int): DataFrame = {
     val toksDf = t(s, dir, "documents")
       .select(col("source"), explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
     val cands = toksDf.groupBy(col("source"))
       .agg(expr(s"mg_freq(token, $k)").as("sk"))
       .select(col("source"), explode(expr("transform(sk, x -> x.item)")).as("token"))
-    // r12: per-doc non-empty token count = element 0 of the fused
+    // per-doc non-empty token count = element 0 of the fused
     // token_term_counts pass (tokens = maximal non-space runs) — no
     // interpreted filter lambda, no token array materialization
     val nPerSrc = t(s, dir, "documents")

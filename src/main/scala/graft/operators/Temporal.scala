@@ -42,7 +42,12 @@ object Temporal {
     * to events in adjacent 5-minute cells (~true pairs, here ~1000×
     * fewer than all same-user pairs at ~11 h mean inter-event gap);
     * each qualifying pair is generated exactly once because bkt_b takes
-    * a single value. The exact strict/band predicates stay in the join
+    * a single value. (SQL DIV truncates toward zero rather than
+    * flooring, so for pre-epoch timestamps the cell containing zero is
+    * 2×Band wide and negative cells shift — coverage still holds because
+    * truncation never makes a cell NARROWER than Band, so a ≤Band step
+    * still crosses at most one cell boundary; TemporalSpec's q57
+    * boundary test pins the negative-ts cases.) The exact strict/band predicates stay in the join
     * condition, so results are hash-identical to the oracle's plain
     * range-join spelling. At 100 TB the shuffle carries 3× the event
     * rows (A twice + B once) on (user, bucket) keys — skew-resistant

@@ -1741,33 +1741,60 @@ object TextOps {
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val k = 64
-    val toksDf = t(s, dir, "documents")
-      .select(explode(toks(col("text"))).as("token"))
-      .where(col("token") =!= "")
-    val cands = toksDf.agg(expr(s"mg_freq(token, $k)").as("sk"))
-      .select(explode(expr("transform(sk, x -> x.item)")).as("token"))
-    // total stream length n, computed WITHOUT re-running the sketch pass:
-    // element 1 of the fused token_term_counts pass (non-empty token
-    // count) — one narrow scan, no token array, one-row result
-    val n = t(s, dir, "documents")
-      .agg(sum(element_at(call_function("token_term_counts",
-        col("text"), expr("CAST(array() AS ARRAY<STRING>)")), 1)).as("n"))
-    val top = toksDf.join(broadcast(cands), Seq("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token").asc)
-      .limit(20)
-    // guarantee check: non-candidates have true count <= n/(k+1), so the
-    // top-20 is provably exact iff 20 rows return AND every cnt clears
-    // the floor. The left join from `n` keeps one null row when `top` is
-    // empty, so the guard fires even then.
-    broadcast(n).join(top, lit(true), "left")
-      .withColumn("rows_out", count(col("token")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
-      .select(col("token"),
-        when(col("rows_out") === 20 && col("cnt") * (k + 1) > col("n"), col("cnt"))
+    // Pass 1 (eager, r13): ONE narrow scan — `mg_freq_text` fuses the
+    // tokenization INTO the sketch update (per-document byte scan feeding
+    // zero-copy token views into a UTF8String-keyed Misra-Gries map), so
+    // the explode operator, the per-token aggregate-iterator row, and the
+    // per-token String decode of the r12 spelling are all gone — they
+    // were the measured constant factor of the 10× BASELINE row. The
+    // driver materializes the single (n, ≤k candidates) row here: an
+    // O(k) collect bounded by construction (the q85 budget-collect
+    // policy; k = 64 strings), which lets pass 2 bake the candidates
+    // into a foldable term list.
+    val sk = t(s, dir, "documents")
+      .agg(expr(s"mg_freq_text(text, $k)").as("r"))
+      .select(col("r.n").as("n"), expr("transform(r.items, x -> x.item)").as("cands"))
+      .head()
+    val n = sk.getLong(0)
+    val cands = sk.getSeq[String](1)
+    if (cands.length < 20)
+      // an under-filled sketch (decrement churn on a near-uniform corpus,
+      // or a tiny one) can't certify a top-20 — refuse at execution, same
+      // contract as the full guard below
+      return s.range(1).select(
+        lit(null).cast("string").as("token"),
+        raise_error(lit(s"q103 MG safety margin violated: rows_out " +
+          s"${cands.length}, floor n/${k + 1} with n = $n — raise k above $k"))
+          .cast("long").as("cnt"))
+    // Pass 2: fused exact recount of the ≤k candidates — one narrow
+    // token_term_counts scan reduced by array_sum_long into a single
+    // (k+2)-long vector. No second explode, no candidate shuffle, no
+    // join: element 1 of the vector is the exact stream length n, the
+    // candidate counts are exact, and the MG guarantee (non-candidates
+    // have true count <= n/(k+1)) makes the top-20 provably exact iff
+    // every returned cnt clears the floor. The top-20 selection is an
+    // ARRAY sort over the single ≤k-element row (interpreted HOF, but
+    // over 64 elements once — not the hot path), not a row-level
+    // orderBy: a row sort on a 1-row frame still pays a range-partition
+    // sampling job + exchange, which was a visible share of the
+    // query's floor-bound absolute at 10×.
+    val candsLit = array(cands.map(lit): _*)
+    t(s, dir, "documents")
+      .agg(call_function("array_sum_long",
+        call_function("token_term_counts", col("text"), candsLit)).as("c"))
+      .select(element_at(col("c"), 1).as("n"),
+        posexplode(slice(array_sort(
+          zip_with(candsLit, slice(col("c"), 2, cands.length),
+            (tok, cn) => struct(cn.as("cnt"), tok.as("token"))),
+          (a, b) => when(a("cnt") > b("cnt"), -1)
+            .when(a("cnt") < b("cnt"), 1)
+            .when(a("token") < b("token"), -1)
+            .when(a("token") > b("token"), 1).otherwise(0)),
+          1, 20)))
+      .select(col("col.token").as("token"),
+        when(col("col.cnt") * (k + 1) > col("n"), col("col.cnt"))
           .otherwise(raise_error(concat(
-            lit("q103 MG safety margin violated: rows_out "), col("rows_out"),
-            lit(", cnt "), coalesce(col("cnt").cast("string"), lit("null")),
+            lit("q103 MG safety margin violated: cnt "), col("col.cnt"),
             lit(s", floor n/${k + 1} with n = "), col("n"),
             lit(s" — raise k above $k")))).as("cnt"))
   }

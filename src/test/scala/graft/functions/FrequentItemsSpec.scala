@@ -207,6 +207,53 @@ class FrequentItemsSpec extends AnyFunSuite {
       s"wrong failure: $e")
   }
 
+  test("mg_freq_text matches the exploded mg_freq spelling bit-for-bit") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // single partition so both spellings absorb the identical token
+    // stream in the identical order — MG results are then deterministic
+    // and must agree exactly (same sketch, different feed path)
+    val docs = Seq(
+      "the quick brown fox  the lazy dog", // double space → empty token to skip
+      " leading and trailing ",
+      "", // empty text
+      "unicode tokens ünïcødé ünïcødé 日本語",
+      (1 to 200).map(i => s"tok_${i % 17}").mkString(" "))
+      .toDF("text").coalesce(1)
+    val viaText = docs.agg(expr("mg_freq_text(text, 8)").as("r"))
+      .select(col("r.n"), expr("transform(r.items, x -> struct(x.item, x.est))"))
+      .head()
+    val exploded = docs.select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val nTrue = exploded.count()
+    val skExplode = exploded.agg(expr("mg_freq(token, 8)").as("sk"))
+      .select(expr("transform(sk, x -> struct(x.item, x.est))")).head().getSeq[Any](0)
+    assert(viaText.getLong(0) === nTrue, "n must be the exact non-empty token count")
+    assert(viaText.getSeq[Any](1) === skExplode,
+      "items/estimates must match the exploded spelling")
+  }
+
+  test("array_sum_long: element-wise sums, null rows skipped, width guard") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Seq(1L, 2L, 3L))),
+      (1, Some(Seq(10L, 20L, 30L))),
+      (1, None),
+      (2, None)).toDF("g", "a")
+    val got = df.groupBy("g").agg(expr("array_sum_long(a)").as("s"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(got(1) === Some(Seq(11L, 22L, 33L)))
+    assert(got(2) === None, "all-null group must yield NULL, like SUM")
+    val bad = Seq(Seq(1L, 2L), Seq(1L)).toDF("a")
+    val e = intercept[Exception] {
+      bad.agg(expr("array_sum_long(a)")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("width")), s"wrong failure: $e")
+  }
+
   test("two-pass heavy hitters is exact under eviction pressure") {
     GraftFunctions.register(spark)
     // same shape as q103 over the 10k-item skewed domain. k must honor the

@@ -153,6 +153,29 @@ class CurationSpec extends AnyFunSuite {
       rows(Curation.qChunkDedup(spark, dir)))
   }
 
+  test("q114 fused and distributed spellings agree on a guard-passing corpus") {
+    // per source: 6 distinct tokens with counts 100/90/80/70/60/5 →
+    // n_src = 405, floor 405/65 ≈ 6.2, top-5 all clear it, and 6 < k so
+    // the sketch never evicts — both spellings must return the identical
+    // exact top-5 (the fused path is the scale default; the distributed
+    // path is its >budget fallback)
+    def srcDocs(src: String, off: Int): Seq[(Long, String, String, Long)] = {
+      val text = (1 to 6).flatMap(t =>
+        Seq.fill(Seq(100, 90, 80, 70, 60, 5)(t - 1))(s"${src}_tok$t")).mkString(" ")
+      Seq(((off + 1).toLong, text, src, text.length.toLong))
+    }
+    val dir = docsDir(srcDocs("alpha", 0) ++ srcDocs("beta", 10))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val fused = rows(Curation.qGroupHeavyHitters(spark, dir))
+    val dist = rows(Curation.qGroupHeavyHittersDistributed(spark, dir, 64))
+    assert(fused === dist)
+    assert(fused.size === 10) // 5 per source
+    assert(fused.contains(("alpha", 1, "alpha_tok1", 100L)))
+    assert(fused.contains(("beta", 5, "beta_tok5", 60L)))
+  }
+
   test("q114's per-source margin guard raises when a source breaks the MG floor") {
     // source "flat": 2000 distinct tokens twice each -> top-5 cnt = 2,
     // n_src = 4000, 2 * 65 <= 4000 -> exactness unprovable -> must raise

@@ -261,11 +261,21 @@ class TemporalSpec extends AnyFunSuite {
     // (A,D both at 0 -- no pair either direction), cross-bucket pairs
     // (E in bucket 0 pairing with B and C in bucket 1), same-bucket pair
     // (F->G), and a lone event (H) producing nothing
+    // user 6 exercises NEGATIVE timestamps (pre-epoch): SQL DIV truncates
+    // toward zero rather than flooring, so the bucket containing zero is
+    // 2B wide and negative buckets shift — pair coverage must still hold
+    // because no truncated bucket is ever NARROWER than B (ADVICE r12).
+    // M(-2B, bkt -2) -> N0(-B-1, bkt -1): diff B-1, cross-bucket kept;
+    // N0 -> N1(-1, bkt 0): diff B exact-band, cross-bucket kept;
+    // N1 -> N2(B-2, bkt 0): diff B-1, same (double-wide) bucket kept;
+    // N0 -> N2: diff 2B-1 > B, excluded.
     Seq(
       (1L, 0L, "A"), (1L, 0L, "D"), (1L, B, "B"), (1L, B + 1, "C"),
       (1L, B - 1000000000L, "E"),
       (4L, 100000000000L, "F"), (4L, 200000000000L, "G"),
-      (5L, 7L * B, "H"))
+      (5L, 7L * B, "H"),
+      (6L, -2L * B, "M"), (6L, -B - 1L, "N0"), (6L, -1L, "N1"),
+      (6L, B - 2L, "N2"))
       .toDF("user_id", "ts", "event_type")
       .write.parquet(s"$dir/events.parquet")
     val got = Temporal.qRangeJoin(spark, dir).collect()
@@ -273,6 +283,7 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Map(
       ("A", "B") -> 1L, ("A", "E") -> 1L, ("D", "B") -> 1L,
       ("D", "E") -> 1L, ("E", "B") -> 1L, ("E", "C") -> 1L,
-      ("B", "C") -> 1L, ("F", "G") -> 1L))
+      ("B", "C") -> 1L, ("F", "G") -> 1L,
+      ("M", "N0") -> 1L, ("N0", "N1") -> 1L, ("N1", "N2") -> 1L))
   }
 }

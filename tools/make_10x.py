@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Rebuild the 10x scale-evidence corpora used by graft.BenchScale.
+
+Two corpora derive from /root/testdata/sf0.1 (driver-generated, never
+modified):
+
+  docs10x  (default /tmp/sf01x10):  documents duplicated 10x under
+      shifted doc_id (doc_id + i*(max+1), i=0..9) -- 10x corpus over the
+      same vocabulary, so shingle/minhash/jaccard work scales
+      super-linearly exactly as a grown real corpus would. All other
+      tables are byte-identical copies.
+
+  temporal10x (default /tmp/sf01x10t): events and orders duplicated 10x
+      under shifted ids (row ids + i*10_000_000) with ALIGNED user/cust
+      key shifts (user_id and o_custkey both + i*100_000) -- 10
+      independent populations over the same time range, so range/as-of
+      joins do 10x the true pair work with no cross-population leakage.
+      All other tables are byte-identical copies.
+
+The BenchScale anchors (BASELINE.md 10x tables, measured r12) were taken
+on corpora built by exactly this construction; the build is
+deterministic (pure column arithmetic, stable input), so a rebuilt
+corpus reproduces the anchored workload.
+
+Usage: python3 tools/make_10x.py [docsDir] [temporalDir]
+Driver-side tooling only (duckdb is not a library dependency of the
+engine itself).
+"""
+import shutil
+import sys
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.1"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+ID_SHIFT = 10_000_000   # event_id / o_orderkey per-copy shift
+KEY_SHIFT = 100_000     # user_id / o_custkey per-copy shift (aligned)
+
+
+def tenfold(con, src, dst, select_shifted):
+    con.execute(f"""
+      COPY (
+        SELECT s.* FROM generate_series(0, 9) AS t(i),
+          LATERAL ({select_shifted.format(src=src)}) AS s
+        ORDER BY 1
+      ) TO '{dst}' (FORMAT PARQUET)
+    """)
+
+
+def build_docs10x(out):
+    con = duckdb.connect()
+    mx = con.execute(
+        f"SELECT max(doc_id) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    tenfold(con, f"{SF_DIR}/documents.parquet", f"{out}/documents.parquet",
+            "SELECT d.doc_id + t.i*({mx}+1) AS doc_id, d.text, d.lang,"
+            " d.source, d.n_chars FROM read_parquet('{src}') d"
+            .replace("{mx}", str(mx)))
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+def build_temporal10x(out):
+    con = duckdb.connect()
+    tenfold(con, f"{SF_DIR}/events.parquet", f"{out}/events.parquet",
+            f"SELECT e.event_id + t.i*{ID_SHIFT} AS event_id, e.ts,"
+            f" e.user_id + t.i*{KEY_SHIFT} AS user_id, e.event_type,"
+            " e.value, e.props FROM read_parquet('{src}') e")
+    tenfold(con, f"{SF_DIR}/orders.parquet", f"{out}/orders.parquet",
+            f"SELECT o.o_orderkey + t.i*{ID_SHIFT} AS o_orderkey,"
+            f" o.o_custkey + t.i*{KEY_SHIFT} AS o_custkey,"
+            " o.* EXCLUDE (o_orderkey, o_custkey)"
+            " FROM read_parquet('{src}') o")
+    for t in TABLES:
+        if t not in ("events", "orders"):
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+
+
+if __name__ == "__main__":
+    import os
+    docs = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf01x10"
+    temp = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf01x10t"
+    os.makedirs(docs, exist_ok=True)
+    os.makedirs(temp, exist_ok=True)
+    build_docs10x(docs)
+    build_temporal10x(temp)
+    print(f"built {docs} (documents x10) and {temp} (events+orders x10)")

@@ -89,6 +89,83 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("banded self-joins stay task-balanced under a degenerate 30% hot band") {
+    import spark.implicits._
+    // VERDICT r12 #5: plant the adversarial case the banded dedup family
+    // could meet at 100 TB — ONE band value covering 30% of the corpus
+    // (300 byte-identical docs share every band key; 700 unique docs are
+    // the background). The quadratic candidate OUTPUT within the hot band
+    // is the operator's semantics (identical docs ARE all near-dups); the
+    // scale property under test is that no single TASK absorbs the whole
+    // hot key: AQE skew-join splitting must fire (skew=true) and the
+    // per-task shuffle-read volume must stay within 10× of its stage's
+    // median. Records, not wall-time, are asserted — task durations on
+    // this co-tenant box are noise, shuffle-read row counts are not.
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_hotband").toString
+    val hotText = (1 to 12).map(i => s"common_tok$i").mkString(" ")
+    val docs =
+      (1 to 300).map(d => (d.toLong, hotText, "xx", "hot", hotText.length.toLong)) ++
+      (301 to 1000).map(d => (d.toLong,
+        (1 to 12).map(i => s"u${d}_tok$i").mkString(" "), "xx", "bg", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$docsDir/documents.parquet")
+
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle-join path
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // q56's banded rows are ~25 bytes (doc_id, b, k) — thresholds and
+      // partition count are sized so the 300-row hot key dominates its
+      // partition at toy scale the way a 30%-of-corpus key would at 100 TB
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.shuffle.partitions" -> "64")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+
+    // per-task shuffle-read records, grouped by stage
+    val taskRecs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          taskRecs.add((te.stageId, te.taskMetrics.shuffleReadMetrics.recordsRead))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Seq("q55_simhash_near_dups", "q56_minhash_candidates").foreach { q =>
+        taskRecs.clear()
+        val df = graft.SparkEntry.queries(q)(spark, docsDir)
+        val n = df.collect().length
+        // the hot band's quadratic pairs all surface: C(300,2) intra-hot
+        assert(n >= 300 * 299 / 2, s"$q returned $n rows — hot band not exercised")
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("skew=true"),
+          s"$q: AQE never marked the hot band partition as skewed:\n${plan.take(2000)}")
+        // listener delivery is async; give the bus a moment to drain
+        Thread.sleep(2000)
+        import scala.jdk.CollectionConverters._
+        val byStage = taskRecs.asScala.toSeq.groupBy(_._1).values
+          .map(_.map(_._2).sorted)
+          .filter(rs => rs.size >= 4 && rs.sum > 20000) // the join stage(s)
+        assert(byStage.nonEmpty, s"$q: no multi-task shuffle stage observed")
+        byStage.foreach { rs =>
+          val med = math.max(rs(rs.size / 2), 2000L) // floor: mostly-empty stages
+          assert(rs.last <= 10 * med,
+            s"$q: task imbalance — max ${rs.last} records vs median $med " +
+              s"(${rs.size} tasks): hot band not split")
+        }
+        spark.catalog.clearCache() // builders persist their banded frame
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("file-level sampling reads a stable file subset, not the whole table") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_blocksample")

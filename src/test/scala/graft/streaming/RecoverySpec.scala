@@ -154,4 +154,96 @@ class RecoverySpec extends AnyFunSuite {
       .count()
     assert(crossing > 0, "no cross-phase pairs — recovery not exercised")
   }
+
+  test("running percentiles survive a kill-and-resume: KLL state restores, counts span phases") {
+    // VERDICT r12 #4: serialized-SKETCH state (a KllSketch byte blob per
+    // key, not a scalar) is the likeliest recovery bug site — a corrupt
+    // or dropped restore shows up as a reset count or shifted quantiles.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_rec_kll").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rec_kll_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rec_kll_out").toString
+
+    def run(): Unit = {
+      val stream = Tables.loadStream(spark, dir, "events", streamDir)
+      // flatMapGroupsWithState(Update) needs Update output mode →
+      // foreachBatch (sink-agnostic) appends each batch's emissions
+      val q = Events.runningValuePercentiles(stream).toDF()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    writeRawFile(planted(0, 10, idBase = 0), streamDir, "a.parquet")
+    run() // phase 1: 25 views + 25 clicks absorbed into per-type sketches
+    writeRawFile(planted(10, 20, idBase = 1000000L), streamDir, "b.parquet")
+    run() // resume: phase 2 values must land in the RECOVERED sketches
+
+    // the LAST emission per type (max n) reflects everything seen; 50
+    // values per type stay far below the k=256 compaction threshold, so
+    // the sketch is exact and order-independent — compare against a
+    // fresh sketch over both phases' values
+    val last = spark.read.parquet(out)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc)))
+      .where(col("rk") === 1)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p50"), r.getAs[Double]("p95")))
+      .toMap
+    Seq("view" -> (0 until 20 by 2), "click" -> (1 until 20 by 2)).foreach {
+      case (et, minutes) =>
+        val values = for (_ <- 1 to 5; m <- minutes) yield m.toDouble
+        val sk = new graft.functions.KllSketch(256)
+        values.foreach(sk.update)
+        val wantQ = sk.quantiles(Seq(0.5, 0.95))
+        val (n, p50, p95) = last(et)
+        // a FRESH state store would report n = 50 (phase 2 only), not 100
+        assert(n == values.size.toLong, s"$et count $n — sketch state not recovered")
+        assert(p50 == wantQ(0) && p95 == wantQ(1),
+          s"$et quantiles ($p50, $p95) != exact (${wantQ(0)}, ${wantQ(1)})")
+    }
+  }
+
+  test("debounce survives a kill-and-resume: recovered anchors suppress phase-2 echoes") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_rec_deb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rec_deb_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rec_deb_out").toString
+
+    def run(): Unit = {
+      val stream = Tables.loadStream(spark, dir, "events", streamDir)
+      val q = Events.debounceStream(stream).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // per (user, type) key: events every 2 minutes against a 5-minute
+    // gap — only the key's FIRST event survives; every later event is
+    // <5 min after the previous RAW event (which still moves the anchor)
+    writeRawFile(planted(0, 10, idBase = 0), streamDir, "a.parquet")
+    run() // phase 1: anchors end at minute 8 (view) / 9 (click) per user
+    writeRawFile(planted(10, 20, idBase = 1000000L), streamDir, "b.parquet")
+    run() // resume: minute-10/11 events are 2 min after RECOVERED anchors
+
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    // expected: exactly the phase-1 first event per (user, type) key —
+    // ids u*1000 + 0 (view) and u*1000 + 1 (click)
+    val want = (1 to 5).flatMap(u => Seq(u * 1000L, u * 1000L + 1)).toSet
+    assert(got == want, s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+    // non-vacuity: a FRESH state store would emit the first phase-2
+    // event of every key (minute 10/11, ids 1000000 + u*1000 + 10/11) —
+    // their absence is the recovered-anchor proof
+    val freshWouldEmit = (1 to 5).flatMap(u =>
+      Seq(1000000L + u * 1000L + 10, 1000000L + u * 1000L + 11)).toSet
+    assert(got.intersect(freshWouldEmit).isEmpty,
+      "phase-2 echoes emitted — debounce anchors not recovered")
+  }
 }

@@ -66,7 +66,10 @@ object BenchScale {
     Anchor("q103_heavy_hitters", "docs10x", 0.25, 0.78),
     Anchor("q114_group_heavy_hitters", "docs10x", 0.32, 0.84),
     Anchor("q57_range_join", "temporal10x", 0.569, 1.98),
-    Anchor("q58_asof_join", "temporal10x", 0.298, 0.82))
+    Anchor("q58_asof_join", "temporal10x", 0.298, 0.82),
+    // r13: event-family heads (BASELINE "Temporal-corpus 10× rows")
+    Anchor("q126_max_concurrency", "temporal10x", 0.292, 0.433),
+    Anchor("q164_cusum_changepoint", "temporal10x", 0.031, 0.718))
 
   /** Pure gate rule (unit-tested in BenchScaleSpec): a measured best passes
     * when its ratio to the static anchor is within the recorded ratio plus

@@ -82,10 +82,16 @@ case class ArraySumLong(
     if (buf.sums == null) null
     else new GenericArrayData(buf.sums.clone())
 
+  // Leading presence byte: a WIDTH-ZERO accumulated state (rows seen, all
+  // empty arrays) must round-trip distinctly from the no-rows-seen state —
+  // an empty payload alone can't tell them apart, and conflating them
+  // would flip a [] result to NULL whenever a partial aggregate crossed a
+  // serialization boundary.
   override def serialize(buf: ArraySumLong.Buf): Array[Byte] = {
     if (buf.sums == null) Array.emptyByteArray
     else {
-      val bb = java.nio.ByteBuffer.allocate(8 * buf.sums.length)
+      val bb = java.nio.ByteBuffer.allocate(1 + 8 * buf.sums.length)
+      bb.put(1: Byte)
       buf.sums.foreach(bb.putLong)
       bb.array()
     }
@@ -95,7 +101,8 @@ case class ArraySumLong(
     if (bytes.isEmpty) new ArraySumLong.Buf(null)
     else {
       val bb = java.nio.ByteBuffer.wrap(bytes)
-      val sums = new Array[Long](bytes.length / 8)
+      bb.get() // presence byte
+      val sums = new Array[Long]((bytes.length - 1) / 8)
       var i = 0
       while (i < sums.length) { sums(i) = bb.getLong(); i += 1 }
       new ArraySumLong.Buf(sums)

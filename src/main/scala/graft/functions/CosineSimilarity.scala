@@ -209,5 +209,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_might_contain"),
       GraftFunctions.bloomMightContainBuilder))
+    extensions.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("mg_freq_text"),
+      new ExpressionInfo(classOf[MgFreqText].getName, "mg_freq_text"),
+      { exprs: Seq[Expression] => MgFreqText(exprs(0), exprs(1)) }))
+    extensions.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("array_sum_long"),
+      new ExpressionInfo(classOf[ArraySumLong].getName, "array_sum_long"),
+      { exprs: Seq[Expression] => ArraySumLong(exprs(0)) }))
   }
 }

@@ -2,8 +2,6 @@ package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -34,10 +32,13 @@ final class MgSketch(val k: Int) extends Serializable {
   // Keyed by UTF8String, not String (r13): the aggregate's hot path feeds
   // tokens straight from row memory, and a String key would pay a UTF-8
   // decode + char[] allocation PER TOKEN before the map probe. UTF8String
-  // hashes/compares its bytes in place, so the dominant path (increment of
-  // an existing counter) allocates nothing; only a NEW counter entry pays
-  // a copy (`clone`) to own its bytes beyond the input row's lifetime.
-  private[functions] val counters = mutable.HashMap.empty[UTF8String, Long]
+  // hashes/compares its bytes in place, and the counter is a MUTABLE cell
+  // in a java.util.HashMap (get returns the cell or null — no Option, no
+  // boxed Long), so the dominant path (increment of an existing counter)
+  // is one probe with zero allocation; only a NEW counter entry pays a
+  // copy (`clone`) to own its bytes beyond the input row's lifetime.
+  private[functions] val counters =
+    new java.util.HashMap[UTF8String, MgSketch.Cell]()
   private[functions] var n: Long = 0L
 
   /** Items absorbed (exact). */
@@ -47,39 +48,41 @@ final class MgSketch(val k: Int) extends Serializable {
 
   /** `item` may be a transient view into row/array memory: it is only
     * stored (after `clone()`) when it becomes a new counter entry — map
-    * lookups and increments never retain it (Scala's HashMap keeps the
-    * originally-stored key when updating an existing entry's value).
+    * lookups and increments never retain it.
     */
   def update(item: UTF8String): Unit = {
     n += 1
-    counters.get(item) match {
-      case Some(c) => counters.update(item, c + 1)
-      case None if counters.size < k => counters.update(item.clone(), 1L)
-      case None =>
-        // decrement-all: amortized O(1) — each decrement cancels a prior
-        // increment, so total decrement work <= total inserts
-        val dead = List.newBuilder[UTF8String]
-        counters.foreach { case (it, c) =>
-          if (c == 1L) dead += it else counters.update(it, c - 1)
-        }
-        dead.result().foreach(counters.remove)
+    val cell = counters.get(item)
+    if (cell != null) cell.v += 1
+    else if (counters.size < k) counters.put(item.clone(), new MgSketch.Cell(1L))
+    else {
+      // decrement-all: amortized O(1) — each decrement cancels a prior
+      // increment, so total decrement work <= total inserts
+      val it = counters.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.v == 1L) it.remove() else e.getValue.v -= 1
+      }
     }
   }
 
   def merge(o: MgSketch): Unit = {
-    o.counters.foreach { case (it, c) =>
+    o.counters.forEach { (it, c) =>
       // keys from a deserialized/peer sketch are already owned copies
-      counters.update(it, counters.getOrElse(it, 0L) + c)
+      val cell = counters.get(it)
+      if (cell != null) cell.v += c.v else counters.put(it, new MgSketch.Cell(c.v))
     }
     n += o.n
     if (counters.size > k) {
-      val vals = counters.values.toArray
+      val vals = new Array[Long](counters.size)
+      var i = 0
+      counters.forEach { (_, c) => vals(i) = c.v; i += 1 }
       java.util.Arrays.sort(vals)
       val sub = vals(vals.length - (k + 1)) // (k+1)-th largest count
-      val dead = counters.iterator.collect { case (it, c) if c <= sub => it }.toList
-      dead.foreach(counters.remove)
-      counters.keysIterator.toList.foreach { it =>
-        counters.update(it, counters(it) - sub)
+      val it = counters.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.v <= sub) it.remove() else e.getValue.v -= sub
       }
     }
   }
@@ -88,22 +91,25 @@ final class MgSketch(val k: Int) extends Serializable {
     * given the counter multiset. String-typed for callers/specs; the ≤k
     * conversions here are off the hot path.
     */
-  def topItems: Array[(String, Long)] =
-    counters.toArray.map { case (it, c) => (it.toString, c) }
-      .sortBy { case (it, c) => (-c, it) }
+  def topItems: Array[(String, Long)] = {
+    val out = new Array[(String, Long)](counters.size)
+    var i = 0
+    counters.forEach { (it, c) => out(i) = (it.toString, c.v); i += 1 }
+    out.sortBy { case (it, c) => (-c, it) }
+  }
 
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(k); out.writeLong(n); out.writeInt(counters.size)
-    counters.foreach { case (it, c) =>
+    counters.forEach { (it, c) =>
       // length-prefixed UTF-8, not writeUTF: a pathological >64 KB token
       // must degrade to a big counter entry, never throw mid-aggregation.
       // Byte-identical to the pre-r13 String-keyed format.
       val bytes = it.getBytes
       out.writeInt(bytes.length)
       out.write(bytes)
-      out.writeLong(c)
+      out.writeLong(c.v)
     }
     out.flush()
     bos.toByteArray
@@ -111,6 +117,9 @@ final class MgSketch(val k: Int) extends Serializable {
 }
 
 object MgSketch {
+  /** Mutable counter cell: increments mutate in place, no boxing. */
+  final class Cell(var v: Long) extends Serializable
+
   def deserialize(bytes: Array[Byte]): MgSketch = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val s = new MgSketch(in.readInt())
@@ -120,7 +129,7 @@ object MgSketch {
     while (i < size) {
       val bytes = new Array[Byte](in.readInt())
       in.readFully(bytes)
-      s.counters.update(UTF8String.fromBytes(bytes), in.readLong())
+      s.counters.put(UTF8String.fromBytes(bytes), new Cell(in.readLong()))
       i += 1
     }
     s

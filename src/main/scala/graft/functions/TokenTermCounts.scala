@@ -119,18 +119,35 @@ case class TokenTermCounts(left: Expression, right: Expression)
   */
 final class TermTable(val terms: Array[Array[Byte]]) extends Serializable {
   val k: Int = terms.length
-  private val maxLen: Int = if (k == 0) -1 else terms.iterator.map(_.length).max
+  // The dense index is capped: a pathological multi-megabyte term (the
+  // sketch path deliberately tolerates >64 KB tokens, which can become
+  // candidate terms) must not inflate the index to maxLen cells — terms
+  // longer than the cap share one overflow bucket, and the probe loop
+  // re-checks exact length for them.
+  private val denseCap = 1024
+  private val maxLen: Int =
+    if (k == 0) -1 else terms.iterator.map(_.length).max
+  private val denseMax: Int = math.min(maxLen, denseCap)
   private val byLen: Array[Array[Int]] = {
-    val builders = Array.fill(maxLen + 1)(Array.newBuilder[Int])
+    val builders = Array.fill(denseMax + 2)(Array.newBuilder[Int])
     var t = 0
-    while (t < k) { builders(terms(t).length) += t; t += 1 }
+    while (t < k) {
+      val l = terms(t).length
+      builders(if (l <= denseMax) l else denseMax + 1) += t
+      t += 1
+    }
     builders.map(_.result())
   }
   private val empty = Array.empty[Int]
 
-  /** Indices of terms with byte length `len` (possibly empty). */
+  /** Indices of terms that MAY have byte length `len` (exact for lengths
+    * within the dense cap; the shared overflow bucket for longer lengths —
+    * callers' compare loops verify exact length).
+    */
   def candidates(len: Int): Array[Int] =
-    if (len > maxLen) empty else byLen(len)
+    if (len > maxLen) empty
+    else if (len <= denseMax) byLen(len)
+    else byLen(denseMax + 1)
 }
 
 object TokenTermCounts {
@@ -156,9 +173,11 @@ object TokenTermCounts {
         while (ci < cand.length) {
           val t = cand(ci)
           val tb = terms(t)
-          var j = 0
-          while (j < len && s.getByte(start + j) == tb(j)) j += 1
-          if (j == len) out(t + 1) += 1L
+          if (tb.length == len) { // exact for dense buckets; real for overflow
+            var j = 0
+            while (j < len && s.getByte(start + j) == tb(j)) j += 1
+            if (j == len) out(t + 1) += 1L
+          }
           ci += 1
         }
       }

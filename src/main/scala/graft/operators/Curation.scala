@@ -182,22 +182,30 @@ object Curation {
       |GROUP BY d.source""".stripMargin
 
   /** q114: per-group exact heavy hitters — q103's two-pass Misra-Gries
-    * shape composed under `groupBy(source)`: one MG sketch PER SOURCE
-    * (the [[graft.functions.MgFreq]] aggregate is an ordinary Catalyst
-    * aggregate, so per-group sketching is just a grouped agg), candidate
-    * recount, top-5 per source. The same embedded margin guard as q103,
-    * but against each source's own stream length: a source raises unless
-    * it returns exactly 5 certified rows, each clearing n_src/(k+1).
-    * Starting the final join from the per-source totals frame (which has
-    * a row for EVERY source) means a source whose sketch came back empty
-    * — or short — reaches the guard instead of silently vanishing from
-    * the output. Conservative by design: a source with genuinely fewer
-    * than 5 distinct tokens also raises, since without a full distinct
-    * count the two cases can't be told apart from the sketch alone.
+    * shape composed under `groupBy(source)`: one fused-tokenization MG
+    * sketch PER SOURCE ([[graft.functions.MgFreqText]] under a grouped
+    * agg), then ONE fused recount scan against the union of all sources'
+    * candidates, with the per-source top-5 selected by an array sort
+    * over that source's candidate slots (r13 — was an explode + join +
+    * window spelling, retained as [[qGroupHeavyHittersDistributed]] for
+    * the >budget and null-source fallbacks; parity spec-pinned). The
+    * same embedded margin guard as q103, but against each source's own
+    * stream length: a source raises unless it returns exactly 5
+    * certified rows, each clearing n_src/(k+1). `posexplode_outer` keeps
+    * a row for a source whose sketch came back empty — or short — so it
+    * reaches the guard instead of silently vanishing. Conservative by
+    * design: a source with genuinely fewer than 5 distinct tokens also
+    * raises, since without a full distinct count the two cases can't be
+    * told apart from the sketch alone.
+    *
+    * Snapshot contract as q103: pass 1 binds candidates at build time,
+    * and the guard cross-checks each source's pass-2 stream length
+    * against the pass-1 value, raising if the corpus changed between
+    * the passes.
     *
     * Scale: sketch pass shuffles O(k) counters per (source, partition);
-    * recount shuffles only candidate (source, token) pairs; the window
-    * ranks ≤ k rows per source.
+    * recount shuffles one O(|union|)-long vector per (source,
+    * partition); the array sort touches ≤k elements per source.
     */
   def qGroupHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -212,10 +220,15 @@ object Curation {
     // narrow scan, no explode, one (n, ≤k candidates) row per source.
     val sk = t(s, dir, "documents").groupBy(col("source"))
       .agg(expr(s"mg_freq_text(text, $k)").as("r"))
-      .select(col("source"), expr("transform(r.items, x -> x.item)").as("cands"))
+      .select(col("source"), col("r.n").as("n"),
+        expr("transform(r.items, x -> x.item)").as("cands"))
     val srcRows = sk.limit(srcBudget + 1).collect()
-    val union = srcRows.flatMap(_.getSeq[String](1)).distinct.toSeq
-    if (srcRows.length > srcBudget || union.isEmpty)
+    val union = srcRows.flatMap(_.getSeq[String](2)).distinct.toSeq
+    // null-source rows can't key the literal candidate map (CreateMap
+    // rejects null keys) — the distributed spelling's left-join miss
+    // reaches its guard for them instead
+    if (srcRows.length > srcBudget || union.isEmpty ||
+        srcRows.exists(_.isNullAt(0)))
       return qGroupHeavyHittersDistributed(s, dir, k)
     // Pass 2: ONE fused recount scan — token_term_counts against the
     // UNION of all sources' candidates (length-bucketed probe keeps the
@@ -239,8 +252,12 @@ object Curation {
     // its per-invocation analysis cost) small
     val candMap = map(srcRows.flatMap { r =>
       Seq(lit(r.getString(0)),
-        array(r.getSeq[String](1).map(tok => lit(idx(tok))): _*)
+        array(r.getSeq[String](2).map(tok => lit(idx(tok))): _*)
           .cast("array<int>"))
+    }.toSeq: _*)
+    // pass-1 stream lengths, for the cross-pass snapshot witness
+    val nMap = map(srcRows.flatMap { r =>
+      Seq(lit(r.getString(0)), lit(r.getLong(1)))
     }.toSeq: _*)
     val candArr = element_at(candMap, col("source"))
     val top5 = slice(array_sort(
@@ -256,18 +273,25 @@ object Curation {
     // candidate list is short) still emits a row and reaches the guard
     // instead of vanishing — same conservative contract as before.
     per.select(col("source"), element_at(col("c"), 1).as("n"),
+        element_at(nMap, col("source")).as("n_sketch"),
         size(candArr).as("n_cands"), posexplode_outer(top5))
       .select(col("source"), (col("pos") + 1).as("rank"),
         col("col.token").as("token"),
-        when(col("n_cands") >= 5 && col("col.cnt") * (k + 1) > col("n"),
+        when(col("n") === col("n_sketch") &&
+            col("n_cands") >= 5 && col("col.cnt") * (k + 1) > col("n"),
           col("col.cnt"))
           .otherwise(raise_error(concat(
-            lit("q114 MG safety margin violated for source "), col("source"),
+            lit("q114 MG safety margin violated for source "),
+            // coalesce: a NULL source must not null the whole message
+            coalesce(col("source"), lit("<null>")),
             lit(": n_cands "),
             coalesce(col("n_cands").cast("string"), lit("0")),
             lit(", cnt "), coalesce(col("col.cnt").cast("string"), lit("null")),
             lit(s", floor n/${k + 1} with n = "), col("n"),
-            lit(s" — raise k above $k")))).as("cnt"))
+            lit(", sketch-pass n = "),
+            coalesce(col("n_sketch").cast("string"), lit("null")),
+            lit(" (mismatch = corpus changed between passes)"),
+            lit(s" — raise k above $k if n matches")))).as("cnt"))
   }
 
   /** The distributed (collect-free) q114 spelling — explode + sketch +
@@ -301,7 +325,9 @@ object Curation {
       .select(col("source"), col("rank"), col("token"),
         when(col("rows_in_src") === 5 && col("cnt") * (k + 1) > col("n"), col("cnt"))
           .otherwise(raise_error(concat(
-            lit("q114 MG safety margin violated for source "), col("source"),
+            lit("q114 MG safety margin violated for source "),
+            // coalesce: a NULL source must not null the whole message
+            coalesce(col("source"), lit("<null>")),
             lit(": rows_in_src "),
             coalesce(col("rows_in_src").cast("string"), lit("0")),
             lit(", cnt "), coalesce(col("cnt").cast("string"), lit("null")),

@@ -1714,10 +1714,12 @@ object TextOps {
   }
 
   /** Two-pass exact heavy hitters: pass 1 collapses the token stream into
-    * ONE Misra-Gries sketch ([[graft.functions.MgFreq]]) — each partition
-    * ships O(k) counters instead of one partial count per distinct key —
-    * and pass 2 recounts ONLY the ≤k candidates exactly (broadcast
-    * semi-join reaches the scan as a filter before any shuffle). The MG
+    * ONE Misra-Gries sketch ([[graft.functions.MgFreqText]] — the
+    * fused-tokenization aggregate; each partition ships O(k) counters
+    * instead of one partial count per distinct key), and pass 2 recounts
+    * ONLY the ≤k candidates exactly in a single fused
+    * `token_term_counts` + `array_sum_long` scan (no second explode, no
+    * shuffle, no join — r13, was a broadcast-semi-join recount). The MG
     * guarantee (every item with count > n/(k+1) survives) makes the
     * candidate set a superset of any top-20 whose floor clears n/65, so
     * the final answer is exact and partition-independent even though the
@@ -1729,14 +1731,21 @@ object TextOps {
     * The exactness is conditional on the data: it requires every top-20
     * count to clear the MG floor n/(k+1) (k=64 → n/65), which a future
     * corpus could silently stop satisfying. So the plan embeds the
-    * margin check itself — a third, row-local scan counts n (no explode,
-    * no shuffle), and the output `cnt` column raises if any returned row
-    * sits at or under the floor, OR if fewer than 20 certified rows come
-    * back at all (an under-filled sketch means tokens outside the
-    * candidate set could belong in the top-20 — the result starts from
-    * the always-1-row totals frame so even an EMPTY candidate set reaches
-    * the guard instead of returning an empty frame). A violating corpus
-    * then fails LOUDLY at execution instead of flaking the oracle gate.
+    * margin check itself: the output `cnt` column raises if any returned
+    * row sits at or under the floor, or if the sketch certifies fewer
+    * than 20 candidates (checked at build time — an under-filled sketch
+    * means tokens outside the candidate set could belong in the top-20).
+    *
+    * Snapshot contract: pass 1 runs EAGERLY at build time and bakes its
+    * candidates into the returned plan, so the plan is bound to the
+    * corpus as listed THEN — the same snapshot semantics as any
+    * two-phase optimization (AQE, the q85 budget switch). Executing the
+    * frame against a corpus that changed in between is detected: the
+    * guard cross-checks pass 2's independently-computed stream length
+    * against pass 1's and raises on mismatch. (A corpus edit that
+    * preserves the exact total token count would evade this witness —
+    * accepted: same-length substitution across a refresh is not a
+    * failure mode the snapshot contract claims to cover.)
     */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -1792,11 +1801,13 @@ object TextOps {
             .when(a("token") > b("token"), 1).otherwise(0)),
           1, 20)))
       .select(col("col.token").as("token"),
-        when(col("col.cnt") * (k + 1) > col("n"), col("col.cnt"))
+        when(col("n") === n && col("col.cnt") * (k + 1) > col("n"), col("col.cnt"))
           .otherwise(raise_error(concat(
             lit("q103 MG safety margin violated: cnt "), col("col.cnt"),
             lit(s", floor n/${k + 1} with n = "), col("n"),
-            lit(s" — raise k above $k")))).as("cnt"))
+            lit(s"; sketch-pass n = $n (a mismatch means the corpus "),
+            lit("changed between sketch and recount — rebuild the query)"),
+            lit(s" — raise k above $k if n matches")))).as("cnt"))
   }
 
   val qHeavyHittersSql: String =

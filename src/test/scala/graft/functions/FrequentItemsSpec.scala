@@ -168,7 +168,8 @@ class FrequentItemsSpec extends AnyFunSuite {
     // programmatic GraftFunctions.register one)
     assert(org.apache.spark.sql.GraftExtensionsTestAccess.functionNames(ext) ==
       Set("cosine_similarity", "token_term_counts", "word_shingles",
-        "kll_quantiles", "mg_freq", "bloom_agg", "bloom_might_contain"))
+        "kll_quantiles", "mg_freq", "mg_freq_text", "array_sum_long",
+        "bloom_agg", "bloom_might_contain"))
   }
 
   test("invalid k fails at analysis, not execution") {
@@ -231,6 +232,19 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(viaText.getLong(0) === nTrue, "n must be the exact non-empty token count")
     assert(viaText.getSeq[Any](1) === skExplode,
       "items/estimates must match the exploded spelling")
+  }
+
+  test("array_sum_long serde keeps empty-width state distinct from no-rows state") {
+    // a partial aggregate that saw only EMPTY arrays must round-trip to
+    // [] — not collapse to the no-rows NULL state — across the
+    // serialization boundary partial aggregation introduces
+    val agg = ArraySumLong(org.apache.spark.sql.catalyst.expressions.Literal(null))
+    val seen = agg.deserialize(agg.serialize(new ArraySumLong.Buf(Array.empty[Long])))
+    assert(seen.sums != null && seen.sums.isEmpty)
+    val none = agg.deserialize(agg.serialize(new ArraySumLong.Buf(null)))
+    assert(none.sums == null)
+    val wide = agg.deserialize(agg.serialize(new ArraySumLong.Buf(Array(7L, -2L))))
+    assert(wide.sums.toSeq == Seq(7L, -2L))
   }
 
   test("array_sum_long: element-wise sums, null rows skipped, width guard") {

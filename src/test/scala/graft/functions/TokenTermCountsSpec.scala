@@ -43,6 +43,18 @@ class TokenTermCountsSpec extends AnyFunSuite {
     assert(counts("a b a", Seq("a", "a")) == Seq(3L, 2L, 2L, 2L))
   }
 
+  test("terms past the dense length-index cap match exactly, never by prefix") {
+    // the TermTable dense per-length index caps at 1024 bytes; longer
+    // terms share one overflow bucket whose probe re-checks exact length
+    val long1 = "x" * 2000
+    val long2 = "x" * 2001 // shares the overflow bucket, different length
+    val text = s"$long1 short $long1 $long2"
+    assert(counts(text, Seq(long1, long2, "short", long1 + "y"))
+      == Seq(4L, 2L, 1L, 1L, 0L, 3L))
+    // a token that is a strict PREFIX of an overflow term must not match
+    assert(counts("x" * 1999, Seq(long1)) == Seq(1L, 0L, 0L))
+  }
+
   test("UTF-8 multibyte tokens compare exactly (0x20 never splits a codepoint)") {
     assert(counts("héllo wörld hé", Seq("hé", "wörld", "h"))
       == Seq(3L, 1L, 1L, 0L, 2L))

@@ -176,6 +176,20 @@ class CurationSpec extends AnyFunSuite {
     assert(fused.contains(("beta", 5, "beta_tok5", 60L)))
   }
 
+  test("q114 tolerates a null source: falls back and raises the guard, never crashes") {
+    // a null source can't key the fused path's literal candidate map —
+    // the builder must route to the distributed spelling, whose
+    // left-join miss reaches the per-source guard (null has no top-5)
+    val dir = docsDir(Seq((1L, "a a a a a a b c d e f", null, 21L)))
+    val e = intercept[Exception] {
+      Curation.qGroupHeavyHitters(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("q114 MG safety margin violated")),
+      s"wrong failure: $e")
+  }
+
   test("q114's per-source margin guard raises when a source breaks the MG floor") {
     // source "flat": 2000 distinct tokens twice each -> top-5 cnt = 2,
     // n_src = 4000, 2 * 65 <= 4000 -> exactness unprovable -> must raise

@@ -202,7 +202,8 @@ class RecoverySpec extends AnyFunSuite {
         values.foreach(sk.update)
         val wantQ = sk.quantiles(Seq(0.5, 0.95))
         val (n, p50, p95) = last(et)
-        // a FRESH state store would report n = 50 (phase 2 only), not 100
+        // a FRESH state store would report n = 25 (phase 2 only), not
+        // the recovered 50 (25 per phase per type)
         assert(n == values.size.toLong, s"$et count $n — sketch state not recovered")
         assert(p50 == wantQ(0) && p95 == wantQ(1),
           s"$et quantiles ($p50, $p95) != exact (${wantQ(0)}, ${wantQ(1)})")

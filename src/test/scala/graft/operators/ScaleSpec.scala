@@ -142,12 +142,17 @@ class ScaleSpec extends AnyFunSuite {
         val plan = df.queryExecution.executedPlan.toString
         assert(plan.contains("skew=true"),
           s"$q: AQE never marked the hot band partition as skewed:\n${plan.take(2000)}")
-        // listener delivery is async; give the bus a moment to drain
-        Thread.sleep(2000)
+        // listener delivery is async; poll until the join stage's tasks
+        // have landed (bounded — a fixed sleep flakes on a loaded box)
         import scala.jdk.CollectionConverters._
-        val byStage = taskRecs.asScala.toSeq.groupBy(_._1).values
+        def stages() = taskRecs.asScala.toSeq.groupBy(_._1).values
           .map(_.map(_._2).sorted)
           .filter(rs => rs.size >= 4 && rs.sum > 20000) // the join stage(s)
+        var byStage = stages()
+        var waited = 0
+        while (byStage.isEmpty && waited < 15000) {
+          Thread.sleep(1000); waited += 1000; byStage = stages()
+        }
         assert(byStage.nonEmpty, s"$q: no multi-task shuffle stage observed")
         byStage.foreach { rs =>
           val med = math.max(rs(rs.size / 2), 2000L) // floor: mostly-empty stages

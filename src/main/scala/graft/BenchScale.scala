@@ -65,7 +65,9 @@ object BenchScale {
     // gate now protects the NEW level
     Anchor("q103_heavy_hitters", "docs10x", 0.25, 0.78),
     Anchor("q114_group_heavy_hitters", "docs10x", 0.32, 0.84),
-    Anchor("q57_range_join", "temporal10x", 0.569, 1.98),
+    // r13 re-anchor (was 1.98): window range-frame spelling — one shuffle
+    // of n rows, no self-join, no candidate materialization (PLANS.md §q57)
+    Anchor("q57_range_join", "temporal10x", 0.569, 0.76),
     Anchor("q58_asof_join", "temporal10x", 0.298, 0.82),
     // r13: event-family heads (BASELINE "Temporal-corpus 10× rows")
     Anchor("q126_max_concurrency", "temporal10x", 0.292, 0.433),

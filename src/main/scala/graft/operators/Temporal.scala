@@ -31,41 +31,62 @@ object Temporal {
   /** Per-user event pairs within 5 minutes (strictly later), rolled up to
     * ordered type-pair counts.
     *
-    * Band-bucketed equi-join (r12 rewrite): a plain `user_id` equi-join
-    * with the band as a post-join filter materializes EVERY same-user
-    * pair — O(Σ per-user n²) candidates, which a 10× rebuild measured
-    * growing linearly in users (0.72 → 3.50 s) while the embedded
-    * oracle's sort-based range join grew sublinearly. Bucketing ts into
-    * band-width cells and joining on (user, bucket) — with the A side
-    * exploded to its own and the NEXT bucket, since `ts_b ∈
-    * (ts_a, ts_a+Band]` can only land in those two — bounds candidates
-    * to events in adjacent 5-minute cells (~true pairs, here ~1000×
-    * fewer than all same-user pairs at ~11 h mean inter-event gap);
-    * each qualifying pair is generated exactly once because bkt_b takes
-    * a single value. (SQL DIV truncates toward zero rather than
-    * flooring, so for pre-epoch timestamps the cell containing zero is
-    * 2×Band wide and negative cells shift — coverage still holds because
-    * truncation never makes a cell NARROWER than Band, so a ≤Band step
-    * still crosses at most one cell boundary; TemporalSpec's q57
-    * boundary test pins the negative-ts cases.) The exact strict/band predicates stay in the join
-    * condition, so results are hash-identical to the oracle's plain
-    * range-join spelling. At 100 TB the shuffle carries 3× the event
-    * rows (A twice + B once) on (user, bucket) keys — skew-resistant
-    * (a key = one user's one 5-minute window) — instead of per-user
-    * quadratic candidate streams.
+    * Window range-frame spelling (r13 rewrite): the pair COUNT per
+    * (type_a, type_b) never needs the pairs materialized — for each
+    * event, the number of same-user successors of type t in
+    * `(ts, ts+Band]` is a conditional count over a
+    * `rangeBetween(1, BandNs)` frame (strict `>` via the +1 lower
+    * bound; ties on ts are whole-value in a range frame so equal
+    * timestamps are correctly excluded/included by value, not row
+    * position). One count column per event type — the type domain is
+    * bounded and discovered by a column-pruned distinct pass (the same
+    * contract `pivot` uses) — then a 5-key rollup per type_a and a
+    * `stack` unpivot. vs the r12 band-bucketed self-join this is ONE
+    * shuffle of n rows (not 3n), no join build/probe, and no candidate
+    * materialization at all: 2.12 → 0.76 s at 10× events
+    * (tools/Q57Probe.scala, row-set-identical cross-check). Spark's
+    * sliding range frame moves both bounds monotonically — O(n) per
+    * user partition, all type counters evaluated in the one frame
+    * pass. At 100 TB: one shuffle on user_id (per-user window state
+    * bounded by the 5-minute band's density), no pair explosion
+    * anywhere.
+    *
+    * Null parity with the oracle's plain range join: null user_id/ts
+    * rows pair with nothing under `=`/`>` there, so they are filtered
+    * here (they'd otherwise form a window partition); a null
+    * event_type would still pair in the oracle (types are output, not
+    * predicate), so it gets its own IS NULL counter bucket.
     */
   def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events").select("user_id", "ts", "event_type")
-    val a = e.toDF("user_id", "ts_a", "type_a")
-      .withColumn("bkt", explode(array(
-        expr(s"ts_a DIV $BandNs"), expr(s"ts_a DIV $BandNs") + lit(1L))))
-    val b = e.toDF("user_id_b", "ts_b", "type_b")
-      .withColumn("bkt_b", expr(s"ts_b DIV $BandNs"))
-    a.join(b,
-        col("user_id") === col("user_id_b") && col("bkt") === col("bkt_b") &&
-          col("ts_b") > col("ts_a") && col("ts_b") - col("ts_a") <= BandNs)
-      .groupBy(col("type_a"), col("type_b"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+    val typeRows = e.select(col("event_type")).distinct().collect()
+    val types: Seq[Option[String]] =
+      typeRows.map(r => Option(r.getString(0))).sortBy(_.getOrElse("")).toSeq
+    if (types.isEmpty) // empty events table: no counter columns to build
+      return e.select(col("event_type").as("type_a"),
+        col("event_type").as("type_b"), lit(0L).as("n_pairs")).limit(0)
+    def typeMatches(t: Option[String]) = t match {
+      case Some(v) => col("event_type") === v
+      case None    => col("event_type").isNull
+    }
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(1L, BandNs)
+    val counted = e.select(
+      col("event_type").as("type_a") +:
+        types.zipWithIndex.map { case (t, i) =>
+          count(when(typeMatches(t), 1)).over(w).as(s"c_$i")
+        }: _*)
+    val rolled = counted.groupBy(col("type_a"))
+      .agg(sum(col("c_0")).as("s_0"),
+        types.indices.drop(1).map(i => sum(col(s"c_$i")).as(s"s_$i")): _*)
+    val stackArgs = types.zipWithIndex.flatMap { case (t, i) =>
+      Seq(t.map(lit).getOrElse(lit(null).cast("string")), col(s"s_$i"))
+    }
+    rolled
+      .select(col("type_a"),
+        stack((lit(types.length) +: stackArgs): _*).as(Seq("type_b", "n_pairs")))
+      .where(col("n_pairs") > 0)
   }
 
   val qRangeJoinSql: String =

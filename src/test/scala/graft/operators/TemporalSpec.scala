@@ -252,31 +252,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == List((0L, 1.0, false), (1L, 3.0, true),
       (2L, 5.0, true), (3L, 7.0, false)))
   }
-  test("q57 band-bucketed range join: boundary-exact, strict, cross-bucket pairs") {
+  test("q57 window range-frame join: boundary-exact, strict, negative-ts, null parity") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
     val B = 300L * 1000 * 1000 * 1000 // BandNs (5 min)
-    // chosen so every bucketing edge is exercised: exact-band pair
-    // (A->B), just-over-band (A->C excluded), same-instant strictness
-    // (A,D both at 0 -- no pair either direction), cross-bucket pairs
-    // (E in bucket 0 pairing with B and C in bucket 1), same-bucket pair
-    // (F->G), and a lone event (H) producing nothing
-    // user 6 exercises NEGATIVE timestamps (pre-epoch): SQL DIV truncates
-    // toward zero rather than flooring, so the bucket containing zero is
-    // 2B wide and negative buckets shift — pair coverage must still hold
-    // because no truncated bucket is ever NARROWER than B (ADVICE r12).
-    // M(-2B, bkt -2) -> N0(-B-1, bkt -1): diff B-1, cross-bucket kept;
-    // N0 -> N1(-1, bkt 0): diff B exact-band, cross-bucket kept;
-    // N1 -> N2(B-2, bkt 0): diff B-1, same (double-wide) bucket kept;
-    // N0 -> N2: diff 2B-1 > B, excluded.
-    Seq(
-      (1L, 0L, "A"), (1L, 0L, "D"), (1L, B, "B"), (1L, B + 1, "C"),
-      (1L, B - 1000000000L, "E"),
-      (4L, 100000000000L, "F"), (4L, 200000000000L, "G"),
-      (5L, 7L * B, "H"),
-      (6L, -2L * B, "M"), (6L, -B - 1L, "N0"), (6L, -1L, "N1"),
-      (6L, B - 2L, "N2"))
-      .toDF("user_id", "ts", "event_type")
+    // every value-boundary of the rangeBetween(1, BandNs) frame is
+    // exercised: exact-band pair (A->B kept: diff == B), just-over-band
+    // (A->C excluded: diff == B+1), same-instant strictness (A,D both at
+    // 0 -- range frames compare by VALUE, so the +1 lower bound excludes
+    // ties in both directions), mid-band pairs (E with B and C), a
+    // second user (F->G), a lone event (H) producing nothing, and user 6
+    // on NEGATIVE (pre-epoch) timestamps -- the frame arithmetic is pure
+    // value comparison, no epoch anchoring: M -> N0 (diff B-1), N0 -> N1
+    // (diff B exact), N1 -> N2 (diff B-1), N0 -> N2 (diff 2B-1,
+    // excluded).
+    // Null parity with the oracle's plain range join: a null event_type
+    // still pairs (types are output, not predicate) -> user 7's null at
+    // ts 0 pairs forward with Z at 100 as (NULL, "Z"); null user_id or
+    // null ts rows pair with nothing under `=`/`>` -> no output rows.
+    val rows: Seq[(Option[Long], Option[Long], Option[String])] = Seq(
+      (Some(1L), Some(0L), Some("A")), (Some(1L), Some(0L), Some("D")),
+      (Some(1L), Some(B), Some("B")), (Some(1L), Some(B + 1), Some("C")),
+      (Some(1L), Some(B - 1000000000L), Some("E")),
+      (Some(4L), Some(100000000000L), Some("F")),
+      (Some(4L), Some(200000000000L), Some("G")),
+      (Some(5L), Some(7L * B), Some("H")),
+      (Some(6L), Some(-2L * B), Some("M")), (Some(6L), Some(-B - 1L), Some("N0")),
+      (Some(6L), Some(-1L), Some("N1")), (Some(6L), Some(B - 2L), Some("N2")),
+      (Some(7L), Some(0L), None), (Some(7L), Some(100L), Some("Z")),
+      (None, Some(0L), Some("Q")), (Some(8L), None, Some("R")))
+    rows.toDF("user_id", "ts", "event_type")
       .write.parquet(s"$dir/events.parquet")
     val got = Temporal.qRangeJoin(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
@@ -284,6 +289,18 @@ class TemporalSpec extends AnyFunSuite {
       ("A", "B") -> 1L, ("A", "E") -> 1L, ("D", "B") -> 1L,
       ("D", "E") -> 1L, ("E", "B") -> 1L, ("E", "C") -> 1L,
       ("B", "C") -> 1L, ("F", "G") -> 1L,
-      ("M", "N0") -> 1L, ("N0", "N1") -> 1L, ("N1", "N2") -> 1L))
+      ("M", "N0") -> 1L, ("N0", "N1") -> 1L, ("N1", "N2") -> 1L,
+      ((null, "Z")) -> 1L))
+  }
+
+  test("q57 window range-frame join: empty events table yields empty result") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_range_empty").toString
+    Seq.empty[(Option[Long], Option[Long], Option[String])]
+      .toDF("user_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Temporal.qRangeJoin(spark, dir)
+    assert(out.columns.toSeq == Seq("type_a", "type_b", "n_pairs"))
+    assert(out.count() == 0)
   }
 }

@@ -267,6 +267,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q57 range join plans as a window-frame count: no join, no pair explosion") {
+    // r13 shape: per-type conditional counts over ONE rangeBetween frame
+    // partitioned by user_id, then a tiny type_a rollup. A Join or a
+    // generator here means the retired self-join spelling crept back —
+    // that path shuffles 3n rows and materializes every in-band pair
+    // (PLANS.md §q57: 2.8x slower at the 10x corpus).
+    val p = executedPlan("q57_range_join")
+    assert(!p.contains("Join"), s"q57 must not plan a join: $p")
+    assert(!p.toLowerCase.contains("explode"), s"q57 must not explode: $p")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    // the window's user_id shuffle carries the n event rows; the rollup
+    // exchange above it moves only map-side-combined (type_a) partials
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("shingle family extracts through the fused word_shingles expression") {
     // The r12 zero-copy expression replaced the interpreted
     // transform/slice/concat_ws spelling across the banded-dedup family's

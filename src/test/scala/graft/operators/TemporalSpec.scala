@@ -293,6 +293,42 @@ class TemporalSpec extends AnyFunSuite {
       ((null, "Z")) -> 1L))
   }
 
+  test("q57 property: window spelling matches brute-force pair counts on random corpora") {
+    import spark.implicits._
+    val B = 300L * 1000 * 1000 * 1000 // BandNs (5 min)
+    val rnd = new scala.util.Random(13) // seeded: deterministic corpora
+    (1 to 3).foreach { it =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_range_prop$it").toString
+      // 300 events over 5 users and 4 types in a ~6-band span crossing
+      // zero: dense in-band pairs, ties, negative ts, and ~2% nulls in
+      // every column
+      val rows: Seq[(Option[Long], Option[Long], Option[String])] =
+        (1 to 300).map { _ =>
+          val u = if (rnd.nextInt(50) == 0) None else Some(rnd.nextInt(5).toLong)
+          val t = if (rnd.nextInt(50) == 0) None
+                  else Some(rnd.nextLong() % (3 * B) - B)
+          val ty = if (rnd.nextInt(10) == 0) None else Some("T" + rnd.nextInt(4))
+          (u, t, ty)
+        }
+      rows.toDF("user_id", "ts", "event_type")
+        .write.parquet(s"$dir/events.parquet")
+      val got = Temporal.qRangeJoin(spark, dir).collect()
+        .map(r => ((Option(r.getString(0)), Option(r.getString(1))), r.getLong(2)))
+        .toMap
+      // brute force over row instances: the oracle's plain range-join
+      // semantics (null user/ts pair with nothing; null type is output)
+      val valid = rows.collect { case (Some(u), Some(t), ty) => (u, t, ty) }
+      val expected = (for {
+        (ua, ta, tya) <- valid
+        (ub, tb, tyb) <- valid
+        if ua == ub && tb > ta && tb - ta <= B
+      } yield (tya, tyb))
+        .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      assert(got == expected, s"iteration $it mismatch")
+    }
+  }
+
   test("q57 window range-frame join: empty events table yields empty result") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_range_empty").toString

@@ -22,7 +22,10 @@ on corpora built by exactly this construction; the build is
 deterministic (pure column arithmetic, stable input), so a rebuilt
 corpus reproduces the anchored workload.
 
-Usage: python3 tools/make_10x.py [docsDir] [temporalDir]
+Usage: python3 tools/make_10x.py [docsDir] [temporalDir] [factor]
+`factor` defaults to 10 (the anchored construction, bit-identical);
+pass e.g. 100 to build the two-orders-of-magnitude linearity corpora
+(/tmp/sf01x100 + /tmp/sf01x100t in the r13 BASELINE sweep).
 Driver-side tooling only (duckdb is not a library dependency of the
 engine itself).
 """
@@ -38,41 +41,41 @@ ID_SHIFT = 10_000_000   # event_id / o_orderkey per-copy shift
 KEY_SHIFT = 100_000     # user_id / o_custkey per-copy shift (aligned)
 
 
-def tenfold(con, src, dst, select_shifted):
+def nfold(con, src, dst, select_shifted, factor):
     con.execute(f"""
       COPY (
-        SELECT s.* FROM generate_series(0, 9) AS t(i),
+        SELECT s.* FROM generate_series(0, {factor - 1}) AS t(i),
           LATERAL ({select_shifted.format(src=src)}) AS s
         ORDER BY 1
       ) TO '{dst}' (FORMAT PARQUET)
     """)
 
 
-def build_docs10x(out):
+def build_docs10x(out, factor=10):
     con = duckdb.connect()
     mx = con.execute(
         f"SELECT max(doc_id) FROM read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchone()[0]
-    tenfold(con, f"{SF_DIR}/documents.parquet", f"{out}/documents.parquet",
-            "SELECT d.doc_id + t.i*({mx}+1) AS doc_id, d.text, d.lang,"
-            " d.source, d.n_chars FROM read_parquet('{src}') d"
-            .replace("{mx}", str(mx)))
+    nfold(con, f"{SF_DIR}/documents.parquet", f"{out}/documents.parquet",
+          "SELECT d.doc_id + t.i*({mx}+1) AS doc_id, d.text, d.lang,"
+          " d.source, d.n_chars FROM read_parquet('{src}') d"
+          .replace("{mx}", str(mx)), factor)
     for t in TABLES:
         if t != "documents":
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
 
 
-def build_temporal10x(out):
+def build_temporal10x(out, factor=10):
     con = duckdb.connect()
-    tenfold(con, f"{SF_DIR}/events.parquet", f"{out}/events.parquet",
-            f"SELECT e.event_id + t.i*{ID_SHIFT} AS event_id, e.ts,"
-            f" e.user_id + t.i*{KEY_SHIFT} AS user_id, e.event_type,"
-            " e.value, e.props FROM read_parquet('{src}') e")
-    tenfold(con, f"{SF_DIR}/orders.parquet", f"{out}/orders.parquet",
-            f"SELECT o.o_orderkey + t.i*{ID_SHIFT} AS o_orderkey,"
-            f" o.o_custkey + t.i*{KEY_SHIFT} AS o_custkey,"
-            " o.* EXCLUDE (o_orderkey, o_custkey)"
-            " FROM read_parquet('{src}') o")
+    nfold(con, f"{SF_DIR}/events.parquet", f"{out}/events.parquet",
+          f"SELECT e.event_id + t.i*{ID_SHIFT} AS event_id, e.ts,"
+          f" e.user_id + t.i*{KEY_SHIFT} AS user_id, e.event_type,"
+          " e.value, e.props FROM read_parquet('{src}') e", factor)
+    nfold(con, f"{SF_DIR}/orders.parquet", f"{out}/orders.parquet",
+          f"SELECT o.o_orderkey + t.i*{ID_SHIFT} AS o_orderkey,"
+          f" o.o_custkey + t.i*{KEY_SHIFT} AS o_custkey,"
+          " o.* EXCLUDE (o_orderkey, o_custkey)"
+          " FROM read_parquet('{src}') o", factor)
     for t in TABLES:
         if t not in ("events", "orders"):
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
@@ -82,8 +85,10 @@ if __name__ == "__main__":
     import os
     docs = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf01x10"
     temp = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf01x10t"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    assert factor * KEY_SHIFT <= ID_SHIFT, "copies must not cross id shifts"
     os.makedirs(docs, exist_ok=True)
     os.makedirs(temp, exist_ok=True)
-    build_docs10x(docs)
-    build_temporal10x(temp)
-    print(f"built {docs} (documents x10) and {temp} (events+orders x10)")
+    build_docs10x(docs, factor)
+    build_temporal10x(temp, factor)
+    print(f"built {docs} (documents x{factor}) and {temp} (events+orders x{factor})")

@@ -99,10 +99,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   *  - declarative: `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object GraftFunctions {
-  private val builder: Seq[Expression] => Expression = {
+  private[functions] val cosineBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => CosineSimilarity(a, b)
     case exprs => throw new IllegalArgumentException(
       s"cosine_similarity expects 2 arguments, got ${exprs.length}")
+  }
+
+  private[functions] val arraySumLongBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => ArraySumLong(a)
+    case exprs => throw new IllegalArgumentException(
+      s"array_sum_long expects 1 argument (array<bigint>), got ${exprs.length}")
   }
 
   /** Graft spellings of the internal expressions Spark's runtime
@@ -152,7 +158,7 @@ object GraftFunctions {
   /** Idempotent session-local registration (all graft functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", builder, "scala_udf")
+      "cosine_similarity", cosineBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_term_counts", tokenTermCountsBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -162,13 +168,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain", bloomMightContainBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_sum_long",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 1,
-          s"array_sum_long expects 1 argument (array<bigint>), got ${exprs.length}")
-        ArraySumLong(exprs(0))
-      },
-      "scala_udf")
+      "array_sum_long", arraySumLongBuilder, "scala_udf")
     QuantileSketch.register(spark)
     FrequentItems.register(spark)
   }
@@ -177,18 +177,22 @@ object GraftFunctions {
 /** `spark.sql.extensions` entry point (SparkSessionExtensions injection). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    // every builder here is the SAME guarded builder the session-registry
+    // path uses (r14, advisor): a wrong-arity SQL call must fail as a
+    // clean analysis-time IllegalArgumentException, not an
+    // IndexOutOfBoundsException from a bare exprs(i)
     extensions.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }))
+      GraftFunctions.cosineBuilder))
     extensions.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[KllQuantiles].getName, "kll_quantiles"),
-      { exprs: Seq[Expression] => KllQuantiles(exprs(0), exprs(1), exprs(2)) }))
+      QuantileSketch.kllQuantilesBuilder))
     extensions.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("mg_freq"),
       new ExpressionInfo(classOf[MgFreq].getName, "mg_freq"),
-      { exprs: Seq[Expression] => MgFreq(exprs(0), exprs(1)) }))
+      FrequentItems.mgFreqBuilder))
     extensions.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("token_term_counts"),
       new ExpressionInfo(classOf[TokenTermCounts].getName, "token_term_counts"),
@@ -212,10 +216,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("mg_freq_text"),
       new ExpressionInfo(classOf[MgFreqText].getName, "mg_freq_text"),
-      { exprs: Seq[Expression] => MgFreqText(exprs(0), exprs(1)) }))
+      FrequentItems.mgFreqTextBuilder))
     extensions.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("array_sum_long"),
       new ExpressionInfo(classOf[ArraySumLong].getName, "array_sum_long"),
-      { exprs: Seq[Expression] => ArraySumLong(exprs(0)) }))
+      GraftFunctions.arraySumLongBuilder))
   }
 }

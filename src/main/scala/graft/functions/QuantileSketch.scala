@@ -231,16 +231,17 @@ case class KllQuantiles(
 }
 
 object QuantileSketch {
+  /** Shared guarded builder (session registry + extension injection). */
+  private[functions] val kllQuantilesBuilder: Seq[Expression] => Expression = {
+    case Seq(value, probs, k) => KllQuantiles(value, probs, k)
+    case exprs => throw new IllegalArgumentException(
+      s"kll_quantiles expects 3 arguments (value, probs, k), got ${exprs.length}")
+  }
+
   /** Idempotent session-local registration of `kll_quantiles`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kll_quantiles",
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 3,
-          s"kll_quantiles expects 3 arguments (value, probs, k), got ${exprs.length}")
-        KllQuantiles(exprs(0), exprs(1), exprs(2))
-      },
-      "scala_udf")
+      "kll_quantiles", kllQuantilesBuilder, "scala_udf")
 
   /** DataFrame-side helper: `kllQuantiles("x", Seq(0.5, 0.95), 200)`. */
   def kllQuantiles(colName: String, probs: Seq[Double], k: Int = 200): Column =

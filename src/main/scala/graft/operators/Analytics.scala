@@ -744,22 +744,56 @@ object Analytics {
   /** A12 scale path: per-group percentiles via the mergeable KLL sketch
     * aggregate ([[graft.functions.KllQuantiles]]) — one shuffle of
     * O(k log n)-byte sketches, map-side partial aggregation, vs shipping
-    * raw values. Rows-only check (estimates depend on merge order within
-    * the rank-error bound); the bound itself is pinned in
-    * QuantileSketchSpec against the exact sort-based quantile.
+    * raw values.
+    *
+    * Oracle closure (r14): the estimates depend on merge order (within
+    * the rank-error bound), so no DuckDB spelling can match them
+    * value-for-value. Instead the plan carries its own RANK-ERROR
+    * CERTIFICATE: each estimate is re-ranked against the actual column
+    * (broadcast of the 4×|flags| estimate rows back over lineitem —
+    * counts of strictly-below and at-or-below), and `rank_ok` is true
+    * iff the estimate's feasible rank interval [lo/n, hi/n] intersects
+    * [p − ε, p + ε] with ε = 0.02, the QuantileSketchSpec-pinned bound
+    * for k=256 — raising with the numbers if not. The DuckDB oracle
+    * recomputes the per-group row counts and expects literal TRUE
+    * certificates, so the driver's hash-match verifies real data AND
+    * enforces the sketch bound — closing the r13 `no_oracle` row
+    * without pretending sketch internals are portable.
     */
   def qKllQuantiles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val probs = Seq(0.25, 0.5, 0.75, 0.95)
-    t(s, dir, "lineitem")
+    val eps = 0.02 // KLL k=256 normalized rank-error bound (QuantileSketchSpec)
+    val ests = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(graft.functions.QuantileSketch
         .kllQuantiles("l_extendedprice", probs, 256).as("qs"))
       .select(col("l_returnflag"),
         posexplode(col("qs")).as(Seq("pos", "est")))
       .withColumn("p", element_at(lit(probs.toArray), col("pos") + 1))
-      .select(col("l_returnflag"), col("p"), col("est"))
+    t(s, dir, "lineitem")
+      .join(broadcast(ests), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("p"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("est"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L)).as("hi"))
+      .select(col("l_returnflag"), col("p"), col("n"),
+        when(col("lo") <= (col("p") + eps) * col("n") &&
+            col("hi") >= (col("p") - eps) * col("n"), lit(true))
+          .otherwise(raise_error(concat(
+            lit("q81 KLL rank-error bound violated: flag "),
+            col("l_returnflag"), lit(", p "), col("p").cast("string"),
+            lit(", feasible rank ["), col("lo").cast("string"), lit(", "),
+            col("hi").cast("string"), lit("] of n = "),
+            col("n").cast("string"), lit(s" outside ±$eps"))))
+          .as("rank_ok"))
   }
+
+  val qKllQuantilesSql: String =
+    """SELECT l_returnflag, CAST(p AS DOUBLE) AS p, COUNT(*) AS n,
+      |  TRUE AS rank_ok
+      |FROM lineitem CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) v(p)
+      |GROUP BY 1, 2""".stripMargin
 
   /** CUBE: all four grouping sets of (priority, status) in one pass —
     * with ROLLUP (q76) and pivot (q75) this completes the grouping-sets
@@ -1066,6 +1100,7 @@ object Analytics {
     "q36_sym_diff" -> (qSymDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q81_kll_quantiles" -> qKllQuantilesSql,
     "q172_skyline" -> qSkylineSql,
     "q173_rfm" -> qRfmSql,
     "q177_equidepth_deciles" -> qEquidepthDecilesSql,

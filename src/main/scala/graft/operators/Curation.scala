@@ -181,35 +181,82 @@ object Curation {
       |FROM documents d JOIN m ON d.source = m.source
       |GROUP BY d.source""".stripMargin
 
-  /** q114: per-group exact heavy hitters — q103's two-pass Misra-Gries
-    * shape composed under `groupBy(source)`: one fused-tokenization MG
-    * sketch PER SOURCE ([[graft.functions.MgFreqText]] under a grouped
-    * agg), then ONE fused recount scan against the union of all sources'
-    * candidates, with the per-source top-5 selected by an array sort
-    * over that source's candidate slots (r13 — was an explode + join +
-    * window spelling, retained as [[qGroupHeavyHittersDistributed]] for
-    * the >budget and null-source fallbacks; parity spec-pinned). The
-    * same embedded margin guard as q103, but against each source's own
-    * stream length: a source raises unless it returns exactly 5
-    * certified rows, each clearing n_src/(k+1). `posexplode_outer` keeps
-    * a row for a source whose sketch came back empty — or short — so it
-    * reaches the guard instead of silently vanishing. Conservative by
-    * design: a source with genuinely fewer than 5 distinct tokens also
-    * raises, since without a full distinct count the two cases can't be
-    * told apart from the sketch alone.
+  /** q114: per-group exact heavy hitters — certified SINGLE pass (r14).
+    * q103's Misra-Gries shape composed under `groupBy(source)`: one
+    * fused-tokenization MG sketch PER SOURCE
+    * ([[graft.functions.MgFreqText]] under a grouped agg, capacity
+    * 1<<16 decoupled from the returned arity 5), with each source's
+    * exactness certificate (`err == 0` — no eviction ever fired for
+    * that source's sketch) checked lazily INSIDE the plan: a certified
+    * source's (est DESC, item ASC)-ordered head IS its exact top-5, and
+    * a source whose vocabulary overflowed the capacity raises a
+    * deterministic refusal naming [[qGroupHeavyHittersDistributed]],
+    * the collect-free sketch-then-recount spelling that stays exact for
+    * any vocabulary whose per-source top-5 clears the classic MG floor.
     *
-    * Snapshot contract as q103: pass 1 binds candidates at build time,
-    * and the guard cross-checks each source's pass-2 stream length
-    * against the pass-1 value, raising if the corpus changed between
-    * the passes.
+    * This retires the r13 eager machinery wholesale rather than
+    * patching it (kept as [[qGroupHeavyHittersTwoPass]], parity
+    * spec-pinned): no driver collect, so no source-cardinality budget;
+    * no literal candidate map, so NULL sources are just another group
+    * (they return their true top-5 like the DuckDB oracle instead of
+    * refusing); no build-time snapshot, so the advisor's
+    * vanished-source witness gap cannot exist — the plan re-certifies
+    * against the corpus as it stands at every execution. A source with
+    * genuinely fewer than 5 distinct types returns its true (<5) rows
+    * (the certificate proves the short answer is the whole answer).
     *
-    * Scale: sketch pass shuffles O(k) counters per (source, partition);
-    * recount shuffles one O(|union|)-long vector per (source,
-    * partition); the array sort touches ≤k elements per source.
+    * Scale: ONE scan; the grouped aggregate holds min(vocab, cap)
+    * counters per live source per partition (the counter map grows
+    * lazily to the OBSERVED vocabulary — a few MB at word-token
+    * vocabularies) and the shuffle ships one such sketch per (source,
+    * partition); the explode touches ≤5 rows per source.
     */
   def qGroupHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val cap = 1 << 16
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(expr(s"mg_freq_text(text, 5, $cap)").as("r"))
+      // the guard lives on the ARRAY, before the explode: an err > 0
+      // sketch whose counters compacted to empty must still raise, not
+      // vanish into a zero-row group (the posexplode of an empty
+      // certified array, by contrast, is a correct empty answer for a
+      // source with no tokens)
+      .select(col("source"), posexplode(when(col("r.err") === 0L, col("r.items"))
+        .otherwise(raise_error(concat(
+          lit("q114 MG safety margin violated for source "),
+          coalesce(col("source"), lit("<null>")),
+          lit(": sketch capacity overflowed (err "),
+          col("r.err").cast("string"),
+          lit(s") — vocabulary exceeds $cap types, single-pass "),
+          lit("exactness unprovable; use qGroupHeavyHittersDistributed"))))))
+      .select(col("source"), (col("pos") + 1).as("rank"),
+        col("col.item").as("token"), col("col.est").as("cnt"))
+  }
+
+  /** The eager two-pass q114 spelling — the r13 shape, retained as the
+    * fallback for corpora where some source's vocabulary overflows the
+    * certified single pass's capacity but its top-5 still clears the
+    * sketch's non-candidate bound: one grouped capacity-cap sketch pass
+    * (eager, budget-gated driver collect of the per-source candidate
+    * rows), then — unless every source certified exact, in which case
+    * the answer is baked with a narrow per-source doc-count + n_chars
+    * witness scan — ONE fused recount scan against the union of all
+    * sources' candidates, with the per-source top-5 selected by an
+    * array sort over that source's candidate slots and certified
+    * strictly above its source's bound (est(k+1th) + err). The pass-1
+    * source list is full-outer-joined back into the recount frame
+    * (r14, advisor) so a source deleted — or added — between the
+    * passes surfaces as a guard raise rather than a silent omission;
+    * `posexplode_outer` keeps short/empty candidate lists on the guard
+    * path too. Falls back to [[qGroupHeavyHittersDistributed]] when the
+    * source cardinality exceeds the collect budget or a NULL source
+    * can't key the literal candidate map.
+    */
+  def qGroupHeavyHittersTwoPass(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val k = 64
+    val cap = 1 << 16
     // Budget on the eager per-source candidate collect: `source` is a
     // corpus-origin label (cardinality ~tens by nature), so the O(n_src
     // × k) collect is metadata-sized — but the bound is DATA-dependent,
@@ -217,11 +264,20 @@ object Curation {
     // the same policy as q85's union-find collect.
     val srcBudget = 256
     // Pass 1 (eager, r13): per-source fused-tokenization sketch — one
-    // narrow scan, no explode, one (n, ≤k candidates) row per source.
-    val sk = t(s, dir, "documents").groupBy(col("source"))
-      .agg(expr(s"mg_freq_text(text, $k)").as("r"))
+    // narrow scan, no explode, one result row per source. The witness
+    // pair (doc count, n_chars sum) rides the same scan.
+    val docsT = t(s, dir, "documents")
+    val hasChars = docsT.columns.contains("n_chars")
+    val charsAgg =
+      if (hasChars) coalesce(sum(col("n_chars")), lit(0L)) else lit(0L)
+    val sk = docsT.groupBy(col("source"))
+      .agg(expr(s"mg_freq_text(text, $k, $cap)").as("r"),
+        count(lit(1)).as("docs"), charsAgg.as("chars"))
       .select(col("source"), col("r.n").as("n"),
-        expr("transform(r.items, x -> x.item)").as("cands"))
+        expr("transform(r.items, x -> x.item)").as("cands"),
+        col("r.err").as("err"), col("r.bound").as("bound"),
+        expr("transform(r.items, x -> x.est)").as("ests"),
+        col("docs"), col("chars"))
     val srcRows = sk.limit(srcBudget + 1).collect()
     val union = srcRows.flatMap(_.getSeq[String](2)).distinct.toSeq
     // null-source rows can't key the literal candidate map (CreateMap
@@ -230,6 +286,44 @@ object Curation {
     if (srcRows.length > srcBudget || union.isEmpty ||
         srcRows.exists(_.isNullAt(0)))
       return qGroupHeavyHittersDistributed(s, dir, k)
+    if (srcRows.forall(_.getLong(3) == 0L)) {
+      // Certified single pass: every source's sketch is exact — bake the
+      // per-source top-5 and verify the snapshot with one narrow scan
+      // (source + n_chars columns only, no text re-tokenization).
+      val nSrc0 = srcRows.length
+      val baked = array(srcRows.map { r =>
+        val top = r.getSeq[String](2).zip(r.getSeq[Long](5)).take(5)
+        struct(
+          lit(r.getString(0)).as("source"),
+          lit(r.getLong(6)).as("docs0"),
+          lit(r.getLong(7)).as("chars0"),
+          array(top.map { case (tok, cnt) =>
+            struct(lit(tok).as("token"), lit(cnt).as("cnt")) }: _*)
+            .cast("array<struct<token: string, cnt: bigint>>").as("items"))
+      }.toSeq: _*)
+      return docsT.groupBy(col("source"))
+        .agg(count(lit(1)).as("d"), charsAgg.as("ch"))
+        .agg(map_from_entries(collect_list(
+          struct(col("source"), struct(col("d"), col("ch"))))).as("m"))
+        .select(col("m"), posexplode(baked).as(Seq("spos", "sc")))
+        .select(col("sc.source").as("source"),
+          // witness per exploded row: the execution-time source map must
+          // have the same cardinality (no new sources), contain this
+          // source (not vanished), and agree on its (docs, chars) pair
+          (size(col("m")) === nSrc0 &&
+            element_at(col("m"), col("sc.source"))("d") === col("sc.docs0") &&
+            element_at(col("m"), col("sc.source"))("ch") === col("sc.chars0"))
+            .as("ok"),
+          posexplode(col("sc.items")))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("col.token").as("token"),
+          when(col("ok"), col("col.cnt"))
+            .otherwise(raise_error(concat(
+              lit("q114 snapshot witness violated for source "),
+              coalesce(col("source"), lit("<null>")),
+              lit(" (the corpus changed between sketch and execution — "),
+              lit("rebuild the query)")))).as("cnt"))
+    }
     // Pass 2: ONE fused recount scan — token_term_counts against the
     // UNION of all sources' candidates (length-bucketed probe keeps the
     // per-token cost ~|same-length terms|), reduced per source by
@@ -243,9 +337,20 @@ object Curation {
     // the interpreted HOF touches ≤k elements per source, once.
     val idx = union.zipWithIndex.toMap
     val candsLit = array(union.map(lit): _*)
-    val per = t(s, dir, "documents").groupBy(col("source"))
+    // full-outer-join the pass-1 source list back in (r14, advisor): a
+    // source DELETED from the corpus between the passes produces no
+    // pass-2 group row, and without this it would vanish from the
+    // output instead of reaching the per-source guard; the join keeps a
+    // row whose NULL `c` fails the n === n_sketch witness and raises.
+    // Full outer (not right) so a NEW source keeps its row too and
+    // raises via its NULL candidate-map lookup, as before. Both sides
+    // are n_src-row aggregates — the join is metadata-sized.
+    val per = docsT.groupBy(col("source"))
       .agg(call_function("array_sum_long",
         call_function("token_term_counts", col("text"), candsLit)).as("c"))
+      .join(s.range(1).select(explode(
+        array(srcRows.map(r => lit(r.getString(0))): _*)).as("source")),
+        Seq("source"), "full_outer")
     // the literal map carries candidate INDICES (ints), not
     // (token, index) structs — token text is recovered from the one
     // shared candsLit array, keeping the plan's literal footprint (and
@@ -258,6 +363,11 @@ object Curation {
     // pass-1 stream lengths, for the cross-pass snapshot witness
     val nMap = map(srcRows.flatMap { r =>
       Seq(lit(r.getString(0)), lit(r.getLong(1)))
+    }.toSeq: _*)
+    // per-source non-candidate bounds (est(k+1th) + err — the sketch's
+    // own certificate, strictly tighter than n/(k+1) with cap >> k)
+    val boundMap = map(srcRows.flatMap { r =>
+      Seq(lit(r.getString(0)), lit(r.getLong(4)))
     }.toSeq: _*)
     val candArr = element_at(candMap, col("source"))
     val top5 = slice(array_sort(
@@ -274,11 +384,12 @@ object Curation {
     // instead of vanishing — same conservative contract as before.
     per.select(col("source"), element_at(col("c"), 1).as("n"),
         element_at(nMap, col("source")).as("n_sketch"),
+        element_at(boundMap, col("source")).as("bound"),
         size(candArr).as("n_cands"), posexplode_outer(top5))
       .select(col("source"), (col("pos") + 1).as("rank"),
         col("col.token").as("token"),
         when(col("n") === col("n_sketch") &&
-            col("n_cands") >= 5 && col("col.cnt") * (k + 1) > col("n"),
+            col("n_cands") >= 5 && col("col.cnt") > col("bound"),
           col("col.cnt"))
           .otherwise(raise_error(concat(
             lit("q114 MG safety margin violated for source "),
@@ -287,11 +398,13 @@ object Curation {
             lit(": n_cands "),
             coalesce(col("n_cands").cast("string"), lit("0")),
             lit(", cnt "), coalesce(col("col.cnt").cast("string"), lit("null")),
-            lit(s", floor n/${k + 1} with n = "), col("n"),
+            lit(", non-candidate bound "),
+            coalesce(col("bound").cast("string"), lit("null")),
+            lit(" with n = "), coalesce(col("n").cast("string"), lit("null")),
             lit(", sketch-pass n = "),
             coalesce(col("n_sketch").cast("string"), lit("null")),
             lit(" (mismatch = corpus changed between passes)"),
-            lit(s" — raise k above $k if n matches")))).as("cnt"))
+            lit(s" — raise cap above $cap if n matches")))).as("cnt"))
   }
 
   /** The distributed (collect-free) q114 spelling — explode + sketch +

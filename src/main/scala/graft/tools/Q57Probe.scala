@@ -1,9 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-import graft.{Session, Tables}
+import graft.Session
 
 /** Dev-only q57 shape probe: the retired r12 bucketed band self-join
   * vs the r13 window range-frame spelling now in Temporal.qRangeJoin
@@ -12,22 +10,13 @@ import graft.{Session, Tables}
   * engine surface.
   */
 object Q57Probe {
-  private val BandNs = 300L * 1000 * 1000 * 1000
 
-  /** The r12 spelling, kept verbatim for the A/B. */
-  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "events").select("user_id", "ts", "event_type")
-    val a = e.toDF("user_id", "ts_a", "type_a")
-      .withColumn("bkt", explode(array(
-        expr(s"ts_a DIV $BandNs"), expr(s"ts_a DIV $BandNs") + lit(1L))))
-    val b = e.toDF("user_id_b", "ts_b", "type_b")
-      .withColumn("bkt_b", expr(s"ts_b DIV $BandNs"))
-    a.join(b,
-        col("user_id") === col("user_id_b") && col("bkt") === col("bkt_b") &&
-          col("ts_b") > col("ts_a") && col("ts_b") - col("ts_a") <= BandNs)
-      .groupBy(col("type_a"), col("type_b"))
-      .agg(count(lit(1)).as("n_pairs"))
-  }
+  /** The r12 spelling — promoted to the operator surface in r14 as
+    * `Temporal.rangeJoinBucketed` (qRangeJoin's >budget fallback);
+    * delegated here so the A/B can't drift from the shipped fallback.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.rangeJoinBucketed(s, dir)
 
   private def time(label: String)(mk: => DataFrame): Unit = {
     mk.count() // warmup

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{Session, Tables}
+import ProbeTiming.time
+
+/** r14 decomposition probe for the q103/q114 certified-single-pass work:
+  * isolates the pass-1 sketch scan (old 2-arg vs new capacity spelling),
+  * the witness scan, and the bare fused-scan floor, so the BASELINE notes
+  * can attribute the measured ratio to real terms.
+  * Usage: runMain graft.tools.R14Probe <docsDir>
+  */
+object R14Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    def docs = Tables.load(spark, dir, "documents")
+
+    // bare fused-scan floor: tokenize only, no sketch
+    time("scan_floor_ttc_empty")(docs.agg(sum(element_at(
+      call_function("token_term_counts", col("text"),
+        expr("CAST(array() AS ARRAY<STRING>)")), 1))).head())
+    // pass 1, r13 spelling (cap = k = 64)
+    time("p1_mg_text_k64")(docs.agg(expr("mg_freq_text(text, 64)")).head())
+    // pass 1, r14 spelling (cap = 65536)
+    time("p1_mg_text_cap64k")(docs.agg(expr("mg_freq_text(text, 64, 65536)")).head())
+    // pass 1 + witness columns in the same agg (the q103 build shape)
+    time("p1_plus_witness_cols")(docs.agg(expr("mg_freq_text(text, 64, 65536)"),
+      count(lit(1)), coalesce(sum(col("n_chars")), lit(0L))).head())
+    // the witness-only scan (the q103 execution shape)
+    time("witness_only")(docs.agg(count(lit(1)),
+      coalesce(sum(col("n_chars")), lit(0L))).head())
+    // per-source pass 1 (the q114 build shape)
+    time("p1_grouped")(docs.groupBy(col("source"))
+      .agg(expr("mg_freq_text(text, 64, 65536)"), count(lit(1)),
+        coalesce(sum(col("n_chars")), lit(0L))).collect())
+    // per-source witness (the q114 execution shape)
+    time("witness_grouped")(docs.groupBy(col("source"))
+      .agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L)))
+      .agg(map_from_entries(collect_list(struct(col("source"),
+        struct(col("count(1)")))))).collect())
+    spark.stop()
+  }
+}

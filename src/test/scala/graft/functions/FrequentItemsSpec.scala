@@ -190,14 +190,49 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(badType.getMessage.contains("STRING"))
   }
 
-  test("q103's embedded margin check raises on a corpus that breaks the MG floor") {
+  test("q103 certifies a near-uniform corpus exactly when its vocab fits the capacity") {
     import spark.implicits._
-    // near-uniform corpus: 5000 distinct tokens, each twice => top-20 count 2,
-    // n = 10000, and 2 * 65 <= 10000 — exactness is NOT guaranteed, so the
-    // plan must refuse to return a silently-maybe-wrong top-20
+    // near-uniform corpus: 5000 distinct tokens, each twice. Under the
+    // r13 k=64 sketch the n/(k+1) floor broke and the plan had to
+    // refuse; with the r14 capacity (1<<16) no eviction ever fires, so
+    // err == 0 certifies every count exact and the query returns the
+    // true top-20 (all cnt 2, ties by token ASC) from a SINGLE
+    // certified sketch pass — one scan, no recount, no explode of the
+    // token stream.
     val dir = java.nio.file.Files.createTempDirectory("graft_q103_flat").toString
     (1 to 5000).map(i => (i.toLong, s"tok_$i tok_$i"))
       .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.qHeavyHitters(spark, dir)
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = (1 to 5000).map(i => s"tok_$i").sorted.take(20).map((_, 2L))
+    assert(rows.toSeq === want)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("token_term_counts"),
+      "certified path must not carry the recount scan")
+    assert(plan.contains("mg_freq_text"), "the sketch is the whole plan")
+    // AQE prints the initial plan after the final one — count scans in
+    // the final (executed) section only
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).size === 1,
+      s"certified path must scan the corpus exactly once:\n$finalPlan")
+  }
+
+  test("q103's embedded margin check raises when the vocab overflows the capacity") {
+    import spark.implicits._
+    // 70_000 distinct near-uniform tokens (each once) overflow the 1<<16
+    // capacity — err > 0 voids the certificate — plus one common token
+    // so the compacted sketch keeps non-empty candidates and the PASS-2
+    // bound guard is what fires: counts at/below the non-candidate bound
+    // can't prove the top-20 exact, so the plan must refuse rather than
+    // return a silently-maybe-wrong answer
+    val dir = java.nio.file.Files.createTempDirectory("graft_q103_huge").toString
+    (1 to 70).map { d =>
+      val t0 = (d - 1) * 1000
+      (d.toLong,
+        (Seq.fill(30)("common_tok") ++ (1 to 1000).map(i => s"tok_${t0 + i}"))
+          .mkString(" "))
+    }.toDF("doc_id", "text")
       .write.parquet(s"$dir/documents.parquet")
     val e = intercept[Exception] {
       graft.operators.TextOps.qHeavyHitters(spark, dir).collect()
@@ -206,6 +241,34 @@ class FrequentItemsSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("q103 MG safety margin violated")),
       s"wrong failure: $e")
+  }
+
+  test("qHeavyHittersTwoPass stays exact where the single-pass certificate overflows") {
+    import spark.implicits._
+    // 70_000 distinct singletons overflow the 1<<16 capacity (so the
+    // certified single pass refuses), but 25 genuinely common tokens
+    // clear the two-pass candidate bound by miles — the eager
+    // sketch-then-recount fallback must return their exact top-20 where
+    // qHeavyHitters raises. This is the 100 TB huge-key-domain shape.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q103_2p").toString
+    val commons = (0 until 25).map(i => f"common_$i%02d")
+    (1 to 70).map { d =>
+      val t0 = (d - 1) * 1000
+      (d.toLong,
+        (commons.flatMap(Seq.fill(30)(_)) ++ (1 to 1000).map(i => s"tok_${t0 + i}"))
+          .mkString(" "))
+    }.toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      graft.operators.TextOps.qHeavyHitters(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("q103 MG safety margin violated")),
+      s"wrong failure: $e")
+    val got = graft.operators.TextOps.qHeavyHittersTwoPass(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === commons.sorted.take(20).map((_, 70L * 30)))
   }
 
   test("mg_freq_text matches the exploded mg_freq spelling bit-for-bit") {

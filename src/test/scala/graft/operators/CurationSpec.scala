@@ -153,12 +153,12 @@ class CurationSpec extends AnyFunSuite {
       rows(Curation.qChunkDedup(spark, dir)))
   }
 
-  test("q114 fused and distributed spellings agree on a guard-passing corpus") {
+  test("q114's three spellings agree on a guard-passing corpus") {
     // per source: 6 distinct tokens with counts 100/90/80/70/60/5 →
-    // n_src = 405, floor 405/65 ≈ 6.2, top-5 all clear it, and 6 < k so
-    // the sketch never evicts — both spellings must return the identical
-    // exact top-5 (the fused path is the scale default; the distributed
-    // path is its >budget fallback)
+    // n_src = 405, floor 405/65 ≈ 6.2, top-5 all clear it, and 6 < cap
+    // so no sketch ever evicts — the certified single pass (the scale
+    // default), the eager two-pass fallback, and the distributed
+    // fallback must return the identical exact top-5
     def srcDocs(src: String, off: Int): Seq[(Long, String, String, Long)] = {
       val text = (1 to 6).flatMap(t =>
         Seq.fill(Seq(100, 90, 80, 70, 60, 5)(t - 1))(s"${src}_tok$t")).mkString(" ")
@@ -168,37 +168,69 @@ class CurationSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>
         (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
-    val fused = rows(Curation.qGroupHeavyHitters(spark, dir))
+    val lazyRows = rows(Curation.qGroupHeavyHitters(spark, dir))
+    val twoPass = rows(Curation.qGroupHeavyHittersTwoPass(spark, dir))
     val dist = rows(Curation.qGroupHeavyHittersDistributed(spark, dir, 64))
-    assert(fused === dist)
-    assert(fused.size === 10) // 5 per source
-    assert(fused.contains(("alpha", 1, "alpha_tok1", 100L)))
-    assert(fused.contains(("beta", 5, "beta_tok5", 60L)))
+    assert(lazyRows === dist)
+    assert(lazyRows === twoPass)
+    assert(lazyRows.size === 10) // 5 per source
+    assert(lazyRows.contains(("alpha", 1, "alpha_tok1", 100L)))
+    assert(lazyRows.contains(("beta", 5, "beta_tok5", 60L)))
   }
 
-  test("q114 tolerates a null source: falls back and raises the guard, never crashes") {
-    // a null source can't key the fused path's literal candidate map —
-    // the builder must route to the distributed spelling, whose
-    // left-join miss reaches the per-source guard (null has no top-5)
+  test("q114 treats a NULL source as just another group, matching the SQL oracle") {
+    // the r13 eager spelling had to refuse NULL sources (a literal
+    // candidate map can't key them); the certified single pass has no
+    // such map, so a NULL-source group returns its true top-5 exactly
+    // like DuckDB's PARTITION BY source does
     val dir = docsDir(Seq((1L, "a a a a a a b c d e f", null, 21L)))
-    val e = intercept[Exception] {
-      Curation.qGroupHeavyHitters(spark, dir).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("q114 MG safety margin violated")),
-      s"wrong failure: $e")
+    val got = Curation.qGroupHeavyHitters(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (None, 1, "a", 6L), (None, 2, "b", 1L), (None, 3, "c", 1L),
+      (None, 4, "d", 1L), (None, 5, "e", 1L)))
   }
 
-  test("q114's per-source margin guard raises when a source breaks the MG floor") {
-    // source "flat": 2000 distinct tokens twice each -> top-5 cnt = 2,
-    // n_src = 4000, 2 * 65 <= 4000 -> exactness unprovable -> must raise
+  test("q114 certifies a near-uniform source exactly when its vocab fits the capacity") {
+    // source "flat": 2000 distinct tokens twice each — under the r13
+    // k=64 sketch this broke the n/(k+1) floor and had to raise; with
+    // the r14 capacity (1<<16) no eviction ever fires, the sketch's
+    // err == 0 certificate proves every count exact, and the query
+    // returns the true top-5 (all cnt 2, ties by token ASC) in a single
+    // certified pass instead of refusing
     val flatDocs = (1 to 200).map { d =>
       val t0 = (d - 1) * 10
       (d.toLong, (1 to 10).map(i => s"tok_${t0 + i} tok_${t0 + i}").mkString(" "),
         "flat", 100L)
     }
     val dir = docsDir(flatDocs)
+    val got = Curation.qGroupHeavyHitters(spark, dir)
+    val rows = got.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val want = (1 to 5).map(i =>
+      ("flat", i, Seq("tok_1", "tok_10", "tok_100", "tok_1000", "tok_1001")(i - 1), 2L))
+    assert(rows.toSeq === want)
+    // and the certified plan must be single-pass: no recount scan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("token_term_counts"),
+      "certified path must not carry the recount scan")
+  }
+
+  test("q114's per-source margin guard raises when a source's vocab overflows the capacity") {
+    // source "huge": 70_000 distinct tokens once each — overflows the
+    // 1<<16 sketch capacity, so err > 0 voids the certificate and the
+    // certified single pass must refuse rather than return
+    // maybe-undercounted estimates (the common token keeps the
+    // compacted sketch non-empty, pinning that the guard fires on the
+    // ARRAY, not via an accidentally-empty explode)
+    val hugeDocs = (1 to 70).map { d =>
+      val t0 = (d - 1) * 1000
+      (d.toLong,
+        (Seq.fill(20)("common_tok") ++ (1 to 1000).map(i => s"tok_${t0 + i}"))
+          .mkString(" "),
+        "huge", 100L)
+    }
+    val dir = docsDir(hugeDocs)
     val e = intercept[Exception] {
       Curation.qGroupHeavyHitters(spark, dir).collect()
     }

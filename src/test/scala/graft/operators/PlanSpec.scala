@@ -95,8 +95,13 @@ class PlanSpec extends AnyFunSuite {
     val p = executedPlan("q81_kll_quantiles")
     assert(p.contains("ObjectHashAggregate"), p)
     assert(p.contains("kll_quantiles"), p)
-    // sketches merge through one shuffle on the group key
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // two shuffles since r14: the sketch merge on the group key, plus the
+    // rank-error certificate's re-rank aggregate (broadcast of the tiny
+    // estimate frame back over lineitem — a BroadcastHashJoin, never a
+    // shuffle join)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q134 star join: pushed segment filter, broadcast customer, TakeOrdered top-k") {

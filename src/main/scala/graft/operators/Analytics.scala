@@ -261,7 +261,10 @@ object Analytics {
     * `bins` rows per map task, never data). The driver maps each target
     * rank to its bin (a `bins`-sized metadata collect, same class as the
     * per-partition counts in [[exactQuantilesBySort]]) and only the
-    * rank-carrying bins — expected n/bins rows — are collected and refined.
+    * rank-carrying bins — expected n/bins rows — are collected and refined,
+    * ALL in one batched job per level (r14: rows carry their region
+    * ordinal via a disjoint when-chain, so nine decile boundaries cost
+    * the same two jobs a single median does, not a job per bin).
     * A bin still over `collectBudget` rows (mass piled on a narrow range)
     * recurses with the same binning inside the bin's observed [min, max]:
     * depth is log_bins(n/collectBudget), so 10^12 rows resolve in ≤3
@@ -285,41 +288,86 @@ object Analytics {
         if (n == 0) probs.indices.map(_ => lit(null).cast("double"))
         else {
           // Resolve each wanted 0-based global rank to its exact value by
-          // narrowing (predicate, lo, hi, region ranks) regions.
-          def solve(pred: org.apache.spark.sql.Column, lo: Double, hi: Double,
-              cnt: Long, ranks: Seq[Long], depth: Int): Map[Long, Double] =
-            if (ranks.isEmpty) Map.empty
-            else if (lo == hi) ranks.map(_ -> lo).toMap
-            else if (cnt <= collectBudget || depth >= 6) {
-              // depth 6 = bins^6 ≈ 10^23 splits; only adversarial fp
-              // distributions reach it — collect then, loudly bounded.
-              val sorted = vals.where(pred).collect().map(_.getDouble(0)).sorted
-              ranks.map(r => r -> sorted(r.toInt)).toMap
-            } else {
-              val w = (hi - lo) / bins
-              val idx = greatest(lit(0), least(lit(bins - 1),
-                floor((col("v") - lit(lo)) / lit(w)).cast("int")))
-              val hist = vals.where(pred)
-                .groupBy(idx.as("b"))
-                .agg(count(lit(1)).as("c"), min(col("v")).as("bmn"), max(col("v")).as("bmx"))
-                .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
-                .sortBy(_._1)
-              val starts = hist.scanLeft(0L)(_ + _._2._1) // region-start rank per bin
-              val byBin = ranks.groupBy { r =>
-                starts.lastIndexWhere(_ <= r, starts.length - 2)
-              }
-              byBin.toSeq.flatMap { case (bi, rs) =>
-                val (b, (c, bmn, bmx)) = hist(bi)
-                solve(pred && idx === lit(b), bmn, bmx, c,
-                  rs.map(_ - starts(bi)).sorted, depth + 1)
-                  .map { case (local, v) => (local + starts(bi)) -> v }
-              }.toMap
-            }
+          // narrowing (predicate, lo, hi, region ranks) regions — BATCHED
+          // per level (r14): every active region at a depth shares ONE
+          // histogram job and every collect-sized region shares ONE leaf
+          // job, the rows tagged with their region ordinal by a disjoint
+          // when-chain. The r13 shape paid one driver-coordinated job per
+          // rank-carrying bin, which made the 9-boundary decile query
+          // (q177) an ~18-job chain of scheduler floors; now a level
+          // costs ≤2 jobs however many boundaries refine.
+          case class Region(pred: org.apache.spark.sql.Column, lo: Double,
+            hi: Double, cnt: Long, ranks: Seq[(Long, Long)]) // (global, local)
+          def tagOf(rs: Seq[Region]): org.apache.spark.sql.Column =
+            rs.zipWithIndex.tail
+              .foldLeft(when(rs.head.pred, 0)) { case (acc, (r, i)) =>
+                acc.when(r.pred, i) }
+              .otherwise(-1)
+          var found = Map.empty[Long, Double]
           val wanted = probs.flatMap { p =>
             val pos = p * (n - 1)
             Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
           }.distinct.sorted
-          val found = solve(lit(true), head.getDouble(1), head.getDouble(2), n, wanted, 0)
+          var regions = List(Region(lit(true), head.getDouble(1),
+            head.getDouble(2), n, wanted.map(r => (r, r))))
+          var depth = 0
+          while (regions.nonEmpty) {
+            // a constant region (all values equal) resolves driver-side
+            val (const, rest) = regions.partition(r => r.lo == r.hi)
+            const.foreach(r => r.ranks.foreach { case (g, _) =>
+              found += g -> r.lo })
+            // depth 6 = bins^6 ≈ 10^23 splits; only adversarial fp
+            // distributions reach it — collect then, loudly bounded.
+            val (small, large) =
+              rest.partition(r => r.cnt <= collectBudget || depth >= 6)
+            if (small.nonEmpty) {
+              val byTag = vals
+                .select(tagOf(small).as("t"), col("v"))
+                .where(col("t") >= 0)
+                .collect().map(r => (r.getInt(0), r.getDouble(1)))
+                .groupBy(_._1)
+              small.zipWithIndex.foreach { case (r, i) =>
+                val sorted = byTag.getOrElse(i, Array.empty).map(_._2).sorted
+                r.ranks.foreach { case (g, l) => found += g -> sorted(l.toInt) }
+              }
+            }
+            regions = if (large.isEmpty) Nil else {
+              // one batched histogram over all still-large regions: each
+              // row computes its own region's fixed-width bin index
+              def idxIn(r: Region) = {
+                val w = (r.hi - r.lo) / bins
+                greatest(lit(0), least(lit(bins - 1),
+                  floor((col("v") - lit(r.lo)) / lit(w)).cast("int")))
+              }
+              val binCol = large.zipWithIndex.tail
+                .foldLeft(when(large.head.pred, idxIn(large.head))) {
+                  case (acc, (r, i)) => acc.when(r.pred, idxIn(r)) }
+                .otherwise(-1)
+              val hist = vals
+                .select(tagOf(large).as("t"), binCol.as("b"), col("v"))
+                .where(col("t") >= 0)
+                .groupBy(col("t"), col("b"))
+                .agg(count(lit(1)).as("c"), min(col("v")).as("bmn"),
+                  max(col("v")).as("bmx"))
+                .collect()
+                .map(r => (r.getInt(0), r.getInt(1),
+                  (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+              large.zipWithIndex.flatMap { case (r, i) =>
+                val hs = hist.collect { case (t, b, v) if t == i => (b, v) }
+                  .sortBy(_._1)
+                val starts = hs.scanLeft(0L)(_ + _._2._1)
+                val byBin = r.ranks.groupBy { case (_, l) =>
+                  starts.lastIndexWhere(_ <= l, starts.length - 2)
+                }
+                byBin.toSeq.map { case (bi, rs) =>
+                  val (b, (c, bmn, bmx)) = hs(bi)
+                  Region(r.pred && idxIn(r) === lit(b), bmn, bmx, c,
+                    rs.map { case (g, l) => (g, l - starts(bi)) })
+                }
+              }.toList
+            }
+            depth += 1
+          }
           probs.map { p =>
             val pos = p * (n - 1)
             val (lo, hi) = (found(math.floor(pos).toLong), found(math.ceil(pos).toLong))

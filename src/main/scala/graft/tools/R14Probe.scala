@@ -45,3 +45,36 @@ object R14Probe {
     spark.stop()
   }
 }
+
+/** q177 decomposition: times the three component jobs of the batched
+  * histogram-refinement selection separately on lineitem.
+  * Usage: runMain graft.tools.R14Probe2 <sfDir>
+  */
+object R14Probe2 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val l = Tables.load(spark, dir, "lineitem")
+    val vals = l.select(col("l_extendedprice").cast("double").as("v"))
+      .where(col("v").isNotNull)
+    time("head_agg_nocache")(vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head())
+    vals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("head_agg_cached")(vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head())
+    val bins = 8192
+    val idx = greatest(lit(0), least(lit(bins - 1),
+      floor((col("v") - lit(900.0)) / lit(12.0)).cast("int")))
+    time("hist_cached")(vals.groupBy(idx.as("b"))
+      .agg(count(lit(1)), min(col("v")), max(col("v"))).collect())
+    time("leaf_collect_cached")(vals
+      .select(when(idx === 100, 0).when(idx === 200, 1).when(idx === 300, 2)
+        .when(idx === 400, 3).when(idx === 500, 4).when(idx === 600, 5)
+        .when(idx === 700, 6).when(idx === 800, 7).when(idx === 900, 8)
+        .otherwise(-1).as("t"), col("v"))
+      .where(col("t") >= 0).collect())
+    vals.unpersist()
+    time("q177_full")(graft.SparkEntry.queries("q177_equidepth_deciles")(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -76,8 +76,16 @@ def build_temporal10x(out, factor=10):
           f" o.o_custkey + t.i*{KEY_SHIFT} AS o_custkey,"
           " o.* EXCLUDE (o_orderkey, o_custkey)"
           " FROM read_parquet('{src}') o", factor)
+    # r14: lineitem rides along 10x (shifted order keys, all value columns
+    # verbatim) for the quantile-family scale rows (q177). No previously
+    # anchored temporal row reads lineitem, so this extends the corpus
+    # without de-anchoring events/orders.
+    nfold(con, f"{SF_DIR}/lineitem.parquet", f"{out}/lineitem.parquet",
+          f"SELECT l.l_orderkey + t.i*{ID_SHIFT} AS l_orderkey,"
+          " l.* EXCLUDE (l_orderkey)"
+          " FROM read_parquet('{src}') l", factor)
     for t in TABLES:
-        if t not in ("events", "orders"):
+        if t not in ("events", "orders", "lineitem"):
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
 
 

@@ -78,3 +78,25 @@ object R14Probe2 {
     spark.stop()
   }
 }
+
+/** One-shot 100× sweep: runs each named query ONCE (cold JVM, warm FS) —
+  * the right method for multi-minute scale points where Profile's
+  * warmup+3-reps would quadruple the cost and the floor is irrelevant.
+  * Usage: runMain graft.tools.Probe100x <sfDir> <query...>
+  */
+object Probe100x {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach { name =>
+      val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly)(name)
+      val t0 = System.nanoTime()
+      val cnt = fn(spark, dir).count()
+      println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

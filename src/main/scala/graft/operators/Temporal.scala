@@ -152,16 +152,55 @@ object Temporal {
   /** For every event, the priority of the user's latest ORDER at or before
     * the event time ('none' when the user has no prior orders) — the
     * classic "dimension state as of the event" enrichment — rolled up to
-    * counts. Union + forward-fill: orders and events interleave on one
-    * per-key timeline; `last(ignoreNulls)` carries the most recent order
-    * attribute forward to each event row.
+    * counts, via the compact-history [[asofLatest]] (per-customer order
+    * history is dimension-bounded).
     */
   /** Generic as-of core: probe rows (k, t_ns) each enriched with the
     * `attr` of the latest build row (k, t_ns, attr) at or before it
     * (null when none). Same-instant build rows are visible to the probe;
     * equal-time builds tiebreak on attr for a deterministic total order.
+    *
+    * Compact-history join (r15, was union + forward-fill — kept below as
+    * [[asofLatestStreamed]]): the build side folds to one (t_ns, attr)
+    * array per key — dimension-sized, not event-sized — and each probe
+    * row takes the lexicographic max of its at-or-before prefix:
+    * `array_max(filter(...))` IS "latest t, then max attr" under struct
+    * ordering, needs no per-key sort at build time, and is NULL on an
+    * empty prefix (ANSI off, Session.scala), which IS the "no prior
+    * build" answer.
+    *
+    * Scale shape: ONE shuffle of the build stream (group to histories);
+    * the probe stream is never sorted — it hash-joins the compacted
+    * histories (AQE upgrades to broadcast when they fit, which a
+    * dimension-state table does), so the big side stays a straight scan.
+    * The old spelling shuffled AND sorted build+probe together; this one
+    * replaces that O((|b|+|p|) log) per-key sort with O(|b| log h) local
+    * array sorts. Assumes per-key history fits one array buffer — true
+    * for "dimension state as of the event" enrichment (orders per
+    * customer); for unbounded per-key histories use
+    * [[asofLatestStreamed]].
     */
   def asofLatest(build: DataFrame, probe: DataFrame): DataFrame = {
+    val hist = build.groupBy(col("k"))
+      .agg(collect_list(struct(col("t_ns"), col("attr"))).as("hist"))
+    // shuffle-hash, histories as build side: sorting either stream buys
+    // nothing (the per-row lookup is an array probe), and the history
+    // side is the bounded one; AQE still upgrades to broadcast when the
+    // compacted dimension fits
+    probe.join(hist.hint("shuffle_hash"), Seq("k"), "left")
+      .select(col("k"), col("t_ns"),
+        array_max(filter(col("hist"),
+          e => e.getField("t_ns") <= col("t_ns")))
+          .getField("attr").as("last_attr"))
+  }
+
+  /** Union + forward-fill as-of (the r14 spelling): build and probe
+    * interleave on one per-key timeline and `last(ignoreNulls)` carries
+    * the latest build attr forward. One wide sort over build+probe — use
+    * when per-key build histories are too large to hold as arrays;
+    * row-for-row equivalent to [[asofLatest]] (parity spec-pinned).
+    */
+  def asofLatestStreamed(build: DataFrame, probe: DataFrame): DataFrame = {
     val b = build.select(col("k"), col("t_ns"), col("attr"), lit(0).as("is_probe"))
     val p = probe.select(col("k"), col("t_ns"),
       lit(null).cast("string").as("attr"), lit(1).as("is_probe"))
@@ -789,17 +828,24 @@ object Temporal {
       .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
       .agg(dsum(col("value")).as("v"))
       .persist()
-    val grid = daily.groupBy(col("event_type"))
-      .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
-      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day_idx"))
-    val full = grid.join(daily, Seq("event_type", "day_idx"), "left")
-      .na.fill(0.0, Seq("v"))
-    val stats = full.groupBy(col("event_type")).agg(
-      count(lit(1)).cast("double").as("n"),
+    // Day-span AND moments in ONE agg over the (persisted, tiny) daily
+    // frame (r15, was two passes with the second one re-deriving the
+    // grid join): gap days enter both decimal sums as exact zeros and
+    // the grid row count is just the span, so stats over the gap-filled
+    // grid ≡ stats over daily + (mx-mn+1) — bit-identical, one pass.
+    val stats = daily.groupBy(col("event_type")).agg(
+      min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"),
       sum(col("v").cast(DecimalType(18, 6))).cast("double").as("sv"),
       sum(round(col("v") * col("v"), 6).cast(DecimalType(28, 6)))
         .cast("double").as("ssv"))
-    val withZ = full.join(broadcast(stats), Seq("event_type"))
+      .withColumn("n", (col("mx") - col("mn") + 1).cast("double"))
+    // the moments ride THROUGH the grid explode — every grid row already
+    // carries its type's n/sv/ssv, so no re-join (and no second stats
+    // evaluation) is needed downstream
+    val grid = stats.select(col("event_type"), col("n"), col("sv"), col("ssv"),
+      explode(expr("sequence(mn, mx)")).as("day_idx"))
+    val withZ = grid.join(daily, Seq("event_type", "day_idx"), "left")
+      .na.fill(0.0, Seq("v"))
       .withColumn("mean", col("sv") / col("n"))
       .withColumn("variance", col("ssv") / col("n") - col("mean") * col("mean"))
       .where(col("variance") > 0.0)
@@ -885,16 +931,18 @@ object Temporal {
       .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
       .agg(dsum(col("value")).as("v"))
       .persist()
-    val grid = daily.groupBy(col("event_type"))
-      .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
-      .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day_idx"))
-    val full = grid.join(daily, Seq("event_type", "day_idx"), "left")
-      .na.fill(0.0, Seq("v"))
-    val stats = full.groupBy(col("event_type")).agg(
-      count(lit(1)).cast("double").as("n"),
+    // same one-pass span+moment fusion as q164 (gap days are exact zeros
+    // in the decimal sum; the grid count is the span)
+    val stats = daily.groupBy(col("event_type")).agg(
+      min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"),
       sum(col("v").cast(DecimalType(18, 6))).cast("double").as("sv"))
+      .withColumn("n", (col("mx") - col("mn") + 1).cast("double"))
+    // mean components ride through the explode — no re-join (see q164)
+    val grid = stats.select(col("event_type"), col("n"), col("sv"),
+      explode(expr("sequence(mn, mx)")).as("day_idx"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
-    val withD = full.join(broadcast(stats), Seq("event_type"))
+    val withD = grid.join(daily, Seq("event_type", "day_idx"), "left")
+      .na.fill(0.0, Seq("v"))
       .withColumn("d", round(col("v") - col("sv") / col("n"), 6))
     val withLeads = (1 to 7).foldLeft(withD) { (df, k) =>
       df.withColumn(s"d$k", lead(col("d"), k).over(w))

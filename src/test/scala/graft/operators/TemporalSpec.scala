@@ -55,7 +55,27 @@ class TemporalSpec extends AnyFunSuite {
     val build = Seq((1L, 10L, "X"), (1L, 10L, "Y")).toDF("k", "t_ns", "attr")
     val probe = Seq((1L, 11L)).toDF("k", "t_ns")
     val got = Temporal.asofLatest(build, probe).collect().head.getString(2)
-    assert(got == "Y") // attr ascending → last row wins
+    assert(got == "Y") // lexicographic history → max attr wins the tie
+  }
+
+  test("asofLatest and asofLatestStreamed are row-for-row equivalent") {
+    import spark.implicits._
+    // crafted to hit every branch: same-instant build+probe, equal-time
+    // build ties, probe-before-first, keys missing from either side
+    val build = Seq(
+      (1L, 10L, "A"), (1L, 10L, "B"), (1L, 20L, "C"),
+      (2L, 100L, "D"), (4L, 7L, "E")).toDF("k", "t_ns", "attr")
+    val probe = Seq(
+      (1L, 5L), (1L, 10L), (1L, 15L), (1L, 20L), (1L, 99L),
+      (2L, 99L), (2L, 100L), (3L, 50L)).toDF("k", "t_ns")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+    assert(rows(Temporal.asofLatest(build, probe)) ==
+      rows(Temporal.asofLatestStreamed(build, probe)))
+    // and the fixed points, independent of either implementation
+    val got = rows(Temporal.asofLatest(build, probe))
+    assert(got.contains((1L, 10L, Some("B")))) // same instant, tie → max attr
+    assert(got.contains((1L, 5L, None)))
   }
 
   test("merge upsert resolves carry/update/insert/delete to the hand-computed rollup") {

@@ -68,6 +68,20 @@ object Bench {
       .distinct.sortBy(n => -bestOf.getOrElse(n, 0.0)).take(cap)
   }
 
+  /** Pure sweep-level window rule (unit-tested in BenchSpec; VERDICT r14
+    * #1): a whole SWEEP is "hot" when the number of spread-flagged
+    * queries says the box, not any one query, was turbulent — idle
+    * ledgers (r12/r13 dev pairs) carry 0–2 flags, the r14 hot-window
+    * record carried 24. A hot first pass earns one bounded cooldown
+    * before the deferred retry pass (so the retries actually escape the
+    * window instead of re-sampling it), and the final ledger is stamped
+    * `window:"hot"` when the folded record STILL shows sweep-wide
+    * turbulence — a turbulent window can never again masquerade as a
+    * clean round record.
+    */
+  def windowOf(nSpreadFlags: Int, threshold: Int = 8): String =
+    if (nSpreadFlags >= threshold) "hot" else "idle"
+
   /** Pure fold of first-pass + retry observations into the reported
     * per-query value (overall minimum) and the emitted med/min spreads
     * (only non-degenerate ones — spread >1.5 on a >0.1 s best — so the
@@ -155,6 +169,14 @@ object Bench {
     // (heavyOf) catches a window that inflated ALL THREE runs uniformly —
     // no spread, but the absolute sits far above the sweep's own median.
     val candidates = retryCandidatesOf(firstPass)
+    // Sweep-level window guard (r15): when the first pass itself was hot
+    // (many queries spread-flagged), retrying immediately just re-samples
+    // the same window — cool down first, bounded, and record that we did.
+    val firstPassFlags = turbulentOf(firstPass, cap = Int.MaxValue).size
+    val cooldownSec =
+      if (windowOf(firstPassFlags) == "hot" && sys.env.get("SPARK_GRAFT_NO_COOLDOWN").isEmpty) 120
+      else 0
+    if (cooldownSec > 0) Thread.sleep(cooldownSec * 1000L)
     val lookup = all.toMap
     val retried = candidates.flatMap { name =>
       measure(name, lookup(name), recordErr = false).map(name -> _)
@@ -197,8 +219,11 @@ object Bench {
     // floor/retried/errors tail — with this order a truncated prefix
     // still carries totals, floor, error count, and the retry list.
     val nErr = errs.size
+    // window stamp: computed from the FOLDED record (retries included) —
+    // the classification the ledger's numbers actually carry
+    val window = windowOf(spreads.size)
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"n_queries":${results.size},"n_errors":$nErr,"retried":$rt,"errors":$es,"spread_med_over_min":$sp,"queries":$qs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"retried":$rt,"errors":$es,"spread_med_over_min":$sp,"queries":$qs}"""
     // r14 (VERDICT r13 #4/#6): the driver's capture keeps only the LAST
     // ~2000 characters of stdout, and the full line is ~4 KB — whatever
     // key order, a 2000-char tail of it is an unparseable mid-map
@@ -207,7 +232,7 @@ object Bench {
     // with complete, parseable totals. The file (SPARK_GRAFT_BENCH_OUT)
     // keeps the single full line — the dev-pair tooling's format.
     val summary =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"n_queries":${results.size},"n_errors":$nErr,"note":"headline echo; full per-query map on the previous stdout line and in $outPath"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"note":"headline echo; full per-query map on the previous stdout line and in $outPath"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // Stop BEFORE printing so the JSON is the forked JVM's final stdout
     // output — nothing (shutdown logs, progress noise) can land after it.

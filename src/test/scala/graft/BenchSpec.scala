@@ -90,4 +90,12 @@ class BenchSpec extends AnyFunSuite {
     assert(results.toMap.apply("spiky") == 0.7)
     assert(spreads.toMap.apply("spiky") > 5.0) // med 4.4 over min 0.7
   }
+
+  test("windowOf: idle ledgers (0-2 flags) stay idle, the r14-shaped sweep (24) stamps hot") {
+    assert(Bench.windowOf(0) == "idle")
+    assert(Bench.windowOf(2) == "idle")
+    assert(Bench.windowOf(7) == "idle")
+    assert(Bench.windowOf(8) == "hot") // threshold inclusive
+    assert(Bench.windowOf(24) == "hot")
+  }
 }

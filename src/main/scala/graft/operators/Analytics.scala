@@ -124,10 +124,13 @@ object Analytics {
       |GROUP BY c_mktsegment""".stripMargin
 
   /** U3: EXCEPT set difference on projected keys (orders with no returned
-    * line item).
+    * line item). No pre-distinct on either side: EXCEPT semantics dedupe
+    * the left side already (Spark compiles it to aggregate-over-anti-join),
+    * so a `.distinct()` here would pay a full extra exchange of every key
+    * for nothing (r15 — it did, one of the two remaining floor-class rows).
     */
   def qExcept(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").select(col("o_orderkey").as("okey")).distinct()
+    t(s, dir, "orders").select(col("o_orderkey").as("okey"))
       .except(t(s, dir, "lineitem").where(col("l_returnflag") === "R")
         .select(col("l_orderkey").as("okey")))
 

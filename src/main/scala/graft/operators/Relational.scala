@@ -233,7 +233,10 @@ object Relational {
     val l = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val sup = t(s, dir, "supplier")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    // shuffle-hash on the fact⋈orders leg (r15): the downstream agg hash-
+    // groups regardless, so sort-merge's two sorts are pure waste — hash
+    // build on the (smaller, pruned) orders side, stream lineitem
+    l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
       .where(col("s_name").isNotNull && col("l_returnflag") =!= "N" &&
         col("o_orderdate").isNotNull)

@@ -574,7 +574,10 @@ object Curation {
     // distance for every kept pair (≤ maxDist), so `dist` and the
     // oracle's unbounded spelling agree on the surviving rows.
     keep.select(col("bk"), col("shingle").as("sa"))
-      .join(keep.select(col("bk"), col("shingle").as("sb")), Seq("bk"))
+      .join(keep.select(col("bk"), col("shingle").as("sb"))
+        // shuffle_hash: block self-joins partition by the block key,
+        // never broadcast (TextOps r15 note — quadratic output)
+        .hint("shuffle_hash"), Seq("bk"))
       .where(col("sa") < col("sb") &&
         levenshtein(col("sa"), col("sb"), maxDist) >= 0)
       .select(col("sa"), col("sb"))

@@ -154,7 +154,10 @@ object Similarity {
       .select(col("vec_id"), col("bk.band"), col("bk.key"))
       .persist()
     val a = banded.as("a")
-    val b = banded.as("b")
+    // shuffle_hash, never broadcast: bucket self-joins partition by the
+    // bucket key — a size-based broadcast would pin the quadratic pair
+    // expansion to the probe side's partitioning (TextOps r15 note)
+    val b = banded.as("b").hint("shuffle_hash")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))

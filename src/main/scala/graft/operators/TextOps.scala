@@ -318,7 +318,12 @@ object TextOps {
       .persist()
     banded.count() // eager fill — see minhashCandidates
     val a = banded.as("a")
-    val b = banded.as("b")
+    // shuffle_hash, never broadcast (r15): a banded self-join's OUTPUT is
+    // quadratic in bucket df, so the plan must partition by the bucket key
+    // — a size-based broadcast (the banded frame can look tiny to the
+    // planner) would glue the pair expansion AND its aggregate to the
+    // probe side's partitioning: one task on a single-split corpus
+    val b = banded.as("b").hint("shuffle_hash")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -421,7 +426,9 @@ object TextOps {
     // and re-run the corpus-sized signature aggregate per side
     banded.count()
     val a = banded.as("a")
-    val b = banded.as("b")
+    // shuffle_hash: see qSimhashNearDupPairsGeneric — candidate self-joins
+    // partition by bucket key, never broadcast
+    val b = banded.as("b").hint("shuffle_hash")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -460,9 +467,33 @@ object TextOps {
       .select(col("shingle"))
     val keep = sh.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
     val sizes = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = keep.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = keep.select(col("doc_id").as("doc_b"), col("shingle"))
+    // Partition count sized to the pair EXPANSION, not the input (r15):
+    // the self-join's output is Σ df² — ~100× its input on a 10× corpus —
+    // and the pair groups are near-distinct, so each map-side partial
+    // aggregate holds ~all of its partition's pairs. At the session
+    // default (cores) partitions the partial maps exceed task memory and
+    // thrash through spill-rebuild cycles (measured: ~80% of the query's
+    // CPU); at 4× cores each map fits and the same aggregate runs clean.
+    // Explicit N also pins the join OFF the broadcast path — a size-based
+    // broadcast (the corpus parquet can sit under the 10 MB threshold)
+    // would glue the whole expansion to the stream side's partitioning:
+    // ONE task on a single-split file, measured as a 21-CPU-minute
+    // 5 GB-spill runaway. Partitioning by shingle, sized to the output,
+    // is the only shape that scales.
+    val parts = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    val keyed = keep.repartition(parts, col("shingle"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("shingle"))
+      .hint("merge")
     a.join(b, Seq("shingle")).where(col("doc_a") < col("doc_b"))
+      // explicit wide exchange on the pair key BEFORE the aggregate: the
+      // session-default partition count is a ceiling under AQE (it can
+      // only coalesce), so the 113M-group final aggregate would otherwise
+      // run at ≤cores partitions with >100 MB hash maps per task; raw
+      // pairs shuffle +22% more rows, but every aggregate map fits and
+      // the map-side partial agg (useless at ~1.2 rows/group) disappears
+      // below the exchange
+      .repartition(parts, col("doc_a"), col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
@@ -562,7 +593,7 @@ object TextOps {
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
       .select(col("doc_id"), col("bv"), col("bk.b"), col("bk.k"))
-    banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y").hint("shuffle_hash"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -608,7 +639,7 @@ object TextOps {
       explode(array((0 until MinhashBands).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.b"), col("bk.k"))
-    banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y").hint("shuffle_hash"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -2133,7 +2164,7 @@ object TextOps {
       explode(array((0 until MinhashBands).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.b"), col("bk.k"))
-    val cand = banded.as("x").join(banded.as("y"),
+    val cand = banded.as("x").join(banded.as("y").hint("shuffle_hash"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -2153,7 +2184,8 @@ object TextOps {
     val keep = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").persist()
     val sizes = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = keep.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(keep.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("shingle"))
+        .hint("merge"), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     est

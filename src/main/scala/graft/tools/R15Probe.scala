@@ -53,3 +53,54 @@ object R15Probe {
     spark.stop()
   }
 }
+
+/** q49 pair-join parallelism probe: counts tasks per stage while running
+  * jaccardPairs at 10x — confirms/refutes AQE coalescing collapsing the
+  * posting-list self-join (whose OUTPUT is ~100x its input) to one task.
+  * Usage: runMain graft.tools.R15Probe2 <docsDir>
+  */
+object R15Probe2 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        stages.put(i.stageId, (i.numTasks, i.taskMetrics.executorRunTime))
+      }
+    })
+    val t0 = System.nanoTime()
+    val n = graft.operators.TextOps.jaccardPairs(
+      graft.Tables.load(spark, dir, "documents")).count()
+    println(f"== jaccardPairs: ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
+    stages.forEach { (id, v) =>
+      println(f"   stage $id%3d tasks=${v._1}%4d runtime=${v._2}%8d ms")
+    }
+    spark.stop()
+  }
+}
+
+/** Same as R15Probe2 but with AQE partition coalescing DISABLED — the
+  * A/B for the hypothesis that size-based coalescing collapses the
+  * pair-explosive self-join to one task.
+  * Usage: runMain graft.tools.R15Probe3 <docsDir>
+  */
+object R15Probe3 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Session.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    val n = graft.operators.TextOps.jaccardPairs(
+      graft.Tables.load(spark, dir, "documents")).count()
+    println(f"== jaccardPairs(noCoalesce): ${(System.nanoTime() - t0) / 1e9}%.1fs rows=$n")
+    spark.stop()
+  }
+}

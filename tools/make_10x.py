@@ -51,15 +51,24 @@ def nfold(con, src, dst, select_shifted, factor):
     """)
 
 
-def build_docs10x(out, factor=10):
+def build_docs10x(out, factor=10, indep=False):
+    """Duplication corpus (default): copies share the vocabulary, so every
+    shingle's df scales by `factor` and pair-family work grows ~factor² —
+    the super-linear robustness test. indep=True prefixes each copy's text
+    with a copy tag, shifting the whole shingle vocabulary per copy:
+    `factor` independent populations, pair-family work grows ~linearly —
+    the 100× LINEARITY corpus (at factor=100 the duplication construction
+    would be a 10,000× work test, not a scale-up test).
+    """
     con = duckdb.connect()
     mx = con.execute(
         f"SELECT max(doc_id) FROM read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchone()[0]
+    text = "'c' || t.i || ' ' || d.text" if indep else "d.text"
     nfold(con, f"{SF_DIR}/documents.parquet", f"{out}/documents.parquet",
-          "SELECT d.doc_id + t.i*({mx}+1) AS doc_id, d.text, d.lang,"
+          "SELECT d.doc_id + t.i*({mx}+1) AS doc_id, {text} AS text, d.lang,"
           " d.source, d.n_chars FROM read_parquet('{src}') d"
-          .replace("{mx}", str(mx)), factor)
+          .replace("{mx}", str(mx)).replace("{text}", text), factor)
     for t in TABLES:
         if t != "documents":
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
@@ -110,8 +119,10 @@ if __name__ == "__main__":
         assert _mx < _shift, (
             f"max({_tbl}.{_col}) = {_mx} >= per-copy shift {_shift}: "
             "copies would overlap; raise the shift constants")
+    indep = "--indep" in sys.argv
     os.makedirs(docs, exist_ok=True)
     os.makedirs(temp, exist_ok=True)
-    build_docs10x(docs, factor)
+    build_docs10x(docs, factor, indep=indep)
     build_temporal10x(temp, factor)
-    print(f"built {docs} (documents x{factor}) and {temp} (events+orders x{factor})")
+    mode = "independent-population" if indep else "duplication"
+    print(f"built {docs} (documents x{factor}, {mode}) and {temp} (events+orders x{factor})")

@@ -54,17 +54,24 @@ def nfold(con, src, dst, select_shifted, factor):
 def build_docs10x(out, factor=10, indep=False):
     """Duplication corpus (default): copies share the vocabulary, so every
     shingle's df scales by `factor` and pair-family work grows ~factor² —
-    the super-linear robustness test. indep=True prefixes each copy's text
-    with a copy tag, shifting the whole shingle vocabulary per copy:
-    `factor` independent populations, pair-family work grows ~linearly —
-    the 100× LINEARITY corpus (at factor=100 the duplication construction
-    would be a 10,000× work test, not a scale-up test).
+    the super-linear robustness test. indep=True suffixes EVERY TOKEN of
+    each copy's text with the copy index — a PREFIX tag would only shift
+    the first shingle window, every interior shingle would still be
+    shared across copies and pair work would stay quadratic (measured as
+    a disk-filling shuffle before this fix). With the whole vocabulary
+    shifted per copy the corpus is `factor` independent populations and
+    pair-family work grows ~linearly — the 100× LINEARITY corpus (at
+    factor=100 the duplication construction would be a 10,000× work
+    test, not a scale-up test).
     """
     con = duckdb.connect()
     mx = con.execute(
         f"SELECT max(doc_id) FROM read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchone()[0]
-    text = "'c' || t.i || ' ' || d.text" if indep else "d.text"
+    # regexp_replace, not a list_transform lambda: DuckDB's binder cannot
+    # correlate the LATERAL's t.i inside a lambda body
+    text = (r"regexp_replace(d.text, '(\S+)', '\1_' || t.i, 'g')"
+            if indep else "d.text")
     nfold(con, f"{SF_DIR}/documents.parquet", f"{out}/documents.parquet",
           "SELECT d.doc_id + t.i*({mx}+1) AS doc_id, {text} AS text, d.lang,"
           " d.source, d.n_chars FROM read_parquet('{src}') d"

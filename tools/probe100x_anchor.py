@@ -53,7 +53,18 @@ def main():
             if out.returncode != 0:
                 print(f"== {name}: ERROR {out.stderr.strip()[:200]}")
             else:
-                r = json.loads(out.stdout.strip().splitlines()[-1])
+                # duckdb can emit progress noise on stdout; take the last
+                # line that parses as JSON
+                r = None
+                for ln in reversed(out.stdout.strip().splitlines()):
+                    try:
+                        r = json.loads(ln)
+                        break
+                    except ValueError:
+                        continue
+                if r is None:
+                    print(f"== {name}: UNPARSEABLE {out.stdout[-200:]!r}")
+                    continue
                 print(f"== {name}: best {r['best']:.2f}s of "
                       f"{[round(t, 2) for t in r['runs']]}")
         except subprocess.TimeoutExpired:

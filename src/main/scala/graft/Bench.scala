@@ -220,10 +220,16 @@ object Bench {
     // still carries totals, floor, error count, and the retry list.
     val nErr = errs.size
     // window stamp: computed from the FOLDED record (retries included) —
-    // the classification the ledger's numbers actually carry
+    // the classification the ledger's numbers actually carry. The
+    // cooldown was triggered by a DIFFERENT count (firstPassFlags:
+    // turbulentOf's ≥2× spread on >0.25 s bests, before retries), so
+    // both counts are emitted — n_spread_flags explains `window`,
+    // n_first_pass_flags explains `cooldown_sec`; a sweep can
+    // legitimately stamp hot without having cooled down (late-onset
+    // turbulence) or cool down then stamp idle (retries escaped it)
     val window = windowOf(spreads.size)
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"retried":$rt,"errors":$es,"spread_med_over_min":$sp,"queries":$qs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"n_first_pass_flags":$firstPassFlags,"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"retried":$rt,"errors":$es,"spread_med_over_min":$sp,"queries":$qs}"""
     // r14 (VERDICT r13 #4/#6): the driver's capture keeps only the LAST
     // ~2000 characters of stdout, and the full line is ~4 KB — whatever
     // key order, a 2000-char tail of it is an unparseable mid-map
@@ -232,7 +238,7 @@ object Bench {
     // with complete, parseable totals. The file (SPARK_GRAFT_BENCH_OUT)
     // keeps the single full line — the dev-pair tooling's format.
     val summary =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"note":"headline echo; full per-query map on the previous stdout line and in $outPath"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"n_first_pass_flags":$firstPassFlags,"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"note":"headline echo; full per-query map on the previous stdout line and in $outPath"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     // Stop BEFORE printing so the JSON is the forked JVM's final stdout
     // output — nothing (shutdown logs, progress noise) can land after it.

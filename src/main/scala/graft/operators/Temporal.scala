@@ -156,9 +156,13 @@ object Temporal {
     * history is dimension-bounded).
     */
   /** Generic as-of core: probe rows (k, t_ns) each enriched with the
-    * `attr` of the latest build row (k, t_ns, attr) at or before it
-    * (null when none). Same-instant build rows are visible to the probe;
-    * equal-time builds tiebreak on attr for a deterministic total order.
+    * latest NON-NULL `attr` of the build rows (k, t_ns, attr) at or
+    * before it (null when none) — last-known-value semantics: null-attr
+    * build rows are skipped, not carried, so a tombstone does not mask an
+    * earlier reading (and the two spellings below stay row-for-row
+    * equivalent — `last(ignoreNulls)` can never see a build null).
+    * Same-instant build rows are visible to the probe; equal-time builds
+    * tiebreak on attr for a deterministic total order.
     *
     * Compact-history join (r15, was union + forward-fill — kept below as
     * [[asofLatestStreamed]]): the build side folds to one (t_ns, attr)
@@ -171,8 +175,12 @@ object Temporal {
     *
     * Scale shape: ONE shuffle of the build stream (group to histories);
     * the probe stream is never sorted — it hash-joins the compacted
-    * histories (AQE upgrades to broadcast when they fit, which a
-    * dimension-state table does), so the big side stays a straight scan.
+    * histories. The SHUFFLE_HASH hint PINS that shape: JoinSelection
+    * gives an explicit join-strategy hint precedence over size-based
+    * broadcast, under AQE re-planning too (the same precedence the
+    * TextOps r15 no-broadcast pins rely on), so the join never upgrades
+    * to broadcast — a deterministic exchange on k instead of a
+    * size-estimate race, and the probe side is never sorted either way.
     * The old spelling shuffled AND sorted build+probe together; this one
     * replaces that O((|b|+|p|) log) per-key sort with O(|b| log h) local
     * array sorts. Assumes per-key history fits one array buffer — true
@@ -181,12 +189,18 @@ object Temporal {
     * [[asofLatestStreamed]].
     */
   def asofLatest(build: DataFrame, probe: DataFrame): DataFrame = {
-    val hist = build.groupBy(col("k"))
+    // null-attr build rows dropped (last-known-value semantics, see
+    // docstring): array_max would otherwise return the latest row's null
+    // while asofLatestStreamed's last(ignoreNulls) skips it
+    val hist = build.where(col("attr").isNotNull).groupBy(col("k"))
       .agg(collect_list(struct(col("t_ns"), col("attr"))).as("hist"))
     // shuffle-hash, histories as build side: sorting either stream buys
     // nothing (the per-row lookup is an array probe), and the history
-    // side is the bounded one; AQE still upgrades to broadcast when the
-    // compacted dimension fits
+    // side is the bounded one. The hint is a PIN, not a default — an
+    // explicit strategy hint outranks size-based broadcast in
+    // JoinSelection even under AQE re-planning, so the join stays
+    // shuffled-hash at every scale (deterministic cost; drop the hint if
+    // a broadcast upgrade for small dimensions is ever wanted instead)
     probe.join(hist.hint("shuffle_hash"), Seq("k"), "left")
       .select(col("k"), col("t_ns"),
         array_max(filter(col("hist"),
@@ -196,9 +210,12 @@ object Temporal {
 
   /** Union + forward-fill as-of (the r14 spelling): build and probe
     * interleave on one per-key timeline and `last(ignoreNulls)` carries
-    * the latest build attr forward. One wide sort over build+probe — use
-    * when per-key build histories are too large to hold as arrays;
-    * row-for-row equivalent to [[asofLatest]] (parity spec-pinned).
+    * the latest NON-NULL build attr forward (probe rows ride with a null
+    * attr sentinel, so null build attrs are inherently skipped — the
+    * same last-known-value semantics [[asofLatest]] now enforces by
+    * filtering). One wide sort over build+probe — use when per-key build
+    * histories are too large to hold as arrays; row-for-row equivalent
+    * to [[asofLatest]] including null-attr builds (parity spec-pinned).
     */
   def asofLatestStreamed(build: DataFrame, probe: DataFrame): DataFrame = {
     val b = build.select(col("k"), col("t_ns"), col("attr"), lit(0).as("is_probe"))

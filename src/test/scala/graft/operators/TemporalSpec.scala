@@ -61,13 +61,16 @@ class TemporalSpec extends AnyFunSuite {
   test("asofLatest and asofLatestStreamed are row-for-row equivalent") {
     import spark.implicits._
     // crafted to hit every branch: same-instant build+probe, equal-time
-    // build ties, probe-before-first, keys missing from either side
+    // build ties, probe-before-first, keys missing from either side,
+    // null-attr builds (latest row for k=1 t=30 and the ONLY row for
+    // k=5 — last-known-value semantics must skip both, not carry null)
     val build = Seq(
-      (1L, 10L, "A"), (1L, 10L, "B"), (1L, 20L, "C"),
-      (2L, 100L, "D"), (4L, 7L, "E")).toDF("k", "t_ns", "attr")
+      (1L, 10L, Some("A")), (1L, 10L, Some("B")), (1L, 20L, Some("C")),
+      (1L, 30L, None), (2L, 100L, Some("D")), (4L, 7L, Some("E")),
+      (5L, 1L, None)).toDF("k", "t_ns", "attr")
     val probe = Seq(
       (1L, 5L), (1L, 10L), (1L, 15L), (1L, 20L), (1L, 99L),
-      (2L, 99L), (2L, 100L), (3L, 50L)).toDF("k", "t_ns")
+      (2L, 99L), (2L, 100L), (3L, 50L), (5L, 2L)).toDF("k", "t_ns")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
     assert(rows(Temporal.asofLatest(build, probe)) ==
@@ -76,6 +79,8 @@ class TemporalSpec extends AnyFunSuite {
     val got = rows(Temporal.asofLatest(build, probe))
     assert(got.contains((1L, 10L, Some("B")))) // same instant, tie → max attr
     assert(got.contains((1L, 5L, None)))
+    assert(got.contains((1L, 99L, Some("C")))) // null-attr t=30 row skipped
+    assert(got.contains((5L, 2L, None)))       // only build attr is null → none
   }
 
   test("merge upsert resolves carry/update/insert/delete to the hand-computed rollup") {

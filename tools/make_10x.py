@@ -72,10 +72,16 @@ def build_docs10x(out, factor=10, indep=False):
     # correlate the LATERAL's t.i inside a lambda body
     text = (r"regexp_replace(d.text, '(\S+)', '\1_' || t.i, 'g')"
             if indep else "d.text")
+    # n_chars recomputed from the REWRITTEN text under indep (r16,
+    # advisor): the token suffixes grow every line, so a verbatim copy
+    # would silently disagree with length(text) on the independent corpus
+    # and skew any n_chars-family bucketing/sums measured there
+    n_chars = f"length({text})" if indep else "d.n_chars"
     nfold(con, f"{SF_DIR}/documents.parquet", f"{out}/documents.parquet",
           "SELECT d.doc_id + t.i*({mx}+1) AS doc_id, {text} AS text, d.lang,"
-          " d.source, d.n_chars FROM read_parquet('{src}') d"
-          .replace("{mx}", str(mx)).replace("{text}", text), factor)
+          " d.source, {n_chars} AS n_chars FROM read_parquet('{src}') d"
+          .replace("{mx}", str(mx)).replace("{text}", text)
+          .replace("{n_chars}", n_chars), factor)
     for t in TABLES:
         if t != "documents":
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")

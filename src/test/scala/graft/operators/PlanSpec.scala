@@ -287,6 +287,104 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
 
+  // ---- r16: no-broadcast pins for the pair-explosive self-joins ----
+  //
+  // r15 found that a size-based broadcast of a banded/blocked frame glues
+  // the QUADRATIC pair expansion to the probe side's partitioning — one
+  // task on a single-split corpus (a 21-CPU-minute, 5 GB-spill runaway on
+  // q49's posting list). The fix pins every such self-join off the
+  // broadcast path (shuffle_hash/merge hints + output-sized exchanges).
+  // These guards make the pins structural: for each of the six sites the
+  // pair join must plan as ShuffledHashJoin/SortMergeJoin and NEVER
+  // BroadcastHashJoin — checked on BOTH a cold input and a cache-filled
+  // one. The second run is the race dimension that hid the bug for 14
+  // rounds: the builders persist their banded frames, so a repeat call
+  // reuses the filled InMemoryRelation and AQE re-plans with exact
+  // (tiny) size stats — precisely the condition where a size-based
+  // broadcast would fire if the hint lost precedence.
+
+  private def flatPlan(pl: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    pl +: (pl match {
+      case a: AdaptiveSparkPlanExec => flatPlan(a.executedPlan)
+      case q: QueryStageExec        => flatPlan(q.plan)
+      case _                        => pl.children.flatMap(flatPlan)
+    })
+  }
+
+  /** Asserts every INNER equi-join whose key references are exactly
+    * `keyNames` is a shuffled-hash or sort-merge join (never broadcast),
+    * and that at least one such join exists — on a cold and on a
+    * cache-filled input.
+    */
+  private def assertPairJoinPinned(label: String, keyNames: Set[String])(
+      build: () => org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    def check(tag: String): Unit = {
+      val df = build()
+      df.count() // finalize AQE — the executed join choice, not the draft
+      val joins = flatPlan(df.queryExecution.executedPlan)
+        .collect { case j: BaseJoinExec => j }
+      val pairJoins = joins.filter { j =>
+        j.joinType == Inner &&
+          j.leftKeys.flatMap(_.references.map(_.name.toLowerCase)).toSet == keyNames
+      }
+      assert(pairJoins.nonEmpty,
+        s"$label/$tag: no inner join keyed on ${keyNames.mkString(",")} — " +
+          s"site refactored? joins: ${joins.map(_.nodeName).mkString(",")}")
+      pairJoins.foreach { j =>
+        assert(!j.isInstanceOf[BroadcastHashJoinExec],
+          s"$label/$tag: pair-explosive self-join planned as BROADCAST — " +
+            "the r15 one-task pair-expansion catastrophe is back")
+        assert(j.isInstanceOf[ShuffledHashJoinExec] || j.isInstanceOf[SortMergeJoinExec],
+          s"$label/$tag: pair self-join must partition by its bucket key, got ${j.nodeName}")
+      }
+    }
+    spark.catalog.clearCache()
+    try { check("cold"); check("cache-filled") }
+    finally spark.catalog.clearCache()
+  }
+
+  test("q55 simhash near-dup pairs: banded self-join never broadcasts (cold + cached)") {
+    assertPairJoinPinned("q55", Set("b", "k"))(
+      () => SparkEntry.queries("q55_simhash_near_dups")(spark, dir))
+  }
+
+  test("q56 minhash candidate pairs: banded self-join never broadcasts (cold + cached)") {
+    assertPairJoinPinned("q56", Set("b", "k"))(
+      () => SparkEntry.queries("q56_minhash_candidates")(spark, dir))
+  }
+
+  test("q49 jaccard: posting-list self-join stays sort-merge/shuffled, never broadcast") {
+    assertPairJoinPinned("q49", Set("shingle"))(
+      () => SparkEntry.queries("q49_jaccard_top_pairs")(spark, dir))
+  }
+
+  test("simhashNearDups library core: banded self-join never broadcasts (cold + cached)") {
+    assertPairJoinPinned("simhashNearDups", Set("band", "key"))(
+      () => TextOps.simhashNearDups(
+        TextOps.simhash(graft.Tables.load(spark, dir, "documents")), maxHamming = 3))
+  }
+
+  test("minhashCandidates library core: banded self-join never broadcasts (cold + cached)") {
+    assertPairJoinPinned("minhashCandidates", Set("band", "key"))(
+      () => TextOps.minhashCandidates(
+        TextOps.minhashSignatures(graft.Tables.load(spark, dir, "documents"))))
+  }
+
+  test("q53 LSH bucket pairs: banded self-join never broadcasts (cold + cached)") {
+    assertPairJoinPinned("lshCandidatePairs", Set("band", "key"))(
+      () => Similarity.lshCandidatePairs(spark,
+        graft.Tables.load(spark, dir, "embeddings")))
+  }
+
+  test("q116 fuzzy blocking: block self-join never broadcasts (cold + cached)") {
+    assertPairJoinPinned("fuzzyShinglePairs", Set("bk"))(
+      () => Curation.fuzzyShinglePairs(graft.Tables.load(spark, dir, "documents")))
+  }
+
   test("shingle family extracts through the fused word_shingles expression") {
     // The r12 zero-copy expression replaced the interpreted
     // transform/slice/concat_ws spelling across the banded-dedup family's

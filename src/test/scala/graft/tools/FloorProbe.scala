@@ -11,7 +11,7 @@ import graft.{Session, SparkEntry}
   * too small to use it — which is the measured signature separating
   * scheduler floor from plan inefficiency.
   *
-  * Usage: runMain graft.tools.FloorProbe <sfDir> <p1,p2,...> <query...>
+  * Usage: Test/runMain graft.tools.FloorProbe <sfDir> <p1,p2,...> <query...>
   */
 object FloorProbe {
   def main(args: Array[String]): Unit = {

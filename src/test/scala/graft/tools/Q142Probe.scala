@@ -7,7 +7,7 @@ import graft.Session
   * raw scan, the padded-string projection, the contains prefilter, the
   * replace-based tf counts, and the single-row stats aggregate
   * separately, so a regression can be attributed to a specific pass.
-  * Usage: runMain graft.tools.Q142Probe <sfDir>
+  * Usage: Test/runMain graft.tools.Q142Probe <sfDir>
   */
 object Q142Probe {
   def main(args: Array[String]): Unit = {

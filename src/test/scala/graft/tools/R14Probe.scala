@@ -8,7 +8,7 @@ import ProbeTiming.time
   * isolates the pass-1 sketch scan (old 2-arg vs new capacity spelling),
   * the witness scan, and the bare fused-scan floor, so the BASELINE notes
   * can attribute the measured ratio to real terms.
-  * Usage: runMain graft.tools.R14Probe <docsDir>
+  * Usage: Test/runMain graft.tools.R14Probe <docsDir>
   */
 object R14Probe {
   def main(args: Array[String]): Unit = {
@@ -48,7 +48,7 @@ object R14Probe {
 
 /** q177 decomposition: times the three component jobs of the batched
   * histogram-refinement selection separately on lineitem.
-  * Usage: runMain graft.tools.R14Probe2 <sfDir>
+  * Usage: Test/runMain graft.tools.R14Probe2 <sfDir>
   */
 object R14Probe2 {
   def main(args: Array[String]): Unit = {
@@ -82,7 +82,7 @@ object R14Probe2 {
 /** One-shot 100× sweep: runs each named query ONCE (cold JVM, warm FS) —
   * the right method for multi-minute scale points where Profile's
   * warmup+3-reps would quadruple the cost and the floor is irrelevant.
-  * Usage: runMain graft.tools.Probe100x <sfDir> <query...>
+  * Usage: Test/runMain graft.tools.Probe100x <sfDir> <query...>
   */
 object Probe100x {
   def main(args: Array[String]): Unit = {

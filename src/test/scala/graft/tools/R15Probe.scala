@@ -9,7 +9,7 @@ import ProbeTiming.time
   * rollup) against the streamed union+fill spelling, and counts the jobs
   * each full query pays, so the BASELINE accept/rework note can attribute
   * the measured ratio to real terms.
-  * Usage: runMain graft.tools.R15Probe <temporalDir>
+  * Usage: Test/runMain graft.tools.R15Probe <temporalDir>
   */
 object R15Probe {
   def main(args: Array[String]): Unit = {
@@ -57,7 +57,7 @@ object R15Probe {
 /** q49 pair-join parallelism probe: counts tasks per stage while running
   * jaccardPairs at 10x — confirms/refutes AQE coalescing collapsing the
   * posting-list self-join (whose OUTPUT is ~100x its input) to one task.
-  * Usage: runMain graft.tools.R15Probe2 <docsDir>
+  * Usage: Test/runMain graft.tools.R15Probe2 <docsDir>
   */
 object R15Probe2 {
   def main(args: Array[String]): Unit = {
@@ -87,7 +87,7 @@ object R15Probe2 {
 /** Same as R15Probe2 but with AQE partition coalescing DISABLED — the
   * A/B for the hypothesis that size-based coalescing collapses the
   * pair-explosive self-join to one task.
-  * Usage: runMain graft.tools.R15Probe3 <docsDir>
+  * Usage: Test/runMain graft.tools.R15Probe3 <docsDir>
   */
 object R15Probe3 {
   def main(args: Array[String]): Unit = {

@@ -6,7 +6,7 @@ import graft.Session
 /** Dev-only decomposition of the shingle-family cost: how much of the
   * x49-style hashed jaccard is shingle EXTRACTION (row-local transform +
   * array_distinct + explode) vs the posting-list self-join downstream.
-  * Usage: runMain graft.tools.ShingleProbe <sfDir>
+  * Usage: Test/runMain graft.tools.ShingleProbe <sfDir>
   */
 object ShingleProbe {
   def main(args: Array[String]): Unit = {

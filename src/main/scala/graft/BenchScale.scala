@@ -55,6 +55,11 @@ object BenchScale {
     // could broadcast the posting list and collapse the 113M-pair
     // aggregate to ONE task (21 CPU-min runaway). Measured band
     // 11.6–20.5 s across two gate windows (PLANS r15); pinned midpoint.
+    // r16: pin HELD through the row-local n_sh rewrite (sizes joins
+    // deleted — the 100x scale fix): same-JVM A/B/C on this corpus read
+    // old 15.5 s vs new 14.5 s, so the 10x level is unchanged; the only
+    // idle-window-free readings since are co-tenant-inflated (50 s
+    // outliers) and were not used to move the pin.
     Anchor("q49_jaccard_top_pairs", "docs10x", 103.3, 16.0),
     // r15 re-pin (was 2.22): the candidate miner's banded self-join now
     // pays a deterministic shuffle instead of a racy broadcast; band

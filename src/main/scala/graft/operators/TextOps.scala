@@ -443,11 +443,13 @@ object TextOps {
     * the same filtered shingle universe, so the similarity is exact
     * filtered-Jaccard (== exact Jaccard whenever the cap doesn't bite).
     *
-    * Scale shape: the distinct posting list is built ONCE and persisted;
-    * the hot-shingle set is tiny by construction (≤ 1/maxDfFrac distinct
-    * values per corpus-size unit), so it is removed with a broadcast
-    * anti-join rather than re-shuffling the posting list against a df
-    * table.
+    * Scale shape: per-doc distinct shingle ARRAYS are built ONCE and
+    * persisted; the hot-shingle set is tiny by construction (≤ 1/maxDfFrac
+    * distinct values per corpus-size unit), so it collapses to one
+    * broadcast row and is removed ROW-LOCALLY with array_except — no
+    * anti-join, and n_sh = size of the kept array is free at the scan, so
+    * no sizes table ever joins back onto the pair frame (r16; see the
+    * in-body note for the measured 100x failure of the join spelling).
     */
   def jaccardPairs(docs: DataFrame, maxDfFrac: Double = 0.5,
       hashShingles: Boolean = false): DataFrame = {
@@ -456,17 +458,42 @@ object TextOps {
     // shingle string; per-doc shingle sets stay distinct modulo ~1/2⁶⁴
     // collisions, so counts (and Jaccard) are unchanged in practice. The
     // gated q49 keeps raw strings so it is spelling-identical to DuckDB.
-    val shRaw = shinglesDistinct(docs)
-    val sh = (if (hashShingles)
-        shRaw.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      else shRaw).persist()
+    // Per-doc shingle ARRAYS survive to the hot-filter (r16): the retired
+    // spelling exploded first, anti-joined the hot set out, and later
+    // joined a (doc_id, n_sh) sizes table back onto the AGGREGATED pairs
+    // — two joins against the largest frame in the query. At 10x the
+    // sizes side auto-broadcast and the joins were invisible; at the 100x
+    // corpus sizes (500k rows) crossed the broadcast threshold and both
+    // joins became sort-merge over the 113M-pair frame: 2 extra
+    // pair-frame exchanges + sorts, 6.5 GB of spill, ~60% of the query's
+    // wall (R16Probe2 stage ledger, tools/probe100x_r16_spark.log).
+    // Row-local instead: the hot set is BOUNDED (df > maxDfFrac·n_docs ⟹
+    // at most avg_shingles_per_doc/maxDfFrac members), so it collapses to
+    // one collect_list row, broadcasts, and array_except drops it from
+    // each doc's array in place; n_sh = size(ka) is free at the scan and
+    // rides the posting/pair shuffles (+8/+16 bytes), where max() reads
+    // it back after the pair aggregate. Zero joins after the aggregate,
+    // no size-race broadcast→SMJ cliff, and the explode→anti-join pass is
+    // gone too — measured faster than the retired spelling even at 10x
+    // where the broadcast was free (R16Probe3 A/B/C: old 15.5 s, window
+    // n_sh-carry 18.8 s, this 14.5 s; 100x full query 336 → ~107 s).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val arrRaw = docs.select(col("doc_id"),
+      call_function("word_shingles", col("text"), lit(3), lit(true)).as("arr"))
+    val arr = (if (hashShingles)
+        arrRaw.select(col("doc_id"), expr("transform(arr, s -> xxhash64(s))").as("arr"))
+      else arrRaw).persist()
+    arr.count() // eager fill — see minhashCandidates
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val hotArr = arr.select(explode(col("arr")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .where(col("df") > col("n_docs") * maxDfFrac)
-      .select(col("shingle"))
-    val keep = sh.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
-    val sizes = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .agg(collect_list(col("shingle")).as("hot"))
+    val keepN = arr.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"), array_except(col("arr"), col("hot")).as("ka"))
+      .select(col("doc_id"), size(col("ka")).as("n_sh"),
+        explode(col("ka")).as("shingle"))
     // Partition count sized to the pair EXPANSION, not the input (r15):
     // the self-join's output is Σ df² — ~100× its input on a 10× corpus —
     // and the pair groups are near-distinct, so each map-side partial
@@ -481,9 +508,11 @@ object TextOps {
     // 5 GB-spill runaway. Partitioning by shingle, sized to the output,
     // is the only shape that scales.
     val parts = 4 * docs.sparkSession.sparkContext.defaultParallelism
-    val keyed = keep.repartition(parts, col("shingle"))
-    val a = keyed.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = keyed.select(col("doc_id").as("doc_b"), col("shingle"))
+    val keyed = keepN.repartition(parts, col("shingle"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("shingle"),
+      col("n_sh").as("n_a"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("n_sh").as("n_b"))
       .hint("merge")
     a.join(b, Seq("shingle")).where(col("doc_a") < col("doc_b"))
       // explicit wide exchange on the pair key BEFORE the aggregate: the
@@ -494,9 +523,11 @@ object TextOps {
       // the map-side partial agg (useless at ~1.2 rows/group) disappears
       // below the exchange
       .repartition(parts, col("doc_a"), col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      // n_a/n_b are constant within a (doc_a, doc_b) group — max() reads
+      // them back without widening the 16-byte group key
+      .agg(count(lit(1)).as("common"), max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
   }

@@ -49,13 +49,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q49_jaccard drops hot shingles via broadcast anti-join over a persisted posting list") {
+  test("q49_jaccard drops hot shingles row-locally off a persisted array frame, no post-agg joins") {
     val df = SparkEntry.queries("q49_jaccard_top_pairs")(spark, dir)
     df.count()
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert(p.contains("LeftAnti"), "hot-shingle cap must be an anti-join")
-    assert(p.contains("InMemoryRelation"), "posting list must be persisted/reused")
+    assert(p.contains("InMemoryRelation"), "shingle-array frame must be persisted/reused")
+    // r16: the hot cap is array_except against a broadcast 1-row hot set
+    // (no anti-join), and n_sh rides the shuffles — the sizes table and
+    // its two pair-frame joins (6.5 GB of spill at 100x) must stay gone
+    assert(p.contains("array_except"), "hot-shingle cap must be row-local array_except")
+    assert(!p.contains("LeftAnti"), "the exploded anti-join spelling is retired")
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val shuffleJoins = flatPlan(df.queryExecution.executedPlan).count {
+      case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+      case _ => false
+    }
+    assert(shuffleJoins == 1,
+      s"exactly the posting self-join may shuffle-join; sizes joins crept back: $p")
   }
 
   test("q03_number_frequency prunes the scan to the referenced columns") {

@@ -53,12 +53,17 @@ def main():
             if out.returncode != 0:
                 print(f"== {name}: ERROR {out.stderr.strip()[:200]}")
             else:
-                # duckdb can emit progress noise on stdout; take the last
-                # line that parses as JSON
+                # duckdb can emit progress noise on stdout, sometimes on
+                # the SAME line as the result (carriage-return progress
+                # bars): parse from the last '{' of each line, last line
+                # first
                 r = None
                 for ln in reversed(out.stdout.strip().splitlines()):
+                    brace = ln.rfind("{")
+                    if brace < 0:
+                        continue
                     try:
-                        r = json.loads(ln)
+                        r = json.loads(ln[brace:])
                         break
                     except ValueError:
                         continue

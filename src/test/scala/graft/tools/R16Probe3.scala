@@ -58,6 +58,41 @@ object R16Probe3 {
           col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))))
     }
 
+    // arm D: arm C + persisted keyed frame — tests whether materializing
+    // the posting exchange ONCE (AQE stage reuse demonstrably does not
+    // dedupe the two identical self-join-side exchanges; R16Probe2
+    // stages 13/14 ran both, 1450 MB each at 100x) beats paying it twice
+    def buildD(): DataFrame = {
+      val docs = Tables.load(spark, dir, "documents")
+      val arr0 = docs.select(col("doc_id"),
+        call_function("word_shingles", col("text"), lit(3), lit(true)).as("arr"))
+      val arr = (if (hash) arr0.select(col("doc_id"),
+          expr("transform(arr, s -> xxhash64(s))").as("arr"))
+        else arr0).persist()
+      arr.count()
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val hotArr = arr.select(explode(col("arr")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .where(col("df") > col("n_docs") * 0.5)
+        .agg(collect_list(col("shingle")).as("hot"))
+      val keepN = arr.crossJoin(broadcast(hotArr))
+        .select(col("doc_id"), array_except(col("arr"), col("hot")).as("ka"))
+        .select(col("doc_id"), size(col("ka")).as("n_sh"), explode(col("ka")).as("shingle"))
+      val parts = 4 * spark.sparkContext.defaultParallelism
+      val keyed = keepN.repartition(parts, col("shingle")).persist()
+      keyed.count()
+      val a = keyed.select(col("doc_id").as("doc_a"), col("shingle"), col("n_sh").as("n_a"))
+      val b = keyed.select(col("doc_id").as("doc_b"), col("shingle"), col("n_sh").as("n_b"))
+        .hint("merge")
+      top20(a.join(b, Seq("shingle")).where(col("doc_a") < col("doc_b"))
+        .repartition(parts, col("doc_a"), col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("common"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))))
+    }
+
     def build(old: Boolean): DataFrame = {
       val docs = Tables.load(spark, dir, "documents")
       val shRaw = docs.select(col("doc_id"),
@@ -105,10 +140,13 @@ object R16Probe3 {
     spark.catalog.clearCache()
     val rc = buildC().collect().map(_.toString).sorted.toSeq
     spark.catalog.clearCache()
-    require(ra == rb && rb == rc, s"arms disagree:\nA=$ra\nB=$rb\nC=$rc")
+    val rd = buildD().collect().map(_.toString).sorted.toSeq
+    spark.catalog.clearCache()
+    require(ra == rb && rb == rc && rc == rd, s"arms disagree:\nA=$ra\nB=$rb\nC=$rc\nD=$rd")
     println("== arms agree on top-20")
 
-    val (as, bs, cs) = (scala.collection.mutable.Buffer[Double](),
+    val (as, bs, cs, ds) = (scala.collection.mutable.Buffer[Double](),
+      scala.collection.mutable.Buffer[Double](),
       scala.collection.mutable.Buffer[Double](),
       scala.collection.mutable.Buffer[Double]())
     (1 to 3).foreach { _ =>
@@ -124,10 +162,15 @@ object R16Probe3 {
       buildC().count()
       cs += (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      t0 = System.nanoTime()
+      buildD().count()
+      ds += (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
     }
     println(f"== old(sizes-joins): best ${as.min}%.2fs of ${as.map(t => f"$t%.2f").mkString(",")}")
     println(f"== new(n_sh-carry):  best ${bs.min}%.2fs of ${bs.map(t => f"$t%.2f").mkString(",")}")
     println(f"== C(row-local n):   best ${cs.min}%.2fs of ${cs.map(t => f"$t%.2f").mkString(",")}")
+    println(f"== D(C + keyed persist): best ${ds.min}%.2fs of ${ds.map(t => f"$t%.2f").mkString(",")}")
     spark.stop()
   }
 }

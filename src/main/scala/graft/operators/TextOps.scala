@@ -2207,7 +2207,14 @@ object TextOps {
     val matches = (0 until MinhashK)
       .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val est = cand.join(sigA, Seq("doc_a")).join(sigC, Seq("doc_b"))
+    // r17 (cliff-rule guard): the signature table is CORPUS-sized, the
+    // candidate set is banding-bounded — the candidates broadcast and the
+    // signatures STREAM, never the reverse. Left unhinted, the planner
+    // sort-merged these at fixture scale already (PlanSpec caught it);
+    // at corpus scale that shape shuffles the whole 32-column signature
+    // table twice, linearly with the corpus.
+    val est = broadcast(broadcast(cand).join(sigA, Seq("doc_a")))
+      .join(sigC, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / lit(MinhashK)).as("est_jaccard"))
     val candDocs = cand.select(col("doc_a").as("doc_id"))
@@ -2219,12 +2226,16 @@ object TextOps {
         .hint("merge"), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    // common and sizes are candidate-bounded like est — every attachment
+    // above the pair aggregates arrives by broadcast (the r16 cliff rule,
+    // PlanSpec-pinned), so no candidate frame is ever re-shuffled
     est
-      .join(common, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .join(broadcast(common), Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a")), Seq("doc_a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),

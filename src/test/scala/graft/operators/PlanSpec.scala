@@ -396,6 +396,116 @@ class PlanSpec extends AnyFunSuite {
       () => Curation.fuzzyShinglePairs(graft.Tables.load(spark, dir, "documents")))
   }
 
+  // ---- r17: the q49 sizes-join cliff rule, generalized structurally ----
+  //
+  // r16's 100x sweep found that joins sitting ABOVE a pair/candidate
+  // aggregate silently cross the broadcast threshold when their small
+  // side grows with the corpus (per-doc sizes/source tables) and then
+  // sort-merge the ENTIRE pair frame (q49: 113M rows, 6.5 GB spill, 60%
+  // of wall). The rule: everything attached above a pair aggregate must
+  // arrive by broadcast — equivalently, the pair frame itself must never
+  // be a SHUFFLED input of a downstream join. These guards walk the
+  // executed plan tree and assert (a) the pair aggregate exists (the
+  // site wasn't refactored away), and (b) no ShuffledHashJoin/
+  // SortMergeJoin ancestor reaches it except across a broadcast exchange
+  // (a broadcast pair frame arrives by broadcast — the rule satisfied).
+  // Caveat the guards cannot close: a post-aggregate join that happens
+  // to BROADCAST at sf0.001 can still flip to sort-merge at corpus
+  // scale — that class is covered by the 100x sweep (BASELINE.md), not
+  // by a fixture-scale plan check.
+
+  /** Asserts the executed plan has ≥1 aggregate whose grouping keys
+    * include `pairKeys`, and that no shuffle join receives any such
+    * aggregate's output on a SHUFFLED input: walking down from the root,
+    * a ShuffledHashJoin/SortMergeJoin ancestor taints its subtrees EXCEPT
+    * through a broadcast exchange — a pair frame that reaches a join via
+    * BroadcastExchange arrives by broadcast (the rule satisfied), one that
+    * reaches it any other way is being shuffled (the cliff).
+    */
+  private def assertNoShuffleJoinAbovePairAgg(label: String,
+      pairKeys: Set[String], minGroupKeys: Int = 2)(
+      build: () => org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val df = build()
+    df.count() // finalize AQE — judge the executed join choices
+    def kids(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // a pair frame persisted below post-aggregate consumers must stay
+      // auditable: traverse into the cache-build plan
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _                        => pl.children
+    }
+    def isPairAgg(pl: SparkPlan): Boolean = pl match {
+      case a: BaseAggregateExec =>
+        // output names catch `groupBy(col("x.doc_id").as("doc_a"), ...)`
+        // (whose references are both plain doc_id); references catch
+        // grouping on already-aliased columns
+        val g = (a.groupingExpressions.map(_.name) ++
+          a.groupingExpressions.flatMap(_.references.map(_.name)))
+          .map(_.toLowerCase).toSet
+        // minGroupKeys=2 keeps single-key per-doc aggregates (signature
+        // builds, sizes tables) from matching when alias collapse leaves
+        // both pair keys named doc_id (q150)
+        a.groupingExpressions.size >= minGroupKeys && pairKeys.subsetOf(g)
+      case _ => false
+    }
+    var found = 0
+    def walk(pl: SparkPlan, shuffleJoinsAbove: List[String]): Unit = {
+      if (isPairAgg(pl)) {
+        found += 1
+        assert(shuffleJoinsAbove.isEmpty,
+          s"$label: pair aggregate output is SHUFFLED by a downstream join " +
+            s"(the q49 sizes-join cliff class — everything attached above " +
+            s"a pair aggregate must arrive by broadcast): " +
+            shuffleJoinsAbove.mkString(","))
+      }
+      val sj = pl match {
+        // below a broadcast exchange the frame arrives at every ancestor
+        // join by broadcast — the rule is satisfied on this path
+        case _: BroadcastExchangeLike => Nil
+        case j @ (_: ShuffledHashJoinExec | _: SortMergeJoinExec) =>
+          j.nodeName :: shuffleJoinsAbove
+        case _ => shuffleJoinsAbove
+      }
+      kids(pl).foreach(walk(_, sj))
+    }
+    spark.catalog.clearCache()
+    try {
+      walk(df.queryExecution.executedPlan, Nil)
+      assert(found > 0,
+        s"$label: no aggregate grouped on ${pairKeys.mkString(",")} — site refactored?")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q105 source matrix: near-dup pair frame is never shuffled by the source joins") {
+    assertNoShuffleJoinAbovePairAgg("q105", Set("doc_a", "doc_b"))(
+      () => SparkEntry.queries("q105_dup_source_matrix")(spark, dir))
+  }
+
+  test("q143 minhash audit: candidate frame is never shuffled by the sig/sizes joins") {
+    assertNoShuffleJoinAbovePairAgg("q143", Set("doc_a", "doc_b"))(
+      () => SparkEntry.queries("q143_minhash_error_audit")(spark, dir))
+  }
+
+  test("q116 fuzzy pairs: pair distinct output is never shuffled downstream") {
+    assertNoShuffleJoinAbovePairAgg("q116", Set("sa", "sb"))(
+      () => SparkEntry.queries("q116_fuzzy_pairs")(spark, dir))
+  }
+
+  test("q150 threshold sweep: candidate pair frame is never shuffled downstream") {
+    // downstream of q150 only n_bands survives, so CollapseProject strips
+    // the doc_a/doc_b aliases — the pair aggregate groups two columns both
+    // named doc_id (x.doc_id, y.doc_id)
+    assertNoShuffleJoinAbovePairAgg("q150", Set("doc_id"))(
+      () => SparkEntry.queries("q150_lsh_threshold_sweep")(spark, dir))
+  }
+
   test("shingle family extracts through the fused word_shingles expression") {
     // The r12 zero-copy expression replaced the interpreted
     // transform/slice/concat_ws spelling across the banded-dedup family's

@@ -1,0 +1,185 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Session, Tables}
+import ProbeTiming.time
+
+/** r17 decomposition probe for q54_ann_ivf (VERDICT r16 watch item 3:
+  * 0.70-0.81 s stable in every r16 sweep vs a 57 ms anchor — 14×, above
+  * its historical floor class). Counts the jobs the full query pays
+  * (q164-style) and times the component frames — centroid build (two
+  * shuffles over the posexploded corpus), probe ranking (broadcast
+  * cross-join + per-query window), candidate re-rank (list join + window)
+  * — so the accept/fix call can name the stage.
+  * Usage: Test/runMain graft.tools.R17Probe <sfDir>
+  */
+object R17Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def jobs[A](label: String)(f: => A): Unit = {
+      val sc = spark.sparkContext
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      time(label)(f)
+      val after = sc.statusTracker.getJobIdsForGroup(null).length
+      // time() runs warmup + 3 reps = 4 executions; report jobs/execution
+      println(s"   $label jobs/exec=${(after - before) / 4.0}")
+    }
+
+    val e = Tables.load(spark, dir, "embeddings")
+    // scan floor: one pass over the embedding column
+    jobs("embeddings_scan")(e.agg(count(lit(1))).head())
+    // centroid build alone (posexplode + 2 groupBys)
+    jobs("centroids_only")(
+      graft.operators.Similarity.centroidVectors(e).count())
+    // full query
+    jobs("q54_full")(
+      graft.SparkEntry.queries("q54_ann_ivf")(spark, dir).count())
+    // q53 LSH for the family comparison (same corpus, banded buckets)
+    jobs("q53_full")(
+      graft.SparkEntry.queries("q53_ann_lsh")(spark, dir).count())
+    spark.stop()
+  }
+}
+
+/** r17 pricing of the q49 doubled posting exchange at the 100× corpus
+  * (VERDICT r16 ask 3): the two self-join sides re-run the identical
+  * repartition (AQE does not dedupe them — R16Probe2 stages 13/14,
+  * ~10 s of 107 at 100×). Same-JVM interleaved C,D,C,D (the r16
+  * measurement discipline): C = the shipped jaccardPairs (exchange paid
+  * twice), D = C with the keyed frame persisted (exchange paid once,
+  * cache write+read added). 10× pricing said no-win; this is the 100×
+  * re-price. Usage: Test/runMain graft.tools.R17Probe2 <docsDir> [hash] [reps]
+  */
+object R17Probe2 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val hash = args.length > 1 && args(1) == "hash"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def top20(p: DataFrame): DataFrame = p
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20).select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+
+    // arm C: the shipped spelling, via the library itself
+    def buildC(): DataFrame = top20(graft.operators.TextOps.jaccardPairs(
+      Tables.load(spark, dir, "documents"), hashShingles = hash))
+
+    // arm D: identical dataflow, keyed posting frame persisted so the
+    // self-join's two sides read ONE materialized exchange
+    def buildD(): DataFrame = {
+      val docs = Tables.load(spark, dir, "documents")
+      val arr0 = docs.select(col("doc_id"),
+        call_function("word_shingles", col("text"), lit(3), lit(true)).as("arr"))
+      val arr = (if (hash) arr0.select(col("doc_id"),
+          expr("transform(arr, s -> xxhash64(s))").as("arr"))
+        else arr0).persist()
+      arr.count()
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val hotArr = arr.select(explode(col("arr")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .where(col("df") > col("n_docs") * 0.5)
+        .agg(collect_list(col("shingle")).as("hot"))
+      val keepN = arr.crossJoin(broadcast(hotArr))
+        .select(col("doc_id"), array_except(col("arr"), col("hot")).as("ka"))
+        .select(col("doc_id"), size(col("ka")).as("n_sh"), explode(col("ka")).as("shingle"))
+      val parts = 4 * spark.sparkContext.defaultParallelism
+      val keyed = keepN.repartition(parts, col("shingle")).persist()
+      keyed.count()
+      val a = keyed.select(col("doc_id").as("doc_a"), col("shingle"), col("n_sh").as("n_a"))
+      val b = keyed.select(col("doc_id").as("doc_b"), col("shingle"), col("n_sh").as("n_b"))
+        .hint("merge")
+      top20(a.join(b, Seq("shingle")).where(col("doc_a") < col("doc_b"))
+        .repartition(parts, col("doc_a"), col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("common"), max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))))
+    }
+
+    val rc = buildC().collect().map(_.toString).sorted.toSeq
+    spark.catalog.clearCache()
+    val rd = buildD().collect().map(_.toString).sorted.toSeq
+    spark.catalog.clearCache()
+    require(rc == rd, s"arms disagree:\nC=$rc\nD=$rd")
+    println("== arms agree on top-20 (first C run above doubles as warmup)")
+
+    val (cs, ds) = (scala.collection.mutable.Buffer[Double](),
+      scala.collection.mutable.Buffer[Double]())
+    (1 to reps).foreach { _ =>
+      var t0 = System.nanoTime()
+      buildC().count()
+      cs += (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t0 = System.nanoTime()
+      buildD().count()
+      ds += (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+    }
+    println(f"== C(shipped, exchange x2):   best ${cs.min}%.2fs of ${cs.map(t => f"$t%.2f").mkString(",")}")
+    println(f"== D(keyed persist, x1):      best ${ds.min}%.2fs of ${ds.map(t => f"$t%.2f").mkString(",")}")
+    spark.stop()
+  }
+}
+
+/** r17 CPU-vs-wall decomposition for the q116/q49 idle-window elevation
+  * (VERDICT r16 ask 2): registers a stage-metrics listener and reports,
+  * per execution of each named query, the summed executor run/CPU time
+  * and task count next to the wall reading — distinguishing "tasks burn
+  * more CPU" (bigger work or slower silicon) from "tasks wait" (I/O,
+  * scheduler, co-tenant). Usage:
+  * Test/runMain graft.tools.R17Probe3 <sfDir> <query...>
+  */
+object R17Probe3 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          runMs.addAndGet(sc.stageInfo.taskMetrics.executorRunTime)
+          cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+          gcMs.addAndGet(sc.stageInfo.taskMetrics.jvmGCTime)
+          tasks.addAndGet(sc.stageInfo.numTasks)
+        }
+      })
+
+    args.drop(1).foreach { name =>
+      val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly)(name)
+      fn(spark, dir).count() // warmup
+      spark.catalog.clearCache()
+      System.gc()
+      (1 to 3).foreach { i =>
+        Thread.sleep(300) // let straggler stage-completed events drain
+        runMs.set(0); cpuNs.set(0); tasks.set(0); gcMs.set(0)
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener bus drain (private API in Spark 4)
+        println(f"== $name run$i: wall $wall%.3fs run ${runMs.get / 1e3}%.2fs " +
+          f"cpu ${cpuNs.get / 1e9}%.2fs gc ${gcMs.get / 1e3}%.2fs tasks ${tasks.get}")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}

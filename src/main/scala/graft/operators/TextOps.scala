@@ -1625,8 +1625,14 @@ object TextOps {
   def qDupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     val pairs = qSimhashNearDupPairs(s, dir)
     val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
-    pairs
-      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+    // r17 (cliff rule, measured): left unhinted these two lookups flip to
+    // sort-merge once `src` outgrows the broadcast threshold (seen at the
+    // 100× corpus — R17Probe4 plan dump), re-shuffling the near-dup pair
+    // frame AND the corpus-sized source table. The pair frame is
+    // banding-bounded (85k rows at 100×), so it broadcasts and the source
+    // table STREAMS — zero exchanges above the pair aggregate.
+    broadcast(broadcast(pairs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a")))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
       .groupBy(least(col("sa"), col("sb")).as("source_x"),
         greatest(col("sa"), col("sb")).as("source_y"))

@@ -183,3 +183,35 @@ object R17Probe3 {
     spark.stop()
   }
 }
+
+/** r17 q105 decomposition at the 100× corpus: times the q55 pair miner
+  * alone, then the full q105 (source attach + matrix aggregate) in the
+  * same JVM, and prints q105's executed plan — attributing the measured
+  * attach cost and showing the executed join choices at corpus scale
+  * (the fixture-scale guard can't see a size-based broadcast→SMJ flip).
+  * Usage: Test/runMain graft.tools.R17Probe4 <docsDir>
+  */
+object R17Probe4 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    var t0 = System.nanoTime()
+    val nPairs = graft.operators.TextOps.qSimhashNearDupPairs(spark, dir).count()
+    println(f"== q55_pairs_alone: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$nPairs")
+    spark.catalog.clearCache()
+
+    t0 = System.nanoTime()
+    val df = graft.SparkEntry.queries("q105_dup_source_matrix")(spark, dir)
+    val n = df.count()
+    println(f"== q105_full: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    println(df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange") ||
+        l.contains("HashAggregate"))
+      .map(_.take(160)).mkString("\n"))
+    spark.stop()
+  }
+}

@@ -453,6 +453,22 @@ object TextOps {
     */
   def jaccardPairs(docs: DataFrame, maxDfFrac: Double = 0.5,
       hashShingles: Boolean = false): DataFrame = {
+    // The row-local hot-set spelling is safe BECAUSE the hot set is
+    // bounded by ≤ avg_shingles_per_doc/maxDfFrac members: it collapses
+    // to one collect_list row and broadcasts. A tiny maxDfFrac (say
+    // 0.01 on a large corpus) would grow that single row past the
+    // broadcast/row limits where the retired anti-join degraded
+    // gracefully — bound it rather than fail weirdly downstream
+    // (advisor r16). Callers needing a more aggressive cap should
+    // pre-filter the corpus instead.
+    require(maxDfFrac >= 0.1 && maxDfFrac <= 1.0,
+      s"maxDfFrac=$maxDfFrac outside [0.1, 1]: the broadcast hot set is " +
+        "only bounded for df caps ≥ 0.1 of the corpus")
+    // NOTE caller contract: the per-doc shingle-array frame is persisted
+    // and eagerly filled here (both the hot-set aggregate and the posting
+    // explode read it); the returned plan references it, so it cannot be
+    // unpersisted before return. Session owners running many queries
+    // should clearCache() between them (Bench/Verify convention).
     // hashShingles is the scale default (bench x49): the posting list and
     // its self-join shuffle carry an 8-byte xxhash64 instead of the raw
     // shingle string; per-doc shingle sets stay distinct modulo ~1/2⁶⁴

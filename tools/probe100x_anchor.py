@@ -14,6 +14,7 @@ Driver-side tooling only.
 """
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -55,18 +56,19 @@ def main():
             else:
                 # duckdb can emit progress noise on stdout, sometimes on
                 # the SAME line as the result (carriage-return progress
-                # bars): parse from the last '{' of each line, last line
-                # first
+                # bars). Scan EVERY '{' position left-to-right (r17,
+                # advisor note): a nested object in the result JSON or a
+                # stray brace after it must not skip a valid line
                 r = None
                 for ln in reversed(out.stdout.strip().splitlines()):
-                    brace = ln.rfind("{")
-                    if brace < 0:
-                        continue
-                    try:
-                        r = json.loads(ln[brace:])
+                    for m in re.finditer(r"\{", ln):
+                        try:
+                            r = json.loads(ln[m.start():])
+                            break
+                        except ValueError:
+                            continue
+                    if r is not None:
                         break
-                    except ValueError:
-                        continue
                 if r is None:
                     print(f"== {name}: UNPARSEABLE {out.stdout[-200:]!r}")
                     continue

@@ -215,3 +215,66 @@ object R17Probe4 {
     spark.stop()
   }
 }
+
+/** r17 corpus-scale plan audit: runs each named query on the given corpus
+  * to an AQE-final executed plan, then walks the tree and REPORTS every
+  * ShuffledHashJoin/SortMergeJoin whose unbroadcast subtree contains a
+  * multi-key aggregate — the q49/q105/q143 cliff signature, checked at a
+  * scale where size-based broadcasts have actually flipped (the fixture
+  * guards cannot see that). Report-only: a hit on a bounded aggregate
+  * (e.g. a (source_x, source_y) rollup) is fine and is adjudicated by
+  * eye; the tool's job is that no site goes UNSEEN.
+  * Usage: Test/runMain graft.tools.R17Probe5 <corpusDir> <query...>
+  */
+object R17Probe5 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+    def kids(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _                        => pl.children
+    }
+
+    args.drop(1).foreach { name =>
+      val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly)(name)
+      val t0 = System.nanoTime()
+      val df = fn(spark, dir)
+      val cnt = df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val hits = scala.collection.mutable.Buffer[String]()
+      def walk(pl: SparkPlan, joinsAbove: List[SparkPlan]): Unit = {
+        pl match {
+          case a: BaseAggregateExec
+              if a.groupingExpressions.size >= 2 && joinsAbove.nonEmpty =>
+            hits += s"${joinsAbove.head.nodeName} above agg[${
+              a.groupingExpressions.map(_.name).mkString(",")}]"
+          case _ =>
+        }
+        val ja = pl match {
+          case _: BroadcastExchangeLike => Nil
+          case j @ (_: ShuffledHashJoinExec | _: SortMergeJoinExec) => j :: joinsAbove
+          case _ => joinsAbove
+        }
+        kids(pl).foreach(walk(_, ja))
+      }
+      walk(df.queryExecution.executedPlan, Nil)
+      val verdict = if (hits.isEmpty) "CLEAN" else hits.distinct.mkString("; ")
+      println(f"== $name: $secs%.2fs rows=$cnt audit=$verdict")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -20,6 +20,19 @@ import java.nio.file.{Files, Paths}
   * passes.
   */
 object Bench {
+  /** Forces FULL materialization of a query for timing. `Dataset.count()`
+    * is the wrong forcing function for a benchmark: Catalyst optimizes the
+    * count-plan, pruning row-preserving work nothing references — q77's
+    * running window collapsed to a bare parquet row count (r17 find), so
+    * the bench under-billed Spark while the fetch-all DuckDB anchor paid
+    * in full. `queryExecution.toRdd.count()` runs the query's OWN
+    * optimized plan (no count rewrite — the RDD layer has no optimizer)
+    * through every operator and row without collecting to the driver, and
+    * still returns the row count for rows>0 checks.
+    */
+  def force(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   /** Pure turbulence rule (unit-tested in BenchSpec): a query earns a
     * deferred re-measurement when its own triple shows a ≥`spread`×
     * internal spread on a non-trivial absolute (sub-`minAbs` bests are
@@ -110,7 +123,7 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long =
-      fn(spark, sfDir).count()
+      force(fn(spark, sfDir))
 
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     // benchOnly: xxhash64 scale-default variants, measured but excluded

@@ -166,11 +166,11 @@ object BenchScale {
     def measure(a: Anchor): Double =
       try {
         val fn = fns(a.query)
-        fn(spark, dirOf(a.corpus)).count() // warmup: codegen + IO + persist fills
+        Bench.force(fn(spark, dirOf(a.corpus))) // warmup: codegen + IO + persist fills
         System.gc()
         (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, dirOf(a.corpus)).count()
+          Bench.force(fn(spark, dirOf(a.corpus)))
           (System.nanoTime() - t0) / 1e9
         }.min
       } catch {

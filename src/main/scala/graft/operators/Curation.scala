@@ -806,22 +806,19 @@ object Curation {
     * straddle chunk cuts; stride 1 catches every alignment).
     *
     * Scale: gram emission is row-local (`transform(sequence)` + explode —
-    * never materializing the quadratic suffix set); the gram stream is
-    * persisted once and drives (1) a combine-friendly
-    * countDistinct(doc_id)-per-gram aggregate whose survivors (`nd >= 2`)
-    * are (2) shuffle-joined back on the gram key — the dup set scales with
-    * corpus redundancy, so no broadcast assumption — then (3) one
-    * doc_id-keyed count. With `hashGrams` the shuffled key is
-    * xxhash64's 8 bytes instead of a ~60-byte string (bench-only x180,
-    * same convention as x49/x154; 2^-64 collisions conflate two gram
+    * never materializing the quadratic suffix set); the stream flows
+    * through exactly three decreasing shuffles and NO persist: (1) a
+    * (gkey, doc_id) aggregate dedupes in-doc repeats while keeping the
+    * per-doc instance count, (2) the per-gram document count `nd` rides a
+    * gkey-partitioned window over that deduped frame — replacing the r12
+    * spelling's countDistinct + dup-set join back onto the raw persisted
+    * stream, which re-shuffled the whole corpus and cached ~9 GB at the
+    * 100× corpus (191.9 s vs 24.4 s oracle once honest forcing exposed
+    * it; BASELINE r17) — then (3) one doc_id rollup sums instance counts
+    * under the nd≥2 flag. With `hashGrams` the shuffled key is xxhash64's
+    * 8 bytes instead of a ~60-byte string (bench-only x180, same
+    * convention as x49/x154; 2^-64 collisions conflate two gram
     * contents).
-    *
-    * Cache lifetime: the persisted gram stream is the largest intermediate
-    * in the suite and is referenced twice by the returned lazy plan, so it
-    * cannot unpersist here without defeating the reuse. The session owner
-    * releases it — Bench/Verify clearCache after each query — and a
-    * long-lived session that never clears relies on LRU eviction
-    * (MEMORY_AND_DISK default never OOMs, it spills).
     */
   def substringDupStats(docs: DataFrame, k: Int = 10,
       hashGrams: Boolean = false): DataFrame = {
@@ -831,16 +828,27 @@ object Curation {
     val grams = docs
       .select(col("doc_id"), explode(call_function("word_shingles",
         col("text"), lit(k), lit(false))).as("gram"))
-    val keyed = (if (hashGrams)
+    val keyed = if (hashGrams)
         grams.select(col("doc_id"), xxhash64(col("gram")).as("gkey"))
-      else grams.select(col("doc_id"), col("gram").as("gkey"))).persist()
-    val dup = keyed.groupBy(col("gkey"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("gkey"), lit(1).as("isdup"))
-    keyed.join(dup, Seq("gkey"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), count(col("isdup")).as("n_dup_grams"))
+      else grams.select(col("doc_id"), col("gram").as("gkey"))
+    // r17 rewrite (found by the honest-forcing 100× re-measure: the old
+    // persist + countDistinct + dup-set join spelling read 191.9 s at the
+    // 100× corpus, 8× the oracle — the r16/r17 benches never saw it
+    // because count()-forcing ELIMINATED the unreferenced left join).
+    // Join-free instead: one (gkey, doc_id) aggregate dedupes the stream
+    // and keeps the per-doc instance count; nd = per-gram doc count rides
+    // a window over the deduped frame (no join back onto the raw stream,
+    // no corpus-sized cache); the doc rollup sums cnt under the nd≥2
+    // flag. Three decreasing shuffles, zero persists, exact integer
+    // counts — identical results by construction.
+    val perDocGram = keyed.groupBy(col("gkey"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val flagged = perDocGram.withColumn("nd",
+      count(lit(1)).over(Window.partitionBy(col("gkey"))))
+    flagged.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        coalesce(sum(when(col("nd") >= 2, col("cnt"))), lit(0L))
+          .as("n_dup_grams"))
       .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6)
           .as("dup_frac"),

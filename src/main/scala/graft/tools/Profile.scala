@@ -17,10 +17,10 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val fn = (SparkEntry.queries ++ SparkEntry.benchOnly)(name)
-      fn(spark, sfDir).count() // warmup
+      graft.Bench.force(fn(spark, sfDir)) // warmup
       System.gc() // same convention as Bench: don't bill prior garbage
       val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime(); graft.Bench.force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9
       }
       println(f"== $name: best ${times.min}%.3fs of ${times.map(t => f"$t%.2f").mkString(",")}")
       if (wantPlan) println(fn(spark, sfDir).queryExecution.explainString(

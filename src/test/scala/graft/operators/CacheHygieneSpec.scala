@@ -25,7 +25,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     // behind an unrelated baseline entry that happened to be dropped —
     // no NEW RDD id may survive clearCache, whatever the count does.
     val base = cachedRddIds
-    // q180 (persisted gram stream — the suite's largest intermediate),
+    // q180 (join-free since r17 — kept as a no-cache control),
     // q105 (rides the persisted simhash band table), q147 (persisted
     // edge/node frames feeding the lazy iteration chain).
     val heavy = Seq(

@@ -51,7 +51,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("q49_jaccard drops hot shingles row-locally off a persisted array frame, no post-agg joins") {
     val df = SparkEntry.queries("q49_jaccard_top_pairs")(spark, dir)
-    df.count()
+    graft.Bench.force(df)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("InMemoryRelation"), "shingle-array frame must be persisted/reused")
@@ -202,7 +202,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val df = SparkEntry.queries("q169_basket_lift")(spark, dir)
-    df.count()
+    graft.Bench.force(df)
     def flat(pl: SparkPlan): Seq[SparkPlan] = pl +: (pl match {
       case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
       case q: QueryStageExec        => flat(q.plan)
@@ -235,7 +235,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q147_token_pagerank")(spark, dir)
-    df.count()
+    graft.Bench.force(df)
     def flat(pl: SparkPlan): Seq[SparkPlan] = pl +: (pl match {
       case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
       case q: QueryStageExec        => flat(q.plan)
@@ -335,7 +335,11 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
     def check(tag: String): Unit = {
       val df = build()
-      df.count() // finalize AQE — the executed join choice, not the draft
+      // finalize AQE on THIS queryExecution: Dataset.count() builds a
+      // SEPARATE (count-rewritten) execution and leaves df's own adaptive
+      // plan a draft — force() runs df.queryExecution.toRdd, so the walk
+      // below reads the join choices that actually executed (r17)
+      graft.Bench.force(df)
       val joins = flatPlan(df.queryExecution.executedPlan)
         .collect { case j: BaseJoinExec => j }
       val pairJoins = joins.filter { j =>
@@ -432,7 +436,7 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
     val df = build()
-    df.count() // finalize AQE — judge the executed join choices
+    graft.Bench.force(df) // finalize THIS plan's AQE (see pin helper note)
     def kids(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       // a pair frame persisted below post-aggregate consumers must stay

@@ -93,7 +93,7 @@ object Probe100x {
     args.drop(1).foreach { name =>
       val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly)(name)
       val t0 = System.nanoTime()
-      val cnt = fn(spark, dir).count()
+      val cnt = graft.Bench.force(fn(spark, dir))
       println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
       spark.catalog.clearCache()
     }

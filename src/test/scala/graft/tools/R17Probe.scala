@@ -206,7 +206,7 @@ object R17Probe4 {
 
     t0 = System.nanoTime()
     val df = graft.SparkEntry.queries("q105_dup_source_matrix")(spark, dir)
-    val n = df.count()
+    val n = graft.Bench.force(df) // executes df's OWN plan -> AQE-final dump below
     println(f"== q105_full: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     println(df.queryExecution.executedPlan.toString.linesIterator
       .filter(l => l.contains("Join") || l.contains("Exchange") ||
@@ -252,7 +252,7 @@ object R17Probe5 {
       val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly)(name)
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
-      val cnt = df.count()
+      val cnt = graft.Bench.force(df) // full materialization AND AQE-final walk
       val secs = (System.nanoTime() - t0) / 1e9
       val hits = scala.collection.mutable.Buffer[String]()
       def walk(pl: SparkPlan, joinsAbove: List[SparkPlan]): Unit = {
@@ -274,6 +274,34 @@ object R17Probe5 {
       val verdict = if (hits.isEmpty) "CLEAN" else hits.distinct.mkString("; ")
       println(f"== $name: $secs%.2fs rows=$cnt audit=$verdict")
       spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
+
+/** r17 measurement-honesty check: prints the executed plan OF THE COUNT
+  * for a named query — Bench/Probe100x force materialization via
+  * count(), and for row-per-input queries Catalyst may prune work (an
+  * unused window, a projection-only transform) below the count,
+  * under-billing the Spark side vs a fetch-all oracle.
+  * Usage: Test/runMain graft.tools.R17Probe6 <sfDir> <query...>
+  */
+object R17Probe6 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = Session.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    args.drop(1).foreach { name =>
+      val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly)(name)
+      // the exact dataflow Bench times: Dataset.count()
+      val counted = fn(spark, dir).groupBy().count()
+      counted.collect()
+      val p = counted.queryExecution.executedPlan.toString
+      val hasWindow = p.contains("Window")
+      val hasJoin = p.contains("Join")
+      println(s"== $name count-plan: window=$hasWindow join=$hasJoin")
+      println(p.linesIterator.take(25).map(_.take(120)).mkString("\n"))
     }
     spark.stop()
   }

@@ -30,9 +30,19 @@ object Relational {
   /** Order-insensitive exact sum of a double column: accumulate as decimal,
     * return double. Precision 18 keeps every per-row cast inside Spark's
     * compact long-backed Decimal fast path (precision ≤ 18 avoids
-    * per-row java.math.BigDecimal allocation; the sum's buffer gets +10
-    * digits of headroom per Spark's sum typing). Oracle side:
+    * per-row java.math.BigDecimal allocation). Oracle side:
     * `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`.
+    *
+    * r17: the aggregation itself runs as [[graft.functions.DecSum6]] — the
+    * builtin `sum(decimal(18,6))` widens its buffer to decimal(28,6), which
+    * exceeds the UnsafeRow mutable-long limit (18 digits) and pays a
+    * JavaBigDecimal serialize/deserialize PER ROW in the hash aggregate
+    * (~55% of q01's wall at the 100× corpus, R17Probe8). DecSum6 keeps the
+    * identical per-row cast (so coercion semantics and the resulting
+    * rational sum are unchanged — bit-identical doubles, DecimalSumSpec)
+    * but accumulates the unscaled long in a carry-normalized pair of
+    * primitive longs: same exactness, same ~10²² overflow-to-null domain,
+    * codegen'd long arithmetic instead of buffer reserialization.
     *
     * Input contract: finite doubles. On NaN/Infinity Spark's non-ANSI cast
     * yields NULL (silently dropped from the SUM) while the DuckDB oracle's
@@ -40,7 +50,8 @@ object Relational {
     * numeric feeds must be cleansed (nanvl/isnan) upstream. The testdata
     * is verified NaN-free.
     */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+  def dsum(c: Column): Column =
+    graft.functions.DecSum6.column(c.cast(DecimalType(18, 6))).cast("double")
 
   /** Oracle-side SQL spelling of [[dsum]]. The decimal→double hop goes
     * through VARCHAR: DuckDB's direct DECIMAL→DOUBLE cast double-rounds

@@ -2089,18 +2089,17 @@ object TextOps {
     * then lexicographic): PMI(a,b) = ln(N·c_ab / (c_a·c_b)) over
     * adjacent-token pairs. The word2vec-era association signal that
     * separates true collocations from chance co-occurrence. One bigram
-    * shuffle + one unigram shuffle; the PMI arithmetic runs on the
-    * broadcast-sized top-20 frame with exact-integer ln arguments
-    * (identical doubles both engines), rounded to 6dp.
+    * shuffle; unigram counts come from a second corpus pass semi-filtered
+    * at the scan to the ≤40 tokens the top-20 pairs reference (r17 — no
+    * vocabulary-wide exchange or broadcast anywhere). The PMI arithmetic
+    * runs on the broadcast-sized top-20 frame with exact-integer ln
+    * arguments (identical doubles both engines), rounded to 6dp.
     */
   def qBigramPmi(s: SparkSession, dir: String): DataFrame = {
     // r12: unigrams explode the raw split with a codegen'd post-explode
     // filter (no interpreted filter lambda); bigrams use the shared
     // [[neBigrams]] fused spelling, split back on the interior space.
     val docs = t(s, dir, "documents")
-    val uni = docs.select(explode(toks(col("text"))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val bg = docs
       .select(explode(neBigrams(s)).as("bg"))
       .select(substring_index(col("bg"), " ", 1).as("a"),
@@ -2113,9 +2112,33 @@ object TextOps {
     val top = bgCounts
       .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
       .limit(20)
-    top
-      .join(broadcast(uni.select(col("w").as("a"), col("cw").as("c_a"))), Seq("a"))
-      .join(broadcast(uni.select(col("w").as("b"), col("cw").as("c_b"))), Seq("b"))
+    // A full unigram count table is VOCABULARY-sized — it grows with the
+    // corpus (r17: ~1.5M types on the 100× independent corpus,
+    // unboundable at 100 TB), so broadcasting it (the pre-r17 spelling)
+    // was the q49 cliff class in broadcast form: the UNBOUNDED side
+    // shipped as the build table while the 20-row side streamed. Only the
+    // ≤40 tokens the top-20 pairs reference ever matter, so the bounded
+    // set travels the other way: a broadcast SEMI-join against those
+    // tokens filters the token stream AT THE SCAN, before any exchange —
+    // the vocabulary-wide unigram shuffle disappears entirely (not merely
+    // un-broadcast), the surviving aggregate groups ≤40 keys, and THAT is
+    // what broadcasts back onto the top frame. top and uniTop are
+    // persisted because each is read from two branches (top: wanted + the
+    // final join; uniTop: both attach broadcasts); both are metadata-
+    // sized (20 and ≤40 rows), so the caches cost nothing at any scale.
+    // Measured at the 100× independent corpus (R17Probe7): broadcast-uni
+    // 4.7 s warm / semi-above-agg pivot 6.3 s / this token-level semi ≈
+    // the broadcast spelling, with the hard broadcast ceiling gone.
+    val topC = top.persist()
+    val wanted = topC.select(explode(array(col("a"), col("b"))).as("w")).distinct()
+    val uniTop = docs.select(explode(toks(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(wanted), Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .persist()
+    topC
+      .join(broadcast(uniTop.select(col("w").as("a"), col("cw").as("c_a"))), Seq("a"))
+      .join(broadcast(uniTop.select(col("w").as("b"), col("cw").as("c_b"))), Seq("b"))
       .crossJoin(broadcast(nBi))
       .select(col("a"), col("b"), col("c_ab"),
         round(log(col("n_bi").cast("double") * col("c_ab").cast("double")

@@ -510,6 +510,63 @@ class PlanSpec extends AnyFunSuite {
       () => SparkEntry.queries("q150_lsh_threshold_sweep")(spark, dir))
   }
 
+  test("q139 pmi: the vocabulary-sized unigram table never broadcasts wholesale") {
+    // The cliff rule's BROADCAST dual (r17): q139's pre-fix spelling
+    // broadcast the corpus-growing unigram count table as the build side
+    // of the top-20 attach joins — bounded at fixture scale, ~1.5M rows on
+    // the 100× independent corpus, unboundable at 100 TB. The fixed plan
+    // bounds the token stream at the scan: a single-key token aggregate
+    // may appear under a BroadcastExchange ONLY if a LeftSemi broadcast
+    // join or a limit bounds it — on the path above it (pivot after the
+    // agg) or anywhere in its own subtree (the r17 scan-level semi /
+    // `wanted`'s distinct over the limited top frame). An unbounded token
+    // aggregate on a broadcast path is the pre-r17 cliff spelling.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    val df = SparkEntry.queries("q139_bigram_pmi")(spark, dir)
+    graft.Bench.force(df) // AQE-final plan (see pin helper note)
+    def kids(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _                        => pl.children
+    }
+    def isTokenAgg(pl: SparkPlan): Boolean = pl match {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.size == 1 &&
+          a.groupingExpressions.flatMap(_.references.map(_.name.toLowerCase))
+            .contains("w")
+      case _ => false
+    }
+    def isBound(pl: SparkPlan): Boolean = pl match {
+      case j: BroadcastHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    def subtreeBounded(pl: SparkPlan): Boolean =
+      isBound(pl) || kids(pl).exists(subtreeBounded)
+    def walk(pl: SparkPlan, inBroadcast: Boolean, bounded: Boolean): Unit = {
+      assert(!(inBroadcast && !bounded && isTokenAgg(pl) && !subtreeBounded(pl)),
+        "q139: a token (vocabulary-keyed) aggregate is a broadcast build " +
+          "side with no semi-join/limit bound above or below it — the " +
+          "corpus-growing frame is being shipped wholesale (pre-r17 " +
+          "cliff spelling)")
+      val inB = inBroadcast || pl.isInstanceOf[BroadcastExchangeLike]
+      val b = if (inB && !inBroadcast) isBound(pl) else bounded || isBound(pl)
+      kids(pl).foreach(walk(_, inB, b))
+    }
+    spark.catalog.clearCache()
+    try walk(df.queryExecution.executedPlan, inBroadcast = false, bounded = false)
+    finally spark.catalog.clearCache()
+  }
+
   test("shingle family extracts through the fused word_shingles expression") {
     // The r12 zero-copy expression replaced the interpreted
     // transform/slice/concat_ws spelling across the banded-dedup family's

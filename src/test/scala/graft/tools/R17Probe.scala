@@ -306,3 +306,124 @@ object R17Probe6 {
     spark.stop()
   }
 }
+
+/** Same-JVM A/B for the q139 vocabulary-broadcast fix: OLD = the pre-r17
+  * spelling (broadcast the vocabulary-sized unigram table onto the 20-row
+  * top frame — the q49 cliff class in broadcast form), NEW = the library's
+  * bounded-side pivot (≤40-token semi-join; the vocab streams). Interleaved
+  * A,B,A,B with cache clears; intended for /tmp/sf01x100i where the
+  * independent construction grows the vocabulary ~100×.
+  * Usage: Test/runMain graft.tools.R17Probe7 <sfDir> [reps]
+  */
+object R17Probe7 {
+  import org.apache.spark.sql.functions._
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def oldQ139(): org.apache.spark.sql.DataFrame = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val bg = docs
+        .select(explode(call_function("word_shingles",
+          trim(regexp_replace(col("text"), " +", " ")), lit(2), lit(false))).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("a"),
+          substring_index(col("bg"), " ", -1).as("b"))
+      val bgCounts = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .persist()
+      val nBi = bgCounts.agg(sum(col("c_ab")).as("n_bi"))
+      val top = bgCounts
+        .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
+        .limit(20)
+      top
+        .join(broadcast(uni.select(col("w").as("a"), col("cw").as("c_a"))), Seq("a"))
+        .join(broadcast(uni.select(col("w").as("b"), col("cw").as("c_b"))), Seq("b"))
+        .crossJoin(broadcast(nBi))
+        .select(col("a"), col("b"), col("c_ab"),
+          round(log(col("n_bi").cast("double") * col("c_ab").cast("double")
+            / (col("c_a").cast("double") * col("c_b").cast("double"))), 6).as("pmi"))
+    }
+
+    def run(tag: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val cnt = graft.Bench.force(mk())
+      println(f"== q139[$tag]: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
+      spark.catalog.clearCache()
+    }
+    (1 to reps).foreach { _ =>
+      run("old-bcast-vocab", () => oldQ139())
+      run("new-semi-pivot",
+        () => graft.SparkEntry.queries("q139_bigram_pmi")(spark, dir))
+    }
+    spark.stop()
+  }
+}
+
+/** r17 q01 decomposition at the 100× temporal corpus: attributes the
+  * scan-dominated aggregate's wall between (A) the bare vectorized
+  * parquet scan of the four referenced lineitem columns forced through
+  * row materialization, (B) the same groupBy with plain DOUBLE sums,
+  * and (C) the shipped q01 (decimal-exact dsum). B−A is the hash-agg
+  * tax, C−B the determinism (decimal) tax — the attribution behind the
+  * "constant-factor scan tax" claim in BASELINE r17.
+  * Usage: Test/runMain graft.tools.R17Probe8 <temporalDir> [reps]
+  */
+object R17Probe8 {
+  import org.apache.spark.sql.functions._
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount").map(col)
+    def scanOnly() = spark.read.parquet(s"$dir/lineitem.parquet").select(cols: _*)
+    def doubleAgg() = scanOnly()
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("n_rows"), max(col("l_quantity")).as("max_qty"))
+    def full() = graft.SparkEntry.queries("q01_agg_multikey")(spark, dir)
+    // D bills the per-row double→decimal cast with a DOUBLE sum buffer;
+    // E bills cast + unscaled-long extraction with a LONG sum buffer —
+    // together they attribute C−B between the cast and the decimal
+    // aggregation buffer.
+    import org.apache.spark.sql.types.DecimalType
+    def castOnly() = scanOnly()
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 6)).cast("double")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6)).cast("double")).as("sum_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6)).cast("double")).as("sum_disc_price"),
+        count(lit(1)).as("n_rows"), max(col("l_quantity")).as("max_qty"))
+    def unscaledLong() = scanOnly()
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum((col("l_quantity").cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")).as("sum_qty"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")).as("sum_price"),
+        sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")).as("sum_disc_price"),
+        count(lit(1)).as("n_rows"), max(col("l_quantity")).as("max_qty"))
+    def run(tag: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val cnt = graft.Bench.force(mk())
+      println(f"== q01dec[$tag]: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
+      spark.catalog.clearCache()
+    }
+    (1 to reps).foreach { _ =>
+      run("A-scan", () => scanOnly())
+      run("B-double-agg", () => doubleAgg())
+      run("C-full-decimal", () => full())
+      run("D-cast-double-sum", () => castOnly())
+      run("E-cast-long-sum", () => unscaledLong())
+    }
+    spark.stop()
+  }
+}

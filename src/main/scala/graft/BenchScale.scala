@@ -71,18 +71,34 @@ object BenchScale {
     Anchor("q154_source_overlap", "docs10x", 3.58, 0.75),
     Anchor("q142_bm25_topdocs", "docs10x", 0.379, 0.76),
     Anchor("q90_boilerplate_ngrams", "docs10x", 2.98, 0.88),
-    Anchor("q119_bigram_xent", "docs10x", 4.08, 1.24),
+    // r17b re-pins (q119 was 1.24, q93 was 0.65, q126 was 0.433): those
+    // three anchors were recorded under count()-based forcing, which
+    // PRUNED each query's left-join/scoring branches (the q180/q77
+    // under-billing class the r17 forcing fix closed) — the honest-forced
+    // gate then read the full plans at ~2× the stale anchors and failed
+    // them with no code change. Re-pinned at the midpoint of the honest
+    // bands across three r17b windows (q119 2.31–2.55, q93 1.37–1.69,
+    // q126 0.77–0.96; count-based re-reads in the SAME windows reproduce
+    // the old levels, confirming forcing — not code and not only the
+    // degraded box — as the delta). The DuckDB anchors were fetch-all
+    // from day one and need no restatement.
+    Anchor("q119_bigram_xent", "docs10x", 4.08, 2.43),
     // r15 re-pins (were 0.87 / 1.10): banded self-joins carry explicit
     // shuffle_hash hints — ~+0.3–0.5 s of deterministic exchange replaces
     // a broadcast that was one cold-cache estimate away from gluing the
     // pair expansion to a single task (the q49 catastrophe, same shape)
     Anchor("q55_simhash_near_dups", "docs10x", 30.0, 1.40),
     Anchor("q56_minhash_candidates", "docs10x", 23.9, 1.25),
-    Anchor("q93_unigram_xent", "docs10x", 0.64, 0.65),
+    Anchor("q93_unigram_xent", "docs10x", 0.64, 1.53),
     Anchor("q95_decontaminate", "docs10x", 8.15, 1.10),
-    // r15 re-pin DOWN (was 2.02): the hinted candidate join also helps
-    // here — band 1.31–2.85 across a warm and a cool window
-    Anchor("q143_minhash_error_audit", "docs10x", 65.0, 1.60),
+    // r17b re-pin (r15 had 2.02 → 1.60): the row-local rewrite — only the
+    // pair KEY SET broadcasts; signature+shingle arrays attach by
+    // streaming the per-doc frame, est/common/jaccard are array
+    // arithmetic. The prior broadcast(common) spelling hard-failed at
+    // 11.6 GiB on THIS corpus (duplication makes pairs-sharing-a-shingle
+    // corpus-structure-sized); warm gate band 1.94 post-rewrite, pinned
+    // there until an idle window re-measures
+    Anchor("q143_minhash_error_audit", "docs10x", 65.0, 1.94),
     Anchor("q147_token_pagerank", "docs10x", 2.80, 0.83),
     // r14 re-anchors (r13 recorded 0.78 / 0.84): the certified
     // single-pass rewrite (MgSketch err==0 exactness certificate at
@@ -109,8 +125,9 @@ object BenchScale {
     // no stage left to shave without baking a local-layout fix into a
     // 100 TB plan.
     Anchor("q58_asof_join", "temporal10x", 0.298, 1.03),
-    // r13: event-family heads (BASELINE "Temporal-corpus 10× rows")
-    Anchor("q126_max_concurrency", "temporal10x", 0.292, 0.433),
+    // r13: event-family heads (BASELINE "Temporal-corpus 10× rows");
+    // q126 re-pinned r17b with the forcing-stale trio (see q119 note)
+    Anchor("q126_max_concurrency", "temporal10x", 0.292, 0.87),
     // r15 re-pin (was 0.718): one-pass span+moment fusion, stats riding
     // through the grid explode (no broadcast re-join, no second stats
     // evaluation); band 0.365–0.570 across a cool and a warm window —

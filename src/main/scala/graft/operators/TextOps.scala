@@ -2226,15 +2226,30 @@ object TextOps {
     * without rounding, the q49 convention).
     */
   def qMinhashErrorAudit(s: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesDistinct(t(s, dir, "documents")).persist()
+    // repartition(doc_id) BEFORE the signature aggregate (r17b): the
+    // groupBy(doc_id) pays this exchange anyway — hoisting it below the
+    // explode moves the 32-family md5 evaluation from the SCAN stage
+    // (whose parallelism is the input file layout: ONE task on a
+    // single-row-group fixture/scale file — 39 s of single-threaded
+    // hashing at 10×, R17Probe9) to the post-shuffle side (full cluster
+    // parallelism at any layout). Same exchange count, comparable bytes
+    // (raw shingles vs 32 md5s per doc), order-insensitive MIN → values
+    // unchanged.
+    val sh = shinglesDistinct(t(s, dir, "documents"))
+      .repartition(col("doc_id")).persist()
     val mins = (0 until MinhashK).map(i =>
       min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // The per-doc distinct shingle ARRAY rides the signature aggregate's
+    // existing shuffle (r17b): the true-jaccard side needs it, and
+    // collecting it here costs no extra corpus pass or exchange
+    // (shinglesDistinct already dedups, so collect_list is set-valued).
+    val aggs = mins :+ collect_list(col("shingle")).as("arr")
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val bands = (0 until MinhashBands).map { b =>
       md5(concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).cast("binary"))
         .as(s"band$b")
     }
-    val sigB = sig.select(col("doc_id") +:
+    val sigB = sig.select(col("doc_id") +: col("arr") +:
       ((0 until MinhashK).map(i => col(s"m$i")) ++ bands): _*).persist()
     val banded = sigB.select(col("doc_id"),
       explode(array((0 until MinhashBands).map(b =>
@@ -2245,44 +2260,36 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sigA = sigB.select(col("doc_id").as("doc_a") +:
-      (0 until MinhashK).map(i => col(s"m$i").as(s"am$i")): _*)
-    val sigC = sigB.select(col("doc_id").as("doc_b") +:
-      (0 until MinhashK).map(i => col(s"m$i").as(s"bm$i")): _*)
-    val matches = (0 until MinhashK)
-      .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    // r17 (cliff-rule guard): the signature table is CORPUS-sized, the
-    // candidate set is banding-bounded — the candidates broadcast and the
-    // signatures STREAM, never the reverse. Left unhinted, the planner
-    // sort-merged these at fixture scale already (PlanSpec caught it);
-    // at corpus scale that shape shuffles the whole 32-column signature
-    // table twice, linearly with the corpus.
-    val est = broadcast(broadcast(cand).join(sigA, Seq("doc_a")))
-      .join(sigC, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (matches.cast("double") / lit(MinhashK)).as("est_jaccard"))
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val keep = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").persist()
-    val sizes = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = keep.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(keep.select(col("doc_id").as("doc_b"), col("shingle"))
-        .hint("merge"), Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
-    // common and sizes are candidate-bounded like est — every attachment
-    // above the pair aggregates arrives by broadcast (the r16 cliff rule,
-    // PlanSpec-pinned), so no candidate frame is ever re-shuffled
-    est
-      .join(broadcast(common), Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("common"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a")), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+    // r17b (the broadcast dual, measured the hard way): the first r17 fix
+    // broadcast est/common/sizes on the claim "candidate-bounded". That
+    // held on the independent 100× corpus but NOT under duplication —
+    // `common` was pairs-sharing-a-shingle (corpus-STRUCTURE-dependent,
+    // not banding-bounded) and its broadcast hit Spark's 8 GiB hard limit
+    // at 11.6 GiB on the 10× duplication corpus: the exact hidden-ceiling
+    // class the rule exists to ban, introduced BY the rule's first fix.
+    // Only the banded pair KEY SET is genuinely bounded (it is the query's
+    // own output domain), so that is the only thing that broadcasts now
+    // (16 B/pair). Each side's signature array + shingle array attach by
+    // STREAMING the persisted per-doc frame through that broadcast (inner
+    // hash probe, no corpus exchange), the two pair-keyed sides meet in
+    // ONE co-partitioned shuffle join of candidate-bounded frames, and
+    // est/common/jaccard are row-local array arithmetic from there —
+    // zip_with equality count for the signature estimate, array_intersect
+    // size for true overlap. No frame above the pair aggregate grows with
+    // the corpus, under ANY corpus structure.
+    val candB = cand.persist()
+    def side(key: String, sfx: String) = sigB
+      .select(col("doc_id").as(key),
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as(s"sig$sfx"),
+        col("arr").as(s"arr$sfx"))
+      .join(broadcast(candB), Seq(key))
+    side("doc_a", "_a").join(side("doc_b", "_b"), Seq("doc_a", "doc_b"))
+      .withColumn("matches", expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), h -> h))"))
+      .withColumn("common", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .withColumn("est_jaccard", col("matches").cast("double") / lit(MinhashK))
+      .withColumn("jaccard", col("common").cast("double")
+        / (size(col("arr_a")) + size(col("arr_b")) - col("common")))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
         abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
   }

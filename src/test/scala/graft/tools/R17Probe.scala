@@ -427,3 +427,63 @@ object R17Probe8 {
     spark.stop()
   }
 }
+
+/** r17b q143 stage attribution on a scale corpus: times (a) the exploded
+  * shingle persist, (b) the signature aggregate WITHOUT the r17b shingle
+  * array (codegen HashAggregate), (c) WITH it (collect_list forces
+  * ObjectHashAggregate), (d) the banded candidate self-join, (e) the full
+  * query — locating the rewrite's regression before shaving it.
+  * Usage: Test/runMain graft.tools.R17Probe9 <docsDir>
+  */
+object R17Probe9 {
+  import org.apache.spark.sql.functions._
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    def time(tag: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"== q143dec[$tag]: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sh = docs.select(col("doc_id"),
+      explode(call_function("word_shingles", col("text"), lit(3), lit(true))).as("shingle"))
+      .persist()
+    time("a-shingles-fill") { sh.count() }
+    val mins = (0 until 32).map(i =>
+      min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
+    time("b-sig-no-arr") {
+      graft.Bench.force(sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*))
+    }
+    time("c-sig-with-arr") {
+      graft.Bench.force(sh.groupBy(col("doc_id"))
+        .agg(mins.head, (mins.tail :+ collect_list(col("shingle")).as("arr")): _*))
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until 8).map { b =>
+      md5(concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).cast("binary"))
+        .as(s"band$b")
+    }
+    val sigB = sig.select(col("doc_id") +: ((0 until 32).map(i => col(s"m$i")) ++ bands): _*).persist()
+    time("d-sigB-fill") { sigB.count() }
+    val banded = sigB.select(col("doc_id"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b"), col("bk.k"))
+    time("e-cand") {
+      banded.as("x").join(banded.as("y").hint("shuffle_hash"),
+          col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().count()
+    }
+    spark.catalog.clearCache()
+    time("f-full-query") {
+      graft.Bench.force(graft.SparkEntry.queries("q143_minhash_error_audit")(spark, dir))
+    }
+    spark.stop()
+  }
+}

@@ -223,7 +223,16 @@ object TextOps {
     * hash-aggregate of 64 codegen'd SUMs — shuffle key is doc_id only.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
+    // repartition(doc_id) at the TEXT level (r17b, the q143 lesson): the
+    // per-token hash + 64 vote partials otherwise run in the scan stage,
+    // whose parallelism is the input file layout (one task on a
+    // single-row-group file). Hoisting the doc_id exchange below the scan
+    // keeps total exchanges at ONE — project/generate preserve the
+    // hash partitioning, so the groupBy adds none — while the exchange
+    // carries raw text (comparable bytes to the per-doc partials it
+    // replaces) and the hash work runs at cluster parallelism on any
+    // layout.
+    val tok = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
       .withColumn("h", xxhash64(col("token")))
@@ -247,7 +256,9 @@ object TextOps {
     * construction — simhash only needs uniform independent bits.
     */
   def qSimhashBands(s: SparkSession, dir: String): DataFrame = {
-    val tok = t(s, dir, "documents")
+    // repartition(doc_id): layout-independent parallelism for the
+    // 64-bit-vote build, one exchange total — see [[simhash]]
+    val tok = t(s, dir, "documents").repartition(col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
       .withColumn("h", md5(col("token").cast("binary")))
@@ -349,7 +360,10 @@ object TextOps {
     * (identical content collides, planted near-dups recovered).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shinglesDistinct(docs)
+    // repartition(doc_id) at the text level: the 32 min-hash families
+    // otherwise evaluate in the scan stage (file-layout parallelism);
+    // one exchange total — see [[simhash]]
+    val sh = shinglesDistinct(docs.repartition(col("doc_id")))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val mins = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -374,7 +388,10 @@ object TextOps {
     * ops); minhash only needs exchangeable uniform hash families.
     */
   def qMinhashBands(s: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesDistinct(t(s, dir, "documents"))
+    // repartition(doc_id): the 32 md5 min-hash families otherwise run in
+    // the scan stage (file-layout parallelism; 39 s single-threaded at
+    // 10×, R17Probe9); one exchange total — see [[simhash]]
+    val sh = shinglesDistinct(t(s, dir, "documents").repartition(col("doc_id")))
     val mins = (0 until MinhashK).map(i =>
       min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -2226,17 +2243,16 @@ object TextOps {
     * without rounding, the q49 convention).
     */
   def qMinhashErrorAudit(s: SparkSession, dir: String): DataFrame = {
-    // repartition(doc_id) BEFORE the signature aggregate (r17b): the
-    // groupBy(doc_id) pays this exchange anyway — hoisting it below the
-    // explode moves the 32-family md5 evaluation from the SCAN stage
-    // (whose parallelism is the input file layout: ONE task on a
-    // single-row-group fixture/scale file — 39 s of single-threaded
-    // hashing at 10×, R17Probe9) to the post-shuffle side (full cluster
-    // parallelism at any layout). Same exchange count, comparable bytes
-    // (raw shingles vs 32 md5s per doc), order-insensitive MIN → values
-    // unchanged.
-    val sh = shinglesDistinct(t(s, dir, "documents"))
-      .repartition(col("doc_id")).persist()
+    // repartition(doc_id) at the TEXT level (r17b): the groupBy(doc_id)
+    // needed this exchange anyway — hoisting it below the scan moves the
+    // 32-family md5 evaluation from the SCAN stage (whose parallelism is
+    // the input file layout: ONE task on a single-row-group fixture/scale
+    // file — 39 s of single-threaded hashing at 10×, R17Probe9) to the
+    // post-shuffle side, exchanging raw text instead of shingles. Same
+    // exchange count, fewer bytes, order-insensitive MIN → values
+    // unchanged. See [[simhash]].
+    val sh = shinglesDistinct(t(s, dir, "documents").repartition(col("doc_id")))
+      .persist()
     val mins = (0 until MinhashK).map(i =>
       min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
     // The per-doc distinct shingle ARRAY rides the signature aggregate's

@@ -268,6 +268,10 @@ object SparkEntry {
     * correctness contract — never merged into [[queries]].
     */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // determinism-tax twin (not a hash-family swap): q01 with plain
+    // double sums — the per-sweep delta to q01 prices the exact-sum
+    // contract, the way the x-hash rows price md5 portability
+    "x01_agg_double" -> (Relational.q1AggDouble _),
     "x47_simhash_xxhash" ->
       ((s, dir) => TextOps.simhash(graft.Tables.load(s, dir, "documents"))),
     "x48_minhash_xxhash" ->

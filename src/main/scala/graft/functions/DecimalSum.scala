@@ -39,12 +39,20 @@ import org.apache.spark.sql.types._
   * pins dsum ≡ builtin across sign mixes, nulls, repartitionings).
   *
   * Overflow domain: |hi| < 2⁶³ bounds |Σ| < 9.2·10²⁷ unscaled ≈ 9.2·10²¹
-  * in value units — the same magnitude where the builtin's decimal(28,6)
-  * buffer (< 10²² value) overflows to NULL. A 100 TB-scale revenue sum is
-  * ~10¹⁶, five orders of magnitude inside the domain. All three buffer
-  * slots are primitive (long, long, boolean), so the aggregate runs on the
-  * fast mutable-UnsafeRow path with whole-stage codegen, map-side partial
-  * aggregation, and streaming state-store support unchanged.
+  * in value units, slightly INSIDE the builtin decimal(28,6) buffer's
+  * < 10²² value-unit domain. The semantics at the boundary matter (r18,
+  * advisor): a silent two's-complement wrap would return an arbitrary
+  * finite value where the builtin returns NULL, so hi accumulation
+  * carries a sign-rule overflow guard (`ovf` slot; for `s = a + b`,
+  * overflow ⇔ `((a ^ s) & (b ^ s)) < 0`) and the evaluate path forces
+  * NULL once it ever fires — the result is NULL-on-overflow like the
+  * builtin, reaching NULL at ~0.92× the builtin's threshold instead of
+  * wrapping (DecimalSumSpec pins both directions at the exact boundary).
+  * A 100 TB-scale revenue sum is ~10¹⁶, five orders of magnitude inside
+  * the domain. All four buffer slots are primitive (long, long, boolean,
+  * boolean), so the aggregate runs on the fast mutable-UnsafeRow path
+  * with whole-stage codegen, map-side partial aggregation, and streaming
+  * state-store support unchanged.
   */
 case class DecSum6(child: Expression)
     extends DeclarativeAggregate with UnaryLike[Expression] {
@@ -68,13 +76,22 @@ case class DecSum6(child: Expression)
   private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
   private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
   private lazy val empty = AttributeReference("empty", BooleanType, nullable = false)()
+  private lazy val ovf = AttributeReference("ovf", BooleanType, nullable = false)()
 
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, empty)
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(hi, lo, empty, ovf)
 
   override lazy val initialValues: Seq[Expression] =
-    Seq(Literal(0L), Literal(0L), Literal(true))
+    Seq(Literal(0L), Literal(0L), Literal(true), Literal(false))
 
   private def mLit = Literal(M)
+
+  /** Sign-rule signed-add overflow test for `s = a + b`: the sum wrapped
+    * iff both operands disagree in sign with the result — branch-free,
+    * 4 long ALU ops, codegen-friendly (no If, so CSE still shares `s`).
+    */
+  private def addOverflows(a: Expression, b: Expression, s: Expression): Expression =
+    LessThan(BitwiseAnd(BitwiseXor(a, s), BitwiseXor(b, s)), Literal(0L))
 
   override lazy val updateExpressions: Seq[Expression] = {
     // NULL inputs add zero (an exact no-op on hi/lo) instead of branching:
@@ -87,18 +104,28 @@ case class DecSum6(child: Expression)
     val u = UnscaledValue(child)
     val u0 = Coalesce(Seq(u, Literal(0L)))
     val t = Add(lo, new Remainder(u0, mLit))
+    // per-row hi delta d: |u0/M| ≤ 10⁹ and |t/M| ≤ 1, so d itself cannot
+    // wrap — only the hi + d accumulation can, and that is guarded
+    val d = Add(new IntegralDivide(u0, mLit), new IntegralDivide(t, mLit))
+    val hiNew = Add(hi, d)
     Seq(
-      Add(Add(hi, new IntegralDivide(u0, mLit)), new IntegralDivide(t, mLit)),
+      hiNew,
       new Remainder(t, mLit),
-      And(empty, IsNull(u)))
+      And(empty, IsNull(u)),
+      Or(ovf, addOverflows(hi, d, hiNew)))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
     val t = Add(lo.left, lo.right)
+    val c = new IntegralDivide(t, mLit) // lo-merge carry: |lo| < M each side → c ∈ {-1,0,1}
+    val s2 = Add(hi.left, hi.right)
+    val hiNew = Add(s2, c)
     Seq(
-      Add(Add(hi.left, hi.right), new IntegralDivide(t, mLit)),
+      hiNew,
       new Remainder(t, mLit),
-      And(empty.left, empty.right))
+      And(empty.left, empty.right),
+      Or(Or(ovf.left, ovf.right),
+        Or(addOverflows(hi.left, hi.right, s2), addOverflows(s2, c, hiNew))))
   }
 
   override lazy val evaluateExpression: Expression = {
@@ -108,7 +135,7 @@ case class DecSum6(child: Expression)
       Literal(Decimal(1000L, 4, 0), DecimalType(4, 0)))
     val loVal = Multiply(Cast(lo, DecimalType(10, 0)),
       Literal(Decimal(BigDecimal("0.000001")), DecimalType(6, 6)))
-    If(empty, Literal(null, dataType), Cast(Add(hiVal, loVal), dataType))
+    If(Or(empty, ovf), Literal(null, dataType), Cast(Add(hiVal, loVal), dataType))
   }
 
   override protected def withNewChildInternal(newChild: Expression): DecSum6 =

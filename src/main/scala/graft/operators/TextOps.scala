@@ -2251,8 +2251,14 @@ object TextOps {
     // post-shuffle side, exchanging raw text instead of shingles. Same
     // exchange count, fewer bytes, order-insensitive MIN → values
     // unchanged. See [[simhash]].
+    // No persist (r18, advisor): since the r17b rewrite the shingle frame
+    // is consumed exactly once (the signature aggregate below — the
+    // true-jaccard side rides that aggregate's collect_list instead of
+    // re-reading sh), so caching the query's largest intermediate bought
+    // zero reuse and cost memory + serialization. sigB/candB stay
+    // persisted — they ARE re-read (bands + both attach sides / both
+    // join keys).
     val sh = shinglesDistinct(t(s, dir, "documents").repartition(col("doc_id")))
-      .persist()
     val mins = (0 until MinhashK).map(i =>
       min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
     // The per-doc distinct shingle ARRAY rides the signature aggregate's

@@ -91,6 +91,49 @@ class DecimalSumSpec extends AnyFunSuite {
     assert(r.getDouble(1) == r.getDouble(2))
   }
 
+  test("hi-slot overflow forces NULL instead of wrapping (r18 guard, both boundary sides)") {
+    // Reaching real wrap through data needs ~9.2e9 max-value rows, so the
+    // boundary is pinned at the expression level: bind the merge
+    // expressions to (buffer ++ inputBuffer) rows with hi near
+    // Long.MaxValue and check the ovf slot and the evaluate path directly
+    // — the same Catalyst evaluation the codegen'd aggregate performs.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR, BindReferences, Literal => L}
+    import org.apache.spark.sql.types.{DecimalType => DT}
+    val agg = DecSum6(AR("x", DT(18, 6))())
+    val schema = agg.aggBufferAttributes ++ agg.inputAggBufferAttributes
+    val merged = agg.mergeExpressions.map(BindReferences.bindReference(_, schema))
+    def merge(hi1: Long, hi2: Long, lo1: Long = 0L, lo2: Long = 0L) = {
+      val row = InternalRow(hi1, lo1, false, false, hi2, lo2, false, false)
+      merged.map(_.eval(row))
+    }
+    val big = Long.MaxValue / 2 + 1
+    // wraps: both halves past the midpoint
+    assert(merge(big, big)(3) == true)
+    // wraps via the lo-merge carry: hi at max, carry +1 from lo sums
+    assert(merge(Long.MaxValue, 0L, 999999999L, 1L)(3) == true)
+    // does not wrap: same magnitudes, opposite signs
+    assert(merge(big, -big)(3) == false)
+    assert(merge(Long.MaxValue, -1L, 999999999L, 1L)(3) == false)
+    // ovf is sticky through merge even when this merge is clean
+    val sticky = InternalRow(1L, 0L, false, true, 2L, 0L, false, false)
+    assert(merged(3).eval(sticky) == true)
+    // evaluate: ovf → NULL, clean → finite
+    val eval = BindReferences.bindReference(
+      agg.evaluateExpression, agg.aggBufferAttributes)
+    assert(eval.eval(InternalRow(1L, 5L, false, true)) == null)
+    assert(eval.eval(InternalRow(1L, 5L, false, false)) != null)
+    // and the update path sets it when hi + d wraps
+    val bound = agg.updateExpressions.map(BindReferences.bindReference(
+      _, agg.aggBufferAttributes ++ Seq(agg.child.asInstanceOf[AR])))
+    val maxDec = org.apache.spark.sql.types.Decimal("999999999999.999999")
+    maxDec.changePrecision(18, 6)
+    val nearMax = InternalRow(Long.MaxValue - 100L, 0L, false, false, maxDec)
+    assert(bound(3).eval(nearMax) == true, "update past hi max must flag ovf")
+    val farFromMax = InternalRow(0L, 0L, false, false, maxDec)
+    assert(bound(3).eval(farFromMax) == false)
+  }
+
   test("the aggregate plans on the fast hash-agg path (primitive buffer, codegen)") {
     val df = spark.range(1000).selectExpr("id % 5 g", "cast(id as double) x")
       .groupBy($"g").agg(dsum($"x").as("s"))

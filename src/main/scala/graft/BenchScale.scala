@@ -91,15 +91,31 @@ object BenchScale {
     Anchor("q56_minhash_candidates", "docs10x", 23.9, 1.25),
     Anchor("q93_unigram_xent", "docs10x", 0.64, 1.53),
     Anchor("q95_decontaminate", "docs10x", 8.15, 1.10),
-    // r17b re-pin (r15 had 2.02 → 1.60): the row-local rewrite — only the
-    // pair KEY SET broadcasts; signature+shingle arrays attach by
-    // streaming the per-doc frame, est/common/jaccard are array
-    // arithmetic. The prior broadcast(common) spelling hard-failed at
-    // 11.6 GiB on THIS corpus (duplication makes pairs-sharing-a-shingle
-    // corpus-structure-sized); warm gate band 1.94 post-rewrite, pinned
-    // there until an idle window re-measures
-    Anchor("q143_minhash_error_audit", "docs10x", 65.0, 1.94),
+    // r18 re-pin (r17b had 1.94): the content-dedup layer — the whole
+    // quadratic stage (signatures, banding, pair stats) runs per DISTINCT
+    // TEXT and expands to doc pairs row-locally, so THIS corpus's 10×
+    // duplication collapses back to the 5k-content universe (measured
+    // 0.98 warm, floor 0.083; the r17b per-doc spelling read 1.94). The
+    // same shape took the 100× duplication corpus from >77 GB
+    // disk-exhaustion death to 14.4 s cold (BASELINE r18).
+    Anchor("q143_minhash_error_audit", "docs10x", 65.0, 0.98),
     Anchor("q147_token_pagerank", "docs10x", 2.80, 0.83),
+    // r18 duplication-audit rows (VERDICT r17 #1): the four cliff-guarded
+    // queries that were NOT yet gate rows on the duplication corpus —
+    // q143's 11.6 GiB broadcast OOM proved scale claims are
+    // corpus-STRUCTURE-dependent, so every guarded query now has a
+    // standing duplication reading. DuckDB anchors measured fresh on
+    // /tmp/sf01x10 (tools/dup_audit_r18_duck10x.log, warm best-of-2,
+    // idle window); Spark pins are the r18 honest-forced warm
+    // best-of-3 (R18Probe, same window, floor ~0.04). q117's >1×
+    // recorded ratio is the q103/q114 convention: a 9-job floor-class
+    // absolute (~1 s) against a 60 ms embedded-oracle bloom probe —
+    // gated so constant-factor regression is visible, not because the
+    // ratio is a target.
+    Anchor("q116_fuzzy_pairs", "docs10x", 3.80, 1.82),
+    Anchor("q139_bigram_pmi", "docs10x", 2.11, 0.38),
+    Anchor("q117_cross_corpus_dedup", "docs10x", 0.06, 0.96),
+    Anchor("q150_lsh_threshold_sweep", "docs10x", 28.38, 1.64),
     // r14 re-anchors (r13 recorded 0.78 / 0.84): the certified
     // single-pass rewrite (MgSketch err==0 exactness certificate at
     // capacity 1<<16) deleted the recount scan, the eager driver pass,

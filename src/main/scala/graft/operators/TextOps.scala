@@ -2251,67 +2251,127 @@ object TextOps {
     // post-shuffle side, exchanging raw text instead of shingles. Same
     // exchange count, fewer bytes, order-insensitive MIN → values
     // unchanged. See [[simhash]].
-    // No persist (r18, advisor): since the r17b rewrite the shingle frame
-    // is consumed exactly once (the signature aggregate below — the
-    // true-jaccard side rides that aggregate's collect_list instead of
-    // re-reading sh), so caching the query's largest intermediate bought
-    // zero reuse and cost memory + serialization. sigB/candB stay
-    // persisted — they ARE re-read (bands + both attach sides / both
-    // join keys).
-    val sh = shinglesDistinct(t(s, dir, "documents").repartition(col("doc_id")))
+    // r18 content-dedup layer (found by the 100× DUPLICATION audit, the
+    // probe class VERDICT r17 #1 mandated): the r17b pair join attached
+    // each side's payload (32-hash signature + shingle array, ~3.5 KB)
+    // once PER PAIR — under 100× duplication every doc sits in ~100
+    // pairs, so the join shuffled ~190 GB for a 2 GB corpus and died on
+    // disk (the audit's 27M-pair reading). But est/jaccard depend only on
+    // CONTENT: identical texts have identical signatures and shingle
+    // sets, so the whole quadratic stage now runs per DISTINCT TEXT
+    // (cid = md5(text)) and expands to doc pairs row-locally at the end.
+    // Work is a function of the corpus's distinct-content structure —
+    // strictly ≤ the per-doc spelling under EVERY corpus structure
+    // (duplication: quadratic stage collapses to the original-content
+    // universe; independent: cid ≈ doc_id and the plan degenerates to
+    // r17b's at the same cost). Values are bit-identical; the oracle SQL
+    // is untouched.
+    // Dedup mechanics (v2, measured): a per-cid text aggregate
+    // (first(text)) cannot run on the codegen hash-agg fast path — a
+    // string-valued buffer forces the object/sort fallback, which at the
+    // 100× INDEPENDENT corpus (where cid ≈ doc) re-sorted 2.3 GB of text
+    // and doubled the cold reading (94.6 s vs r17b's 44.9). So no text
+    // ever enters an aggregate: one SKINNY pass picks each content's
+    // representative (min doc_id) and collects the doc-id list, and a
+    // LeftSemi join cuts the corpus to representative rows — the same
+    // single full-text doc_id-keyed exchange r17b's repartition paid, so
+    // the independent-corpus cost is unchanged while duplication
+    // collapses the text reaching the signature build to one copy per
+    // distinct content. Pair keys are the representatives' 8-byte
+    // doc_ids from here on (rep_a/rep_b), not 32-char digests.
+    val docs = t(s, dir, "documents")
+    val byContent = docs
+      .select(md5(col("text")).as("cid"), col("doc_id"))
+      .groupBy(col("cid"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+    val ids = byContent.select(col("rep"), col("ids")).persist()
+    // No broadcast hint on the semi: the rep-id set is corpus-sized under
+    // independent structure (the q139 lesson) — the size-based planner
+    // broadcasts it while it fits and degrades to a shuffle join beyond,
+    // and the repartition already co-locates the text side either way.
+    val reps = docs.select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .join(ids.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sh = shinglesDistinct(reps)
     val mins = (0 until MinhashK).map(i =>
       min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
-    // The per-doc distinct shingle ARRAY rides the signature aggregate's
-    // existing shuffle (r17b): the true-jaccard side needs it, and
-    // collecting it here costs no extra corpus pass or exchange
-    // (shinglesDistinct already dedups, so collect_list is set-valued).
+    // The per-text distinct shingle ARRAY rides the signature aggregate
+    // (r17b): the true-jaccard side needs it, and collecting it here
+    // costs no extra pass (shinglesDistinct already dedups, so
+    // collect_list is set-valued). No persist on sh (r18, advisor): it
+    // is consumed exactly once.
     val aggs = mins :+ collect_list(col("shingle")).as("arr")
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val bands = (0 until MinhashBands).map { b =>
       md5(concat_ws("|", (b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).cast("binary"))
         .as(s"band$b")
     }
-    val sigB = sig.select(col("doc_id") +: col("arr") +:
+    val sigB = sig.select(col("doc_id").as("rep") +: col("arr") +:
       ((0 until MinhashK).map(i => col(s"m$i")) ++ bands): _*).persist()
-    val banded = sigB.select(col("doc_id"),
+    val banded = sigB.select(col("rep"),
       explode(array((0 until MinhashBands).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.b"), col("bk.k"))
+      .select(col("rep"), col("bk.b"), col("bk.k"))
     val cand = banded.as("x").join(banded.as("y").hint("shuffle_hash"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"))
       .distinct()
     // r17b (the broadcast dual, measured the hard way): the first r17 fix
     // broadcast est/common/sizes on the claim "candidate-bounded". That
     // held on the independent 100× corpus but NOT under duplication —
     // `common` was pairs-sharing-a-shingle (corpus-STRUCTURE-dependent,
     // not banding-bounded) and its broadcast hit Spark's 8 GiB hard limit
-    // at 11.6 GiB on the 10× duplication corpus: the exact hidden-ceiling
-    // class the rule exists to ban, introduced BY the rule's first fix.
-    // Only the banded pair KEY SET is genuinely bounded (it is the query's
-    // own output domain), so that is the only thing that broadcasts now
-    // (16 B/pair). Each side's signature array + shingle array attach by
-    // STREAMING the persisted per-doc frame through that broadcast (inner
-    // hash probe, no corpus exchange), the two pair-keyed sides meet in
-    // ONE co-partitioned shuffle join of candidate-bounded frames, and
-    // est/common/jaccard are row-local array arithmetic from there —
-    // zip_with equality count for the signature estimate, array_intersect
-    // size for true overlap. No frame above the pair aggregate grows with
-    // the corpus, under ANY corpus structure.
+    // at 11.6 GiB on the 10× duplication corpus. Only the banded pair KEY
+    // SET is output-bounded, so that is the only thing that broadcasts
+    // (16 B/content-pair — two rep doc_ids); each side's payload attaches by STREAMING
+    // the persisted per-text frame through that broadcast, the two
+    // pair-keyed sides meet in ONE co-partitioned shuffle join, and
+    // est/common/jaccard are row-local array arithmetic — zip_with
+    // equality count for the estimate, array_intersect size for true
+    // overlap.
     val candB = cand.persist()
     def side(key: String, sfx: String) = sigB
-      .select(col("doc_id").as(key),
+      .select(col("rep").as(key),
         array((0 until MinhashK).map(i => col(s"m$i")): _*).as(s"sig$sfx"),
         col("arr").as(s"arr$sfx"))
       .join(broadcast(candB), Seq(key))
-    side("doc_a", "_a").join(side("doc_b", "_b"), Seq("doc_a", "doc_b"))
+    val stats = side("rep_a", "_a").join(side("rep_b", "_b"), Seq("rep_a", "rep_b"))
       .withColumn("matches", expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), h -> h))"))
       .withColumn("common", size(array_intersect(col("arr_a"), col("arr_b"))))
       .withColumn("est_jaccard", col("matches").cast("double") / lit(MinhashK))
       .withColumn("jaccard", col("common").cast("double")
         / (size(col("arr_a")) + size(col("arr_b")) - col("common")))
+      .select(col("rep_a"), col("rep_b"), col("est_jaccard"), col("jaccard"))
+    // Expansion back to doc pairs, both branches row-local explodes over
+    // the per-content doc-id lists (no doc-granularity join anywhere):
+    //  - cross-content: banding is a function of the signature, so a doc
+    //    pair is banded iff its content pair is — attach the two id
+    //    lists and emit least/greatest per combination.
+    //  - same-content: identical texts agree on every band (est = 1,
+    //    jaccard = 1 exactly), restricted to contents that HAVE a
+    //    signature (<3-token texts produce no shingles and were never
+    //    candidates in the per-doc spelling either).
+    val cross = stats
+      .join(ids.select(col("rep").as("rep_a"), col("ids").as("ids_a")), Seq("rep_a"))
+      .join(ids.select(col("rep").as("rep_b"), col("ids").as("ids_b")), Seq("rep_b"))
+      .select(col("est_jaccard"), col("jaccard"),
+        explode(col("ids_a")).as("da"), col("ids_b"))
+      .select(col("est_jaccard"), col("jaccard"), col("da"),
+        explode(col("ids_b")).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("est_jaccard"), col("jaccard"))
+    val same = sigB.select(col("rep"))
+      .join(ids.where(size(col("ids")) >= 2), Seq("rep"))
+      .select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .where(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        lit(1.0).as("est_jaccard"), lit(1.0).as("jaccard"))
+    cross.unionByName(same)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
         abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
   }

@@ -33,6 +33,12 @@ class BenchScaleSpec extends AnyFunSuite {
       "q119_bigram_xent", "q55_simhash_near_dups", "q56_minhash_candidates",
       "q93_unigram_xent").foreach(q =>
       assert(BenchScale.anchors.exists(_.query == q), q))
+    // r18: every cliff-guarded query has a standing DUPLICATION-corpus
+    // row (the corpus structure that found the q143 broadcast OOM)
+    Seq("q116_fuzzy_pairs", "q139_bigram_pmi", "q117_cross_corpus_dedup",
+      "q150_lsh_threshold_sweep", "q143_minhash_error_audit").foreach(q =>
+      assert(BenchScale.anchors.exists(a =>
+        a.query == q && a.corpus == "docs10x"), q))
   }
 
   test("retry order: only failing rows, worst relative overshoot first") {

@@ -493,8 +493,46 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q143 minhash audit: candidate frame is never shuffled by the sig/sizes joins") {
-    assertNoShuffleJoinAbovePairAgg("q143", Set("doc_a", "doc_b"))(
+    // r18: the pair aggregate moved to CONTENT granularity (cid_a/cid_b —
+    // the duplication-audit fix); the guard's subject is the same
+    // candidate-pair distinct, under its new keys
+    assertNoShuffleJoinAbovePairAgg("q143", Set("rep_a", "rep_b"))(
       () => SparkEntry.queries("q143_minhash_error_audit")(spark, dir))
+  }
+
+  test("q143 minhash audit: the quadratic stage runs on the content-dedup universe") {
+    // r18 duplication-audit pin: the signature build and the banded
+    // self-join must consume the DISTINCT-TEXT aggregate (groupBy cid of
+    // md5(text)), not per-doc rows — the shape that collapsed the 100×
+    // duplication reading from a >77 GB disk-exhaustion failure to
+    // fixture-scale pair work. A per-doc signature build (doc_id-grouped
+    // mins over the raw scan) reintroduces pair-payload replication that
+    // is quadratic in the duplication degree.
+    // The dedup aggregate lives inside the reps cache build, which the
+    // plan STRING does not inline — walk the tree through caches (the
+    // pin-helper convention) and stringify every level.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = SparkEntry.queries("q143_minhash_error_audit")(spark, dir)
+    graft.Bench.force(df)
+    def flat(pl: SparkPlan): Seq[SparkPlan] = pl +: (pl match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case s: InMemoryTableScanExec => flat(s.relation.cachedPlan)
+      case q: QueryStageExec        => flat(q.plan)
+      case _                        => pl.children.flatMap(flat)
+    })
+    val all = flat(df.queryExecution.executedPlan).map(_.verboseString(10)).mkString("\n")
+    spark.catalog.clearCache()
+    assert(all.contains("md5(cast(text"),
+      "content id must be md5(text) — the dedup key the whole layer relies on")
+    assert(all.contains("min(doc_id"),
+      "representative selection (min doc_id per content) missing — dedup layer refactored?")
+    assert(all.contains("collect_list(doc_id"),
+      "doc-id lists must ride the content-dedup aggregate")
+    assert(all.contains("LeftSemi"),
+      "the corpus must be cut to representative rows by a semi join " +
+        "(no text may enter an aggregate — the object-agg fallback re-sorts the corpus)")
   }
 
   test("q116 fuzzy pairs: pair distinct output is never shuffled downstream") {

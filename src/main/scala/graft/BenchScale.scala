@@ -88,7 +88,11 @@ object BenchScale {
     // a broadcast that was one cold-cache estimate away from gluing the
     // pair expansion to a single task (the q49 catastrophe, same shape)
     Anchor("q55_simhash_near_dups", "docs10x", 30.0, 1.40),
-    Anchor("q56_minhash_candidates", "docs10x", 23.9, 1.25),
+    // r18b re-pin (was 1.25): content-dedup layer — the banded self-join
+    // and pair aggregate run per distinct text (this corpus: 50k docs →
+    // 5k contents); measured 1.17 at floor 0.095. The same rewrite at
+    // 100× duplication: 164.9 → 6.3 s cold (BASELINE r18).
+    Anchor("q56_minhash_candidates", "docs10x", 23.9, 1.17),
     Anchor("q93_unigram_xent", "docs10x", 0.64, 1.53),
     Anchor("q95_decontaminate", "docs10x", 8.15, 1.10),
     // r18 re-pin (r17b had 1.94): the content-dedup layer — the whole
@@ -115,7 +119,10 @@ object BenchScale {
     Anchor("q116_fuzzy_pairs", "docs10x", 3.80, 1.82),
     Anchor("q139_bigram_pmi", "docs10x", 2.11, 0.38),
     Anchor("q117_cross_corpus_dedup", "docs10x", 0.06, 0.96),
-    Anchor("q150_lsh_threshold_sweep", "docs10x", 28.38, 1.64),
+    // r18b re-pin (the r18 audit row was 1.64, per-doc): the WEIGHTED
+    // content-pair sweep never materializes a doc pair; measured 1.32 at
+    // floor 0.095; 100× duplication 66.4 → 3.6 s cold, 49.4 → 1.2 warm.
+    Anchor("q150_lsh_threshold_sweep", "docs10x", 28.38, 1.32),
     // r14 re-anchors (r13 recorded 0.78 / 0.84): the certified
     // single-pass rewrite (MgSketch err==0 exactness certificate at
     // capacity 1<<16) deleted the recount scan, the eager driver pass,

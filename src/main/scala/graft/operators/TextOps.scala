@@ -232,7 +232,7 @@ object TextOps {
     // carries raw text (comparable bytes to the per-doc partials it
     // replaces) and the hash work runs at cluster parallelism on any
     // layout.
-    val tok = docs.repartition(col("doc_id"))
+    val tok = byDoc(docs)
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
       .withColumn("h", xxhash64(col("token")))
@@ -258,7 +258,7 @@ object TextOps {
   def qSimhashBands(s: SparkSession, dir: String): DataFrame = {
     // repartition(doc_id): layout-independent parallelism for the
     // 64-bit-vote build, one exchange total — see [[simhash]]
-    val tok = t(s, dir, "documents").repartition(col("doc_id"))
+    val tok = byDoc(t(s, dir, "documents"))
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .where(col("token") =!= "")
       .withColumn("h", md5(col("token").cast("binary")))
@@ -346,6 +346,91 @@ object TextOps {
   private val MinhashK = 32
   private val MinhashBands = 8 // 8 bands x 4 rows
 
+  /** Content-dedup layer (r18, found by the duplication-structure audit):
+    * signature/banding/pair math in the near-dup family depends only on
+    * CONTENT — identical texts have identical shingle sets, signatures,
+    * and band keys — so the quadratic stages run per DISTINCT TEXT and
+    * expand back to doc granularity at the end. Work becomes a function
+    * of the corpus's distinct-content structure: strictly ≤ the per-doc
+    * spelling under EVERY corpus structure, and duplication (the
+    * realistic adversarial case — the r17b q143 OOM class) collapses to
+    * the original-content universe. Returns:
+    *   ids  — one row per distinct text: (rep = min doc_id, ids = sorted
+    *          doc-id list), persisted (several consumers, content-sized);
+    *   reps — the corpus cut to representative rows (doc_id, text),
+    *          STREAMING (one full-text doc_id-keyed exchange — the same
+    *          exchange the r17b repartition hoist paid, so the
+    *          independent-corpus cost is one extra skinny scan+hash pass).
+    * Mechanics pinned by measurement (PLANS r18): no text ever enters an
+    * aggregate (a first(text) spelling fell off the codegen hash-agg path
+    * into the object/sort fallback and re-sorted the corpus), and the
+    * semi carries no broadcast hint (the rep set is corpus-sized under
+    * independent structure — the q139 lesson; the size-based planner
+    * degrades it to a shuffle join gracefully).
+    */
+  /** CPU-dense doc_id text exchange with a PINNED partition count (r18):
+    * AQE's coalescer sizes partitions by BYTES, so a small corpus's text
+    * exchange collapses toward one partition and the downstream
+    * 32-family/64-vote hashing runs serial — measured on q48 at sf0.1:
+    * ~4.9 s with the coalesced exchange vs 0.3 s pinned, flat from 8 to
+    * 32 threads (R18Probe2: one 4.6 s task in the final stage). This is
+    * the R17Probe9 serialization re-entering through AQE instead of file
+    * layout. An explicit numPartitions exempts the exchange from
+    * coalescing; the session's shuffle parallelism is exactly the count
+    * the aggregate's own exchange would have carried.
+    */
+  private def byDoc(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("doc_id"))
+
+  private[operators] def contentLayer(docs: DataFrame): (DataFrame, DataFrame) = {
+    val ids = docs
+      .select(md5(col("text")).as("cid"), col("doc_id"))
+      .groupBy(col("cid"))
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("rep"), col("ids"))
+      .persist()
+    val reps = byDoc(docs.select(col("doc_id"), col("text")))
+      .join(ids.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    (ids, reps)
+  }
+
+  /** Doc-pair expansion of a representative-pair frame (r18): attach both
+    * sorted id lists and emit one row per (least, greatest) combination —
+    * two row-local generators, no doc-granularity join. `payload` columns
+    * ride through unchanged (they are content-pair functions). The ids
+    * joins sit ABOVE the pair aggregate by construction: pair-keyed ⨝
+    * content-keyed, both bounded by the query's own output domain — the
+    * shuffle-join class the r17b rule allows.
+    */
+  private def expandRepPairs(pairs: DataFrame, ids: DataFrame,
+      payload: Seq[String]): DataFrame = {
+    val p = payload.map(col)
+    pairs
+      .join(ids.select(col("rep").as("ra"), col("ids").as("ids_a")), Seq("ra"))
+      .join(ids.select(col("rep").as("rb"), col("ids").as("ids_b")), Seq("rb"))
+      .select(p :+ explode(col("ids_a")).as("da") :+ col("ids_b"): _*)
+      .select(p :+ col("da") :+ explode(col("ids_b")).as("db"): _*)
+      .select(least(col("da"), col("db")).as("doc_a") +:
+        greatest(col("da"), col("db")).as("doc_b") +: p: _*)
+  }
+
+  /** Same-content doc pairs (r18): every content with ≥2 copies yields all
+    * id-list combinations — duplicates agree on every band/signature
+    * component by construction. `withSig` restricts to contents that have
+    * a signature (<3-token texts produce no shingles and were never
+    * candidates in the per-doc spellings either).
+    */
+  private def sameContentPairs(ids: DataFrame, withSig: DataFrame): DataFrame =
+    withSig.select(col("rep"))
+      .join(ids.where(size(col("ids")) >= 2), Seq("rep"))
+      .select(explode(col("ids")).as("da"), col("ids"))
+      .select(col("da"), explode(col("ids")).as("db"))
+      .where(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+
   /** MinHash signatures (k=32) over word-3-gram shingles, plus the 8 banded
     * LSH keys. One explode + one hash-aggregate of 32 codegen'd MINs.
     *
@@ -363,7 +448,7 @@ object TextOps {
     // repartition(doc_id) at the text level: the 32 min-hash families
     // otherwise evaluate in the scan stage (file-layout parallelism);
     // one exchange total — see [[simhash]]
-    val sh = shinglesDistinct(docs.repartition(col("doc_id")))
+    val sh = shinglesDistinct(byDoc(docs))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val mins = (0 until MinhashK).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -388,10 +473,23 @@ object TextOps {
     * ops); minhash only needs exchangeable uniform hash families.
     */
   def qMinhashBands(s: SparkSession, dir: String): DataFrame = {
-    // repartition(doc_id): the 32 md5 min-hash families otherwise run in
-    // the scan stage (file-layout parallelism; 39 s single-threaded at
-    // 10×, R17Probe9); one exchange total — see [[simhash]]
-    val sh = shinglesDistinct(t(s, dir, "documents").repartition(col("doc_id")))
+    // r18 content layer: the 32 md5 families run once per DISTINCT TEXT
+    // (contentLayer's semi replaces the bare repartition — same full-text
+    // exchange, the R17Probe9 hoist property preserved) and the per-doc
+    // rows re-emerge by a row-local explode over the id lists.
+    val (ids, reps) = contentLayer(t(s, dir, "documents"))
+    val bandCols = (0 until MinhashBands).map(b => col(s"band$b"))
+    minhashBandsOf(reps).withColumnRenamed("doc_id", "rep")
+      .join(ids, Seq("rep"))
+      .select(explode(col("ids")).as("doc_id") +: bandCols: _*)
+  }
+
+  /** The md5-portable signature+band build of [[qMinhashBands]] over any
+    * (doc_id, text) frame — per-row keyed by whatever granularity the
+    * caller feeds it (docs, or contentLayer representatives).
+    */
+  private def minhashBandsOf(docs: DataFrame): DataFrame = {
+    val sh = shinglesDistinct(docs)
     val mins = (0 until MinhashK).map(i =>
       min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -694,20 +792,47 @@ object TextOps {
     * on ≥1 of the 8 band keys, with the agreeing-band count (an estimate of
     * signature similarity). Bucket-equality join only — never all-pairs.
     */
-  def qMinhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared rep-level core of q56/q150 (r18 content layer): the banded
+    * self-join and the band-agreement pair aggregate run on the
+    * distinct-content universe. Returns (pairs, ids, sigReps):
+    * pairs = (ra, rb, n_bands, mult) where ra/rb are representative
+    * doc_ids, n_bands the band-agreement count (a content-pair function),
+    * and mult = |ids_a|·|ids_b| the number of doc pairs each content pair
+    * expands to — mult rides the pair aggregate itself (the copy count
+    * attaches to the banded frame BELOW the join), so weighted consumers
+    * (q150) never join anything above the pair aggregate. sigReps = the
+    * reps that HAVE a signature, for the same-content branch.
+    */
+  private def minhashRepPairs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (ids, reps) = contentLayer(t(s, dir, "documents"))
     // persisted: both self-join sides read it — without it the 32-MIN
-    // signature aggregation over all shingles runs twice
-    val bands = qMinhashBands(s, dir).persist()
+    // signature aggregation over all distinct-text shingles runs twice
+    val bands = minhashBandsOf(reps).withColumnRenamed("doc_id", "rep")
+      .join(ids.select(col("rep"), size(col("ids")).cast("long").as("n")), Seq("rep"))
+      .persist()
     bands.count() // eager fill — see minhashCandidates
-    val banded = bands.select(col("doc_id"),
+    val banded = bands.select(col("rep"), col("n"),
       explode(array((0 until MinhashBands).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.b"), col("bk.k"))
-    banded.as("x").join(banded.as("y").hint("shuffle_hash"),
+      .select(col("rep"), col("n"), col("bk.b"), col("bk.k"))
+    val pairs = banded.as("x").join(banded.as("y").hint("shuffle_hash"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
+          col("x.rep") < col("y.rep"))
+      .groupBy(col("x.rep").as("ra"), col("y.rep").as("rb"))
+      .agg(count(lit(1)).as("n_bands"), max(col("x.n") * col("y.n")).as("mult"))
+    (pairs, ids, bands.select(col("rep")))
+  }
+
+  def qMinhashCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, ids, sigReps) = minhashRepPairs(s, dir)
+    // cross-content pairs inherit the content pair's n_bands verbatim
+    // (band keys are content functions); same-content pairs agree on all
+    // 8 bands by construction — both exactly what the per-doc banded
+    // self-join produced, row by row.
+    expandRepPairs(pairs, ids, Seq("n_bands"))
+      .unionByName(sameContentPairs(ids, sigReps)
+        .withColumn("n_bands", lit(MinhashBands.toLong)))
   }
 
   val qMinhashCandidatePairsSql: String = {
@@ -2279,20 +2404,7 @@ object TextOps {
     // collapses the text reaching the signature build to one copy per
     // distinct content. Pair keys are the representatives' 8-byte
     // doc_ids from here on (rep_a/rep_b), not 32-char digests.
-    val docs = t(s, dir, "documents")
-    val byContent = docs
-      .select(md5(col("text")).as("cid"), col("doc_id"))
-      .groupBy(col("cid"))
-      .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("ids"))
-    val ids = byContent.select(col("rep"), col("ids")).persist()
-    // No broadcast hint on the semi: the rep-id set is corpus-sized under
-    // independent structure (the q139 lesson) — the size-based planner
-    // broadcasts it while it fits and degrades to a shuffle join beyond,
-    // and the repartition already co-locates the text side either way.
-    val reps = docs.select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
-      .join(ids.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val (ids, reps) = contentLayer(t(s, dir, "documents"))
     val sh = shinglesDistinct(reps)
     val mins = (0 until MinhashK).map(i =>
       min(md5(concat_ws(":", lit(i), col("shingle")).cast("binary"))).as(s"m$i"))
@@ -2345,31 +2457,16 @@ object TextOps {
       .withColumn("jaccard", col("common").cast("double")
         / (size(col("arr_a")) + size(col("arr_b")) - col("common")))
       .select(col("rep_a"), col("rep_b"), col("est_jaccard"), col("jaccard"))
-    // Expansion back to doc pairs, both branches row-local explodes over
-    // the per-content doc-id lists (no doc-granularity join anywhere):
-    //  - cross-content: banding is a function of the signature, so a doc
-    //    pair is banded iff its content pair is — attach the two id
-    //    lists and emit least/greatest per combination.
-    //  - same-content: identical texts agree on every band (est = 1,
-    //    jaccard = 1 exactly), restricted to contents that HAVE a
-    //    signature (<3-token texts produce no shingles and were never
-    //    candidates in the per-doc spelling either).
-    val cross = stats
-      .join(ids.select(col("rep").as("rep_a"), col("ids").as("ids_a")), Seq("rep_a"))
-      .join(ids.select(col("rep").as("rep_b"), col("ids").as("ids_b")), Seq("rep_b"))
-      .select(col("est_jaccard"), col("jaccard"),
-        explode(col("ids_a")).as("da"), col("ids_b"))
-      .select(col("est_jaccard"), col("jaccard"), col("da"),
-        explode(col("ids_b")).as("db"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"),
-        col("est_jaccard"), col("jaccard"))
-    val same = sigB.select(col("rep"))
-      .join(ids.where(size(col("ids")) >= 2), Seq("rep"))
-      .select(explode(col("ids")).as("da"), col("ids"))
-      .select(col("da"), explode(col("ids")).as("db"))
-      .where(col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+    // Expansion back to doc pairs (expandRepPairs/sameContentPairs, the
+    // shared r18 helpers): cross-content pairs carry est/jaccard verbatim
+    // (content-pair functions); same-content pairs are est = jaccard = 1
+    // exactly, restricted to contents that HAVE a signature.
+    val cross = expandRepPairs(
+      stats.select(col("rep_a").as("ra"), col("rep_b").as("rb"),
+        col("est_jaccard"), col("jaccard")),
+      ids, Seq("est_jaccard", "jaccard"))
+    val same = sameContentPairs(ids, sigB.select(col("rep")))
+      .select(col("doc_a"), col("doc_b"),
         lit(1.0).as("est_jaccard"), lit(1.0).as("jaccard"))
     cross.unionByName(same)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"),
@@ -2464,11 +2561,24 @@ object TextOps {
     * a bounded 8-row frame; thresholds no pair reaches are absent in
     * both engines by the same construction.
     */
-  def qLshThresholdSweep(s: SparkSession, dir: String): DataFrame =
-    qMinhashCandidatePairs(s, dir)
-      .select(explode(expr("sequence(1, n_bands)")).as("threshold"))
+  def qLshThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    // r18: WEIGHTED over the content-pair frame — each content pair
+    // counts |ids_a|·|ids_b| doc pairs (mult rides the pair aggregate,
+    // see minhashRepPairs) and each ≥2-copy content counts n·(n−1)/2
+    // same-content pairs at the full 8-band agreement. The sweep never
+    // materializes a doc pair at all: under 100× duplication the r17
+    // spelling exploded 27M pairs × thresholds; this one aggregates a
+    // content-pair-sized frame into the same exact 8-row answer.
+    val (pairs, ids, sigReps) = minhashRepPairs(s, dir)
+    val same = sigReps
+      .join(ids.where(size(col("ids")) >= 2), Seq("rep"))
+      .select(lit(MinhashBands.toLong).as("n_bands"),
+        (size(col("ids")).cast("long") * (size(col("ids")) - 1) / 2).as("mult"))
+    pairs.select(col("n_bands"), col("mult")).unionByName(same)
+      .select(explode(expr("sequence(1, n_bands)")).as("threshold"), col("mult"))
       .groupBy(col("threshold"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("mult")).cast("long").as("n_pairs"))
+  }
 
   val qLshThresholdSweepSql: String =
     s"""WITH p AS (

@@ -541,10 +541,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q150 threshold sweep: candidate pair frame is never shuffled downstream") {
-    // downstream of q150 only n_bands survives, so CollapseProject strips
-    // the doc_a/doc_b aliases — the pair aggregate groups two columns both
-    // named doc_id (x.doc_id, y.doc_id)
-    assertNoShuffleJoinAbovePairAgg("q150", Set("doc_id"))(
+    // r18: the pair aggregate runs at content granularity (x.rep/y.rep —
+    // CollapseProject strips the ra/rb aliases, so both group columns
+    // reference `rep`), and the weighted sweep consumes it with NO join
+    // above at all (mult rides the aggregate itself).
+    assertNoShuffleJoinAbovePairAgg("q150", Set("rep"))(
       () => SparkEntry.queries("q150_lsh_threshold_sweep")(spark, dir))
   }
 

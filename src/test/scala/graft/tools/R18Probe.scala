@@ -58,3 +58,49 @@ object R18Probe {
     spark.stop()
   }
 }
+
+/** r18 stage decomposition under HONEST forcing: per-stage task counts,
+  * summed executor time, and the longest task — locates serialized
+  * compute (one long task in a wide stage) that wall-clock alone cannot
+  * attribute. Usage: Test/runMain graft.tools.R18Probe2 <dir> <query...>
+  */
+object R18Probe2 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Session.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val stages = scala.collection.concurrent.TrieMap[Int, (Int, Long, Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val maxTask = scala.collection.concurrent.TrieMap[Int, Long]()
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          maxTask.updateWith(t.stageId)(m =>
+            Some(math.max(m.getOrElse(0L), t.taskInfo.duration)))
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          stages(i.stageId) = (i.numTasks, i.taskMetrics.executorRunTime,
+            maxTask.getOrElse(i.stageId, 0L), i.name.take(60))
+        }
+      })
+    args.drop(1).foreach { name =>
+      val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly)(name)
+      graft.Bench.force(fn(spark, dir)) // cold / persist fill
+      stages.clear()
+      Thread.sleep(300)
+      val t0 = System.nanoTime()
+      graft.Bench.force(fn(spark, dir))
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"== $name warm $wall%.3fs")
+      stages.toSeq.sortBy(_._1).foreach { case (id, (n, run, mx, nm)) =>
+        println(f"   stage $id%4d tasks $n%4d run ${run / 1e3}%8.2fs maxTask ${mx / 1e3}%7.2fs  $nm")
+      }
+      spark.catalog.clearCache()
+      stages.clear()
+    }
+    spark.stop()
+  }
+}

@@ -218,42 +218,60 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-    // local[16] companion reading (VERDICT r17 #2): this box advertises 32
-    // vCPUs but delivers ~20 effective cores under co-tenant load, and the
-    // tax lands hardest on stage-dense sub-second plans (q116 measured
-    // 1.14 s at local[16] vs 2.06 s at local[32] in the SAME r17 window).
-    // Re-measuring a fixed stage-dense panel on a fresh local[16] context
-    // inside the same sweep pins the oversubscription tax per round — the
-    // adjudication line for weak-row readings — instead of re-deriving it
-    // from cross-round anchors. The panel is small (6 stage-dense queries,
-    // incl. both standing weak rows q116/q147) so the companion costs
-    // ~20 s; it runs AFTER the official pass so it cannot perturb the
-    // gated numbers.
+    // local[16] companion ledger (VERDICT r17 #2, promoted to the FULL
+    // sweep r18→r19 per VERDICT r18 #4): this box advertises 32 vCPUs but
+    // delivers <16 effective cores under co-tenant load, and r18's full
+    // local[16] sweep ran the whole suite FASTER than local[32] on half
+    // the threads (72.6 s vs 76–82 s) with no surviving per-query
+    // regression — so the dual headline (total + total16, floor +
+    // floor16) is what keeps round-over-round comparability as the box
+    // degrades. The 16-sweep runs AFTER the official pass on a fresh
+    // local[16] context (it cannot perturb the gated numbers), with
+    // warmup + best-of-3 per query but no retry/cooldown machinery (it
+    // is the adjudication line, not the headline). companion16 (the r17
+    // stage-dense panel, incl. the standing weak rows q116/q147) is now
+    // just a projection of the full 16-sweep, kept as a key for ledger
+    // continuity.
+    // Fault isolation (r19, advisor): the ENTIRE local[16] block runs
+    // under Try — per-query failures were already caught, but a session
+    // restart failure (same-JVM builder/getOrCreate) or a floor-probe
+    // throw after the full gated sweep must degrade to sentinel values
+    // (total16/floor16 = -1, empty maps), never lose the official line.
     val companionPanel = Seq("q116_fuzzy_pairs", "q49_jaccard_top_pairs",
       "q56_minhash_candidates", "q08_time_series", "q92_grouping_sets",
       "q147_token_pagerank")
     spark.stop()
-    val spark16 = Session.builder("local[16]", 16).getOrCreate()
-    spark16.sparkContext.setLogLevel("ERROR")
-    val companion16 = companionPanel.flatMap { name =>
-      lookup.get(name).flatMap { fn =>
-        try {
-          force(fn(spark16, sfDir)) // warmup on the fresh context
-          System.gc()
-          val ts = (1 to 3).map { _ =>
-            val t0 = System.nanoTime()
-            force(fn(spark16, sfDir))
-            (System.nanoTime() - t0) / 1e9
-          }
-          Some(name -> ts.min)
-        } catch { case _: Throwable => None }
-        finally spark16.catalog.clearCache()
-      }
-    }
-    spark16.range(1).count()
-    val floor16 = (1 to 5).map { _ =>
-      val t0 = System.nanoTime(); spark16.range(1).count(); (System.nanoTime() - t0) / 1e9
-    }.min
+    val (queries16, nErr16, floor16) =
+      scala.util.Try {
+        val spark16 = Session.builder("local[16]", 16).getOrCreate()
+        spark16.sparkContext.setLogLevel("ERROR")
+        var errs16 = 0
+        val q16 = all.map { case (name, fn) =>
+          val v = try {
+            force(fn(spark16, sfDir)) // warmup on the fresh context
+            System.gc()
+            (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              force(fn(spark16, sfDir))
+              (System.nanoTime() - t0) / 1e9
+            }.min
+          } catch { case _: Throwable => errs16 += 1; -1.0 }
+          finally spark16.catalog.clearCache()
+          name -> v
+        }
+        spark16.range(1).count()
+        val f16 = (1 to 5).map { _ =>
+          val t0 = System.nanoTime(); spark16.range(1).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        spark16.stop()
+        (q16, errs16, f16)
+      }.getOrElse((Seq.empty[(String, Double)], -1, -1.0))
+    val q16Map = queries16.toMap
+    val companion16 = companionPanel.flatMap(n => q16Map.get(n).map(n -> _))
+    val total16 =
+      if (queries16.isEmpty) -1.0
+      else queries16.collect { case (k, v) if v >= 0 && gated(k) => v }.sum
 
     // 4-decimal (0.1 ms) precision keeps the line compact: the driver may
     // only scan a bounded stdout tail, and 89 full-precision doubles made
@@ -279,8 +297,9 @@ object Bench {
     // turbulence) or cool down then stamp idle (retries escaped it)
     val window = windowOf(spreads.size)
     val c16 = companion16.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val qs16 = queries16.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"n_first_pass_flags":$firstPassFlags,"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"floor16_sec_per_query":${num(floor16)},"companion16":$c16,"retried":$rt,"errors":$es,"spread_med_over_min":$sp,"queries":$qs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"n_first_pass_flags":$firstPassFlags,"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"total16":${num(total16)},"n_errors16":$nErr16,"floor16_sec_per_query":${num(floor16)},"companion16":$c16,"retried":$rt,"errors":$es,"spread_med_over_min":$sp,"queries":$qs,"queries16":$qs16}"""
     // r14 (VERDICT r13 #4/#6): the driver's capture keeps only the LAST
     // ~2000 characters of stdout, and the full line is ~4 KB — whatever
     // key order, a 2000-char tail of it is an unparseable mid-map
@@ -289,13 +308,11 @@ object Bench {
     // with complete, parseable totals. The file (SPARK_GRAFT_BENCH_OUT)
     // keeps the single full line — the dev-pair tooling's format.
     val summary =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"n_first_pass_flags":$firstPassFlags,"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"floor16_sec_per_query":${num(floor16)},"companion16":$c16,"note":"headline echo; full per-query map on the previous stdout line and in $outPath"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"n_first_pass_flags":$firstPassFlags,"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"total16":${num(total16)},"n_errors16":$nErr16,"floor16_sec_per_query":${num(floor16)},"companion16":$c16,"note":"headline echo; full per-query maps on the previous stdout line and in $outPath"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
-    // Stop BEFORE printing so the JSON is the forked JVM's final stdout
-    // output — nothing (shutdown logs, progress noise) can land after it.
-    // (the local[32] session was already stopped when the local[16]
-    // companion context took over)
-    spark16.stop()
+    // Both sessions are already stopped (local[32] before the 16-sweep,
+    // local[16] inside its Try) — the JSON is the forked JVM's final
+    // stdout output; nothing (shutdown logs, progress noise) lands after.
     println(line)
     println(summary)
     System.out.flush()

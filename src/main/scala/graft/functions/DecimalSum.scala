@@ -48,6 +48,13 @@ import org.apache.spark.sql.types._
   * NULL once it ever fires — the result is NULL-on-overflow like the
   * builtin, reaching NULL at ~0.92× the builtin's threshold instead of
   * wrapping (DecimalSumSpec pins both directions at the exact boundary).
+  * One order-dependent divergence (r19, advisor): the `ovf` flag is
+  * STICKY, so a TRANSIENT hi excursion past 2⁶³ that later negative
+  * inputs would bring back into range still NULLs the result, where the
+  * builtin's wider decimal(28,6) buffer (overflow-checked only at
+  * evaluate) would return the finite true sum. The divergence is
+  * safe-direction only — NULL instead of a finite value, never a wrong
+  * value — and requires a partial sum beyond 9.2·10²¹ value units.
   * A 100 TB-scale revenue sum is ~10¹⁶, five orders of magnitude inside
   * the domain. All four buffer slots are primitive (long, long, boolean,
   * boolean), so the aggregate runs on the fast mutable-UnsafeRow path

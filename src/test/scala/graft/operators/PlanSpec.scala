@@ -49,7 +49,8 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q49_jaccard drops hot shingles row-locally off a persisted array frame, no post-agg joins") {
+  test("q49_jaccard drops hot shingles row-locally off a persisted array frame, " +
+      "and only the thresholded candidate set reaches the expansion joins") {
     val df = SparkEntry.queries("q49_jaccard_top_pairs")(spark, dir)
     graft.Bench.force(df)
     val p = df.queryExecution.explainString(
@@ -60,13 +61,51 @@ class PlanSpec extends AnyFunSuite {
     // its two pair-frame joins (6.5 GB of spill at 100x) must stay gone
     assert(p.contains("array_except"), "hot-shingle cap must be row-local array_except")
     assert(!p.contains("LeftAnti"), "the exploded anti-join spelling is retired")
-    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
-    val shuffleJoins = flatPlan(df.queryExecution.executedPlan).count {
-      case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+    // r19 (content layer): the pair frame may reach the id-expansion
+    // joins ONLY through the jaccard >= T threshold filter — a join
+    // consuming the UNFILTERED pair aggregate re-creates the r16
+    // sizes-join catastrophe (joins over the full pair frame). Walk down
+    // from the root (through caches — cand is persisted): any join whose
+    // subtree holds the ra/rb pair aggregate must have a jaccard filter
+    // on the path between them.
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def kids(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case _                        => pl.children
+    }
+    def isPairAgg(pl: SparkPlan): Boolean = pl match {
+      case a: BaseAggregateExec =>
+        val g = (a.groupingExpressions.map(_.name) ++
+          a.groupingExpressions.flatMap(_.references.map(_.name)))
+          .map(_.toLowerCase).toSet
+        a.groupingExpressions.size >= 2 && Set("ra", "rb").subsetOf(g)
       case _ => false
     }
-    assert(shuffleJoins == 1,
-      s"exactly the posting self-join may shuffle-join; sizes joins crept back: $p")
+    var found = 0
+    def walk(pl: SparkPlan, joinAboveUnfiltered: Boolean): Unit = {
+      if (isPairAgg(pl)) {
+        found += 1
+        assert(!joinAboveUnfiltered,
+          "q49: a join consumes the UNFILTERED pair aggregate — the " +
+            "threshold filter must sit between the pair frame and the " +
+            "id-expansion joins")
+      }
+      val flag = pl match {
+        case f: FilterExec if f.condition.toString.contains("jaccard") => false
+        case _: BaseJoinExec => true
+        case _ => joinAboveUnfiltered
+      }
+      kids(pl).foreach(walk(_, flag))
+    }
+    walk(df.queryExecution.executedPlan, joinAboveUnfiltered = false)
+    assert(found > 0, "q49: no ra/rb pair aggregate found — site refactored?")
+    spark.catalog.clearCache()
   }
 
   test("q03_number_frequency prunes the scan to the referenced columns") {
@@ -317,8 +356,13 @@ class PlanSpec extends AnyFunSuite {
   private def flatPlan(pl: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     pl +: (pl match {
       case a: AdaptiveSparkPlanExec => flatPlan(a.executedPlan)
+      // r19: q49's pair frame is persisted (the threshold collect reads
+      // it before the expansion) — the posting self-join under audit
+      // lives in the cache-build plan, so the walk must enter caches
+      case s: InMemoryTableScanExec => flatPlan(s.relation.cachedPlan)
       case q: QueryStageExec        => flatPlan(q.plan)
       case _                        => pl.children.flatMap(flatPlan)
     })
@@ -487,34 +531,42 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
-  test("q105 source matrix: near-dup pair frame is never shuffled by the source joins") {
-    assertNoShuffleJoinAbovePairAgg("q105", Set("doc_a", "doc_b"))(
+  test("q105 source matrix: content-pair frame is never shuffled by the source joins") {
+    // r19: the pair aggregate moved to CONTENT granularity (the q150
+    // pattern — weighted per-source accounting on rep pairs, no doc pair
+    // materialized); the guard's subject is simhashRepPairs' verified-
+    // hamming distinct, whose keys are the representative doc_ids ra/rb.
+    assertNoShuffleJoinAbovePairAgg("q105", Set("ra", "rb"))(
       () => SparkEntry.queries("q105_dup_source_matrix")(spark, dir))
   }
 
   test("q143 minhash audit: candidate frame is never shuffled by the sig/sizes joins") {
-    // r18: the pair aggregate moved to CONTENT granularity (cid_a/cid_b —
-    // the duplication-audit fix); the guard's subject is the same
-    // candidate-pair distinct, under its new keys
+    // r18: the pair aggregate moved to CONTENT granularity (keyed on
+    // rep_a/rep_b — representative doc_ids, the duplication-audit fix);
+    // the guard's subject is the same candidate-pair distinct, under its
+    // new keys
     assertNoShuffleJoinAbovePairAgg("q143", Set("rep_a", "rep_b"))(
       () => SparkEntry.queries("q143_minhash_error_audit")(spark, dir))
   }
 
-  test("q143 minhash audit: the quadratic stage runs on the content-dedup universe") {
-    // r18 duplication-audit pin: the signature build and the banded
-    // self-join must consume the DISTINCT-TEXT aggregate (groupBy cid of
-    // md5(text)), not per-doc rows — the shape that collapsed the 100×
-    // duplication reading from a >77 GB disk-exhaustion failure to
-    // fixture-scale pair work. A per-doc signature build (doc_id-grouped
-    // mins over the raw scan) reintroduces pair-payload replication that
-    // is quadratic in the duplication degree.
-    // The dedup aggregate lives inside the reps cache build, which the
-    // plan STRING does not inline — walk the tree through caches (the
-    // pin-helper convention) and stringify every level.
+  /** Content-dedup-layer shape pin (r18, generalized r19): the signature
+    * build and the banded self-join must consume the DISTINCT-TEXT
+    * aggregate (groupBy cid of md5(text)), not per-doc rows — the shape
+    * that collapsed the 100× duplication reading from a >77 GB
+    * disk-exhaustion failure (q143) / 77–88 s pair sweeps (q55/q105) to
+    * fixture-scale pair work. A per-doc signature build (doc_id-grouped
+    * aggregation over the raw scan) reintroduces pair work that is
+    * quadratic in the duplication degree.
+    * The dedup aggregate lives inside the reps cache build, which the
+    * plan STRING does not inline — walk the tree through caches (the
+    * pin-helper convention) and stringify every level.
+    */
+  private def assertContentLayerShape(label: String)(
+      build: () => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    val df = SparkEntry.queries("q143_minhash_error_audit")(spark, dir)
+    val df = build()
     graft.Bench.force(df)
     def flat(pl: SparkPlan): Seq[SparkPlan] = pl +: (pl match {
       case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
@@ -525,14 +577,36 @@ class PlanSpec extends AnyFunSuite {
     val all = flat(df.queryExecution.executedPlan).map(_.verboseString(10)).mkString("\n")
     spark.catalog.clearCache()
     assert(all.contains("md5(cast(text"),
-      "content id must be md5(text) — the dedup key the whole layer relies on")
+      s"$label: content id must be md5(text) — the dedup key the whole layer relies on")
     assert(all.contains("min(doc_id"),
-      "representative selection (min doc_id per content) missing — dedup layer refactored?")
+      s"$label: representative selection (min doc_id per content) missing — " +
+        "dedup layer refactored?")
     assert(all.contains("collect_list(doc_id"),
-      "doc-id lists must ride the content-dedup aggregate")
+      s"$label: doc-id lists must ride the content-dedup aggregate")
     assert(all.contains("LeftSemi"),
-      "the corpus must be cut to representative rows by a semi join " +
+      s"$label: the corpus must be cut to representative rows by a semi join " +
         "(no text may enter an aggregate — the object-agg fallback re-sorts the corpus)")
+  }
+
+  test("q143 minhash audit: the quadratic stage runs on the content-dedup universe") {
+    assertContentLayerShape("q143")(
+      () => SparkEntry.queries("q143_minhash_error_audit")(spark, dir))
+  }
+
+  test("q55 near-dup pairs: the quadratic stage runs on the content-dedup universe") {
+    // r19 adoption pin (VERDICT r18 #1): the banded self-join and hamming
+    // verification run per distinct text; doc pairs re-expand row-locally
+    // (expandRepPairs/sameContentPairs).
+    assertContentLayerShape("q55")(
+      () => SparkEntry.queries("q55_simhash_near_dups")(spark, dir))
+  }
+
+  test("q105 source matrix: the quadratic stage runs on the content-dedup universe") {
+    // r19 adoption pin: weighted source accounting on content pairs — the
+    // per-source copy counts ride a skinny (md5, source) aggregate; no
+    // doc pair is materialized anywhere in the plan.
+    assertContentLayerShape("q105")(
+      () => SparkEntry.queries("q105_dup_source_matrix")(spark, dir))
   }
 
   test("q116 fuzzy pairs: pair distinct output is never shuffled downstream") {

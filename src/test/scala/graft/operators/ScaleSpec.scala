@@ -133,23 +133,37 @@ class ScaleSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // r18: the two queries now meet the hot band through DIFFERENT scale
-      // mechanisms, asserted separately. q55 (per-doc simhash) still takes
-      // the 300-identical-doc band into its banded self-join — AQE skew
-      // splitting must fire. q56's content layer DELETES this band before
-      // the join exists (300 identical docs collapse to one representative
-      // row; the C(300,2) pairs re-emerge from the row-local same-content
-      // explode) — the stronger property is that the output is complete
-      // and no skew handling is needed because no skew survives; skew=true
-      // must NOT be required of a plan whose join input is deduplicated.
-      Seq("q55_simhash_near_dups", "q56_minhash_candidates").foreach { q =>
+      // r19: BOTH gated queries ride the content layer now — each DELETES
+      // the hot band before any join exists (300 identical docs collapse
+      // to one representative row; the C(300,2) pairs re-emerge from the
+      // row-local same-content explode). The stronger property for them
+      // is that the output is complete and no skew handling is needed
+      // because no skew survives; skew=true must NOT be required of a
+      // plan whose join input is deduplicated. The AQE skew-split
+      // assertion stays alive on the per-doc LIBRARY core (simhash →
+      // simhashNearDups — the generic operator callers feed arbitrary
+      // per-doc signature frames, deliberately per-doc), which still
+      // takes the 300-identical-doc band into its banded self-join.
+      val subjects: Seq[(String, () => org.apache.spark.sql.DataFrame, Boolean)] =
+        Seq(
+          ("simhashNearDups_perdoc_core",
+            () => TextOps.simhashNearDups(TextOps.simhash(
+              spark.read.parquet(s"$docsDir/documents.parquet")), maxHamming = 3),
+            true),
+          ("q55_simhash_near_dups",
+            () => graft.SparkEntry.queries("q55_simhash_near_dups")(spark, docsDir),
+            false),
+          ("q56_minhash_candidates",
+            () => graft.SparkEntry.queries("q56_minhash_candidates")(spark, docsDir),
+            false))
+      subjects.foreach { case (q, build, expectBigShuffle) =>
         taskRecs.clear()
-        val df = graft.SparkEntry.queries(q)(spark, docsDir)
+        val df = build()
         val n = df.collect().length
         // the hot band's quadratic pairs all surface: C(300,2) intra-hot
         assert(n >= 300 * 299 / 2, s"$q returned $n rows — hot band not exercised")
         val plan = df.queryExecution.executedPlan.toString
-        if (q == "q55_simhash_near_dups")
+        if (expectBigShuffle)
           assert(plan.contains("skew=true"),
             s"$q: AQE never marked the hot band partition as skewed:\n${plan.take(2000)}")
         // listener delivery is async; poll until the join stage's tasks
@@ -160,13 +174,12 @@ class ScaleSpec extends AnyFunSuite {
           .filter(rs => rs.size >= 4 && rs.sum > 20000) // the join stage(s)
         var byStage = stages()
         var waited = 0
-        val expectBigShuffle = q == "q55_simhash_near_dups"
         while (byStage.isEmpty && expectBigShuffle && waited < 15000) {
           Thread.sleep(1000); waited += 1000; byStage = stages()
         }
-        // q56: the content layer collapsed the hot band to ONE row, so no
-        // shuffle stage may even clear the 20k-record bar — the absence of
-        // a big shuffle IS the property (the pairs come from a row-local
+        // q55/q56: the content layer collapsed the hot band to ONE row, so
+        // no shuffle stage may even clear the 20k-record bar — the absence
+        // of a big shuffle IS the property (the pairs come from a row-local
         // explode); any stage that does qualify must still be balanced.
         if (expectBigShuffle)
           assert(byStage.nonEmpty, s"$q: no multi-task shuffle stage observed")

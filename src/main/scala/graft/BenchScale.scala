@@ -60,14 +60,25 @@ object BenchScale {
     // old 15.5 s vs new 14.5 s, so the 10x level is unchanged; the only
     // idle-window-free readings since are co-tenant-inflated (50 s
     // outliers) and were not used to move the pin.
-    Anchor("q49_jaccard_top_pairs", "docs10x", 103.3, 16.0),
-    // r15 re-pin (was 2.22): the candidate miner's banded self-join now
-    // pays a deterministic shuffle instead of a racy broadcast; band
-    // 2.97–3.32 in the two r15 gate windows. r16 (advisor): pinned at
-    // the band MIDPOINT per the r13 convention — the r15 pin of 2.90
-    // sat below every measured value and silently ate gate headroom
-    Anchor("q85_dup_clusters", "docs10x", 224.0, 3.15),
-    Anchor("q105_dup_source_matrix", "docs10x", 27.1, 1.55),
+    // r19 re-pin (was 16.0, and sitting AT its own pin in the worst r18
+    // window — the flagged exhausted-headroom row): the content-layer
+    // rewrite collapses the posting self-join and pair aggregate to the
+    // distinct-content universe and expands only the thresholded top-k
+    // candidates; measured 1.59 warm (probe window) / gate windows below.
+    // The old per-doc level is retired, not re-pinned — the pin question
+    // is moot per VERDICT r18 #2.
+    Anchor("q49_jaccard_top_pairs", "docs10x", 103.3, 1.80),
+    // r19 re-pin (was 3.15, per-doc): CC now runs on the rep graph
+    // (content pairs — driver union-find at every duplication factor)
+    // and docs inherit their content's component label through a
+    // broadcast attach; band 2.78–4.75 across two probe windows (the
+    // high read in a window where q55 also ran +20%), pinned midpoint.
+    // 100× dup: 86.8 → 3.1 s warm.
+    Anchor("q85_dup_clusters", "docs10x", 224.0, 3.75),
+    // r19 re-pin (was 1.55, per-doc): weighted per-source accounting on
+    // content pairs (the q150 pattern) — no doc pair materialized;
+    // measured 1.80 warm (probe window). 100× dup: 77.1 → 2.3 s warm.
+    Anchor("q105_dup_source_matrix", "docs10x", 27.1, 1.90),
     Anchor("q154_source_overlap", "docs10x", 3.58, 0.75),
     Anchor("q142_bm25_topdocs", "docs10x", 0.379, 0.76),
     Anchor("q90_boilerplate_ngrams", "docs10x", 2.98, 0.88),
@@ -83,11 +94,11 @@ object BenchScale {
     // degraded box — as the delta). The DuckDB anchors were fetch-all
     // from day one and need no restatement.
     Anchor("q119_bigram_xent", "docs10x", 4.08, 2.43),
-    // r15 re-pins (were 0.87 / 1.10): banded self-joins carry explicit
-    // shuffle_hash hints — ~+0.3–0.5 s of deterministic exchange replaces
-    // a broadcast that was one cold-cache estimate away from gluing the
-    // pair expansion to a single task (the q49 catastrophe, same shape)
-    Anchor("q55_simhash_near_dups", "docs10x", 30.0, 1.40),
+    // r19 re-pin (was 1.40, per-doc): the banded self-join + hamming
+    // verification run per distinct text, doc pairs re-expand row-locally
+    // (the q143 pattern); band 1.35–1.61 across two probe windows, pinned
+    // midpoint. 100× dup: 87.6 → 2.3 s warm, same 27.87M output rows.
+    Anchor("q55_simhash_near_dups", "docs10x", 30.0, 1.48),
     // r18b re-pin (was 1.25): content-dedup layer — the banded self-join
     // and pair aggregate run per distinct text (this corpus: 50k docs →
     // 5k contents); measured 1.17 at floor 0.095. The same rewrite at

@@ -1189,12 +1189,34 @@ object TextOps {
     * per cluster" is then a trivial filter on doc_id = cluster_id.
     */
   def qDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val nodes = t(s, dir, "documents").select(col("doc_id").as("node"))
-    val edges = qSimhashNearDupPairs(s, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    connectedComponents(nodes, edges)
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-        (col("node") === col("label")).as("is_canonical"))
+    // r19 (content layer, the q55 follow-through): connectivity is a
+    // CONTENT property — same-content docs are a hamming-0 clique, and
+    // cross-content edges depend only on the two contents — so the
+    // component structure over docs is the component structure over
+    // distinct contents, expanded. CC runs on the rep graph (content
+    // pairs, the 10×-level edge count at ANY duplication factor; at 100×
+    // dup the per-doc spelling label-propagated 27.9M doc edges for
+    // 86.8 s warm where the rep graph fits the driver union-find budget),
+    // and each doc inherits its content's component label. The label
+    // algebra survives expansion exactly: every content's min doc_id IS
+    // its rep, so min-rep-in-component = min-doc-in-component, the same
+    // unique labeling the per-doc fixpoint produces. Contents WITHOUT a
+    // signature (<1 token — never banded, never candidates) stay
+    // per-doc singletons, exactly as the per-doc spelling left them.
+    val (pairs, ids, sigReps) = simhashRepPairs(s, dir)
+    val repLabels = connectedComponents(
+      ids.select(col("rep").as("node")),
+      pairs.select(col("ra").as("a"), col("rb").as("b")))
+    val withSig = ids.join(sigReps, Seq("rep"), "left_semi")
+      .select(col("rep").as("node"), explode(col("ids")).as("doc_id"))
+      .join(repLabels, Seq("node"))
+      .select(col("doc_id"), col("label"))
+    val noSig = ids.join(sigReps, Seq("rep"), "left_anti")
+      .select(explode(col("ids")).as("doc_id"))
+      .select(col("doc_id"), col("doc_id").as("label"))
+    withSig.unionByName(noSig)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("is_canonical"))
   }
 
   /** The fixpoint labeling is unique, so the oracle recomputes it exactly:

@@ -286,15 +286,35 @@ class PlanSpec extends AnyFunSuite {
       s"iteration chain must not shuffle — dst-partitioned edge cache lost: $shuffles")
   }
 
-  test("q85 fast path: labeling is one broadcast join on the corpus scan, no propagation loop") {
-    // r12 shape: the near-dup graph is metadata-sized after banding, so
-    // the RETURNED plan must be documents ⋈ broadcast(label map) — the
-    // iterative loop (per-round shuffles + checkpoints) must not appear.
-    val p = executedPlan("q85_dup_clusters")
-    assert(p.contains("BroadcastHashJoin"),
-      s"label map must broadcast-join onto the doc scan: $p")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"fast-path labeling must not shuffle: $p")
+  test("q85 fast path: labeling is broadcast joins above the content layer, no propagation loop") {
+    // r12 shape, updated r19: the near-dup graph is metadata-sized after
+    // banding (and now CONTENT-sized after the dedup layer), so the
+    // RETURNED plan must attach labels by broadcast — the iterative loop
+    // (per-round shuffles + checkpoints) must not appear. The pair miner
+    // itself lives in persisted cache-build subtrees (evaluated once,
+    // during connectedComponents' edge count), so the walk stops at cache
+    // boundaries: the CONSUMING plan — explode + label attach + union —
+    // must be shuffle-free.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("q85_dup_clusters")(spark, dir)
+    graft.Bench.force(df)
+    def flatNoCache(pl: SparkPlan): Seq[SparkPlan] = pl +: (pl match {
+      case a: AdaptiveSparkPlanExec => flatNoCache(a.executedPlan)
+      case q: QueryStageExec        => flatNoCache(q.plan)
+      case _: InMemoryTableScanExec => Nil // miner audited by its own pins
+      case _                        => pl.children.flatMap(flatNoCache)
+    })
+    val consuming = flatNoCache(df.queryExecution.executedPlan)
+    spark.catalog.clearCache()
+    assert(consuming.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "label map must arrive by broadcast join")
+    assert(!consuming.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"fast-path labeling must not shuffle: " +
+        consuming.map(_.nodeName).mkString(","))
   }
 
   test("events ts range predicate pushes to the parquet scan (normalized ingest)") {

@@ -241,6 +241,67 @@ object Bench {
       "q56_minhash_candidates", "q08_time_series", "q92_grouping_sets",
       "q147_token_pagerank")
     spark.stop()
+
+    // 4-decimal (0.1 ms) precision keeps the line compact: the driver may
+    // only scan a bounded stdout tail, and 89 full-precision doubles made
+    // the r5 line multi-KB (BENCH_r05 showed it truncated → parsed: null).
+    // Headline keys FIRST, the large per-query maps LAST (VERDICT r12
+    // #6): a truncated prefix still carries totals, floor, error count,
+    // and the retry list. After the full line, a SHORT headline-only echo
+    // (r14, VERDICT r13 #4/#6): the driver's capture keeps only the last
+    // ~2000 stdout characters and a tail of the ~4 KB full line is an
+    // unparseable mid-map fragment — the echo fits whole in any tail
+    // window. The file (SPARK_GRAFT_BENCH_OUT) keeps the single full
+    // line — the dev-pair tooling's format.
+    def emit(queries16: Seq[(String, Double)], nErr16: Int, floor16: Double,
+        finalLine: Boolean): Unit = {
+      def num(v: Double): String =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      val q16Map = queries16.toMap
+      val companion16 = companionPanel.flatMap(n => q16Map.get(n).map(n -> _))
+      val total16 =
+        if (queries16.isEmpty) -1.0
+        else queries16.collect { case (k, v) if v >= 0 && gated(k) => v }.sum
+      val qs = results.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
+      val es = errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+      val sp = spreads.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
+      val rt = retriedNames.map(jq).mkString("[", ",", "]")
+      val total = results.collect { case (k, v) if v >= 0 && gated(k) => v }.sum
+      val nErr = errs.size
+      // window stamp: computed from the FOLDED record (retries included) —
+      // the classification the ledger's numbers actually carry. The
+      // cooldown was triggered by a DIFFERENT count (firstPassFlags:
+      // turbulentOf's ≥2× spread on >0.25 s bests, before retries), so
+      // both counts are emitted — n_spread_flags explains `window`,
+      // n_first_pass_flags explains `cooldown_sec`
+      val window = windowOf(spreads.size)
+      val c16 = companion16.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
+      val qs16 = queries16.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
+      val head =
+        s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"n_first_pass_flags":$firstPassFlags,"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"total16":${num(total16)},"n_errors16":$nErr16,"floor16_sec_per_query":${num(floor16)},"companion16":$c16"""
+      val line = head +
+        s""","retried":$rt,"errors":$es,"spread_med_over_min":$sp,"queries":$qs,"queries16":$qs16}"""
+      val note = if (finalLine) "headline echo; full per-query maps on the previous stdout line and in " + outPath
+        else "OFFICIAL line (16-sweep pending; sentinels in 16-keys) — overwritten on completion"
+      val summary = head + s""","note":${jq(note)}}"""
+      Files.writeString(Paths.get(outPath), line + "\n")
+      // Sessions are stopped before each emit (local[32] before the
+      // interim one, local[16] inside its Try before the final one) — the
+      // final JSON is the forked JVM's last stdout output.
+      println(line)
+      println(summary)
+      System.out.flush()
+    }
+
+    // Kill insurance (r19): the 16-sweep roughly doubles the run's
+    // wall-clock, and a Try cannot catch an EXTERNAL kill (driver
+    // timeout, OOM-killer) landing mid-sweep — so the OFFICIAL line is
+    // written to the out file and echoed to stdout with 16-sentinels
+    // BEFORE the 16-sweep starts, then overwritten by the final dual
+    // line. A killed run leaves a complete, parseable official record;
+    // a finished run looks exactly as before (file holds one final line;
+    // stdout tail ends with the final full + summary lines).
+    emit(queries16 = Nil, nErr16 = -1, floor16 = -1.0, finalLine = false)
     val (queries16, nErr16, floor16) =
       scala.util.Try {
         val spark16 = Session.builder("local[16]", 16).getOrCreate()
@@ -267,54 +328,7 @@ object Bench {
         spark16.stop()
         (q16, errs16, f16)
       }.getOrElse((Seq.empty[(String, Double)], -1, -1.0))
-    val q16Map = queries16.toMap
-    val companion16 = companionPanel.flatMap(n => q16Map.get(n).map(n -> _))
-    val total16 =
-      if (queries16.isEmpty) -1.0
-      else queries16.collect { case (k, v) if v >= 0 && gated(k) => v }.sum
+    emit(queries16, nErr16, floor16, finalLine = true)
 
-    // 4-decimal (0.1 ms) precision keeps the line compact: the driver may
-    // only scan a bounded stdout tail, and 89 full-precision doubles made
-    // the r5 line multi-KB (BENCH_r05 showed it truncated → parsed: null).
-    def num(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
-    val es = errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
-    val sp = spreads.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
-    val rt = retriedNames.map(jq).mkString("[", ",", "]")
-    val total = results.collect { case (k, v) if v >= 0 && gated(k) => v }.sum
-    // Headline keys FIRST, the large per-query map LAST (VERDICT r12 #6):
-    // BENCH_r12's driver-side capture truncated mid-stream and lost the
-    // floor/retried/errors tail — with this order a truncated prefix
-    // still carries totals, floor, error count, and the retry list.
-    val nErr = errs.size
-    // window stamp: computed from the FOLDED record (retries included) —
-    // the classification the ledger's numbers actually carry. The
-    // cooldown was triggered by a DIFFERENT count (firstPassFlags:
-    // turbulentOf's ≥2× spread on >0.25 s bests, before retries), so
-    // both counts are emitted — n_spread_flags explains `window`,
-    // n_first_pass_flags explains `cooldown_sec`; a sweep can
-    // legitimately stamp hot without having cooled down (late-onset
-    // turbulence) or cool down then stamp idle (retries escaped it)
-    val window = windowOf(spreads.size)
-    val c16 = companion16.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
-    val qs16 = queries16.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"n_first_pass_flags":$firstPassFlags,"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"total16":${num(total16)},"n_errors16":$nErr16,"floor16_sec_per_query":${num(floor16)},"companion16":$c16,"retried":$rt,"errors":$es,"spread_med_over_min":$sp,"queries":$qs,"queries16":$qs16}"""
-    // r14 (VERDICT r13 #4/#6): the driver's capture keeps only the LAST
-    // ~2000 characters of stdout, and the full line is ~4 KB — whatever
-    // key order, a 2000-char tail of it is an unparseable mid-map
-    // fragment. So after the full line, echo a SHORT headline-only line:
-    // it fits whole inside any tail window, so the capture always ends
-    // with complete, parseable totals. The file (SPARK_GRAFT_BENCH_OUT)
-    // keeps the single full line — the dev-pair tooling's format.
-    val summary =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":${jq(sfDir)},"floor_sec_per_query":${num(floor)},"window":${jq(window)},"n_spread_flags":${spreads.size},"n_first_pass_flags":$firstPassFlags,"cooldown_sec":$cooldownSec,"n_queries":${results.size},"n_errors":$nErr,"total16":${num(total16)},"n_errors16":$nErr16,"floor16_sec_per_query":${num(floor16)},"companion16":$c16,"note":"headline echo; full per-query maps on the previous stdout line and in $outPath"}"""
-    Files.writeString(Paths.get(outPath), line + "\n")
-    // Both sessions are already stopped (local[32] before the 16-sweep,
-    // local[16] inside its Try) — the JSON is the forked JVM's final
-    // stdout output; nothing (shutdown logs, progress noise) lands after.
-    println(line)
-    println(summary)
-    System.out.flush()
   }
 }

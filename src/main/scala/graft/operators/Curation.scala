@@ -565,14 +565,31 @@ object Curation {
       xxhash64(lit(tag), col("w").getItem(i), col("w").getItem(j))
     val blocked = sh.select(col("shingle"),
       explode(array(bk("01", 0, 1), bk("12", 1, 2), bk("02", 0, 2))).as("bk"))
-    val hot = blocked.groupBy(col("bk")).agg(count(lit(1)).as("members"))
-      .where(col("members") > maxBlock).select(col("bk"))
-    val keep = blocked.join(broadcast(hot), Seq("bk"), "left_anti")
+    // r19 shave (the q116 accept policy tripped at local[16]): the hot
+    // cap rides a co-partitioned semi-join against the KEPT counts
+    // instead of a driver-broadcast anti-join against the hot keys — the
+    // counts aggregate's output is already hash(bk)-partitioned, as is
+    // the self-join, so the semi adds no exchange and the broadcast
+    // construction job disappears. Partial aggregation still absorbs hot
+    // blocks map-side; no block's rows ever concentrate in one task.
+    val kept = blocked.groupBy(col("bk")).agg(count(lit(1)).as("members"))
+      .where(col("members") <= maxBlock).select(col("bk"))
+      .hint("shuffle_hash")
+    val keep = blocked.join(kept, Seq("bk"), "left_semi")
     // Thresholded levenshtein (banded O(k·n) with early exit, returns -1
     // past the bound) screens every in-block candidate — the hot loop —
     // instead of the full O(n²) DP; the bounded call returns the EXACT
     // distance for every kept pair (≤ maxDist), so `dist` and the
     // oracle's unbounded spelling agree on the surviving rows.
+    //
+    // No distinct on the pair set, by proof: a surviving pair agrees on
+    // exactly the two word positions its pass fixes — two DISTINCT
+    // 2-subsets of {0,1,2} union to all three positions, i.e. a pair
+    // found by two passes would have all three words equal and be
+    // excluded by sa < sb — so each pair exits exactly one rotation
+    // pass, once. (Under an xxhash64 block-key collision a pair could
+    // exit twice and emit a duplicate row — the same ~|blocks|²/2⁶⁵
+    // odds class as the cap divergence above, accepted.)
     keep.select(col("bk"), col("shingle").as("sa"))
       .join(keep.select(col("bk"), col("shingle").as("sb"))
         // shuffle_hash: block self-joins partition by the block key,
@@ -580,8 +597,6 @@ object Curation {
         .hint("shuffle_hash"), Seq("bk"))
       .where(col("sa") < col("sb") &&
         levenshtein(col("sa"), col("sb"), maxDist) >= 0)
-      .select(col("sa"), col("sb"))
-      .distinct()
       .select(col("sa").as("shingle_a"), col("sb").as("shingle_b"),
         levenshtein(col("sa"), col("sb"), maxDist).as("dist"))
   }

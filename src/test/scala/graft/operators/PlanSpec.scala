@@ -629,9 +629,54 @@ class PlanSpec extends AnyFunSuite {
       () => SparkEntry.queries("q105_dup_source_matrix")(spark, dir))
   }
 
-  test("q116 fuzzy pairs: pair distinct output is never shuffled downstream") {
-    assertNoShuffleJoinAbovePairAgg("q116", Set("sa", "sb"))(
-      () => SparkEntry.queries("q116_fuzzy_pairs")(spark, dir))
+  test("q116 fuzzy pairs: no pair-set aggregate, pair stream flows straight to top-k") {
+    // r19 shave (the accept policy tripped at local[16]): the pair
+    // distinct was removed by proof (two distinct 2-subsets of {0,1,2}
+    // union to all three positions, so each surviving pair exits exactly
+    // one rotation pass) and the hot cap became a co-partitioned semi.
+    // Pin the shape: (a) NO aggregate keyed on the pair remains — its
+    // return would re-add a pair-proportional exchange; (b) no shuffle
+    // exchange sits between the pair join and the top-k root — the pair
+    // stream must reach TakeOrdered without rematerializing.
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val df = SparkEntry.queries("q116_fuzzy_pairs")(spark, dir)
+    graft.Bench.force(df)
+    try {
+      val nodes = flatPlan(df.queryExecution.executedPlan)
+      val pairAggs = nodes.collect {
+        case a: BaseAggregateExec
+            if Set("sa", "sb").subsetOf(
+              (a.groupingExpressions.map(_.name) ++
+                a.groupingExpressions.flatMap(_.references.map(_.name)))
+                .map(_.toLowerCase).toSet) => a
+      }
+      assert(pairAggs.isEmpty,
+        "q116: an aggregate keyed on the pair set is back — the r19 " +
+          "no-duplicates proof made the pair distinct (and its exchange) " +
+          s"redundant: ${pairAggs.map(_.nodeName).mkString(",")}")
+      assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+        "q116: top-50 must plan as TakeOrderedAndProject (partial top-k " +
+          "per partition), not a global sort")
+      // walk root→pair join: no shuffle exchange may intervene
+      def aboveJoin(pl: org.apache.spark.sql.execution.SparkPlan,
+          exch: Int): Option[Int] = pl match {
+        case j: BaseJoinExec if j.joinType == Inner => Some(exch)
+        case e: ShuffleExchangeLike =>
+          e.children.view.flatMap(aboveJoin(_, exch + 1)).headOption
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          aboveJoin(a.executedPlan, exch)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          aboveJoin(q.plan, exch)
+        case _ => pl.children.view.flatMap(aboveJoin(_, exch)).headOption
+      }
+      assert(aboveJoin(df.queryExecution.executedPlan, 0).contains(0),
+        "q116: a shuffle exchange sits between the pair join and the " +
+          "top-k root — the pair stream is being rematerialized")
+    } finally spark.catalog.clearCache()
   }
 
   test("q150 threshold sweep: candidate pair frame is never shuffled downstream") {

@@ -259,9 +259,13 @@ object Bench {
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
       val q16Map = queries16.toMap
       val companion16 = companionPanel.flatMap(n => q16Map.get(n).map(n -> _))
-      val total16 =
-        if (queries16.isEmpty) -1.0
-        else queries16.collect { case (k, v) if v >= 0 && gated(k) => v }.sum
+      // -1 sentinel when the sweep produced NO valid gated reading —
+      // including the session-works-but-every-query-errors case, where
+      // summing zero matches would report an impossible 0.0 s total
+      val total16 = {
+        val valid = queries16.collect { case (k, v) if v >= 0 && gated(k) => v }
+        if (valid.isEmpty) -1.0 else valid.sum
+      }
       val qs = results.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
       val es = errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
       val sp = spreads.map { case (k, v) => s"${jq(k)}:${num(v)}" }.mkString("{", ",", "}")
@@ -286,8 +290,8 @@ object Bench {
       val summary = head + s""","note":${jq(note)}}"""
       Files.writeString(Paths.get(outPath), line + "\n")
       // Sessions are stopped before each emit (local[32] before the
-      // interim one, local[16] inside its Try before the final one) — the
-      // final JSON is the forked JVM's last stdout output.
+      // interim one, local[16] in its Try's finally before the final
+      // one) — the final JSON is the forked JVM's last stdout output.
       println(line)
       println(summary)
       System.out.flush()
@@ -305,28 +309,33 @@ object Bench {
     val (queries16, nErr16, floor16) =
       scala.util.Try {
         val spark16 = Session.builder("local[16]", 16).getOrCreate()
-        spark16.sparkContext.setLogLevel("ERROR")
-        var errs16 = 0
-        val q16 = all.map { case (name, fn) =>
-          val v = try {
-            force(fn(spark16, sfDir)) // warmup on the fresh context
-            System.gc()
-            (1 to 3).map { _ =>
-              val t0 = System.nanoTime()
-              force(fn(spark16, sfDir))
-              (System.nanoTime() - t0) / 1e9
-            }.min
-          } catch { case _: Throwable => errs16 += 1; -1.0 }
-          finally spark16.catalog.clearCache()
-          name -> v
-        }
-        spark16.range(1).count()
-        val f16 = (1 to 5).map { _ =>
-          val t0 = System.nanoTime(); spark16.range(1).count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        spark16.stop()
-        (q16, errs16, f16)
+        // stop in finally: a throw after session creation (floor probe, a
+        // clearCache failure) must not leak a live 16-thread context past
+        // the final emit — its shutdown-hook output at JVM exit could land
+        // AFTER the final JSON in the driver's bounded stdout tail
+        try {
+          spark16.sparkContext.setLogLevel("ERROR")
+          var errs16 = 0
+          val q16 = all.map { case (name, fn) =>
+            val v = try {
+              force(fn(spark16, sfDir)) // warmup on the fresh context
+              System.gc()
+              (1 to 3).map { _ =>
+                val t0 = System.nanoTime()
+                force(fn(spark16, sfDir))
+                (System.nanoTime() - t0) / 1e9
+              }.min
+            } catch { case _: Throwable => errs16 += 1; -1.0 }
+            finally spark16.catalog.clearCache()
+            name -> v
+          }
+          spark16.range(1).count()
+          val f16 = (1 to 5).map { _ =>
+            val t0 = System.nanoTime(); spark16.range(1).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          (q16, errs16, f16)
+        } finally spark16.stop()
       }.getOrElse((Seq.empty[(String, Double)], -1, -1.0))
     emit(queries16, nErr16, floor16, finalLine = true)
 

@@ -599,6 +599,11 @@ object TextOps {
     */
   def jaccardPairs(docs: DataFrame, maxDfFrac: Double = 0.5,
       hashShingles: Boolean = false): DataFrame = {
+    // TWIN-SITE NOTE (r19 review): qJaccardTopPairs mirrors this body's
+    // hot-set / posting-join / pair-aggregate mechanics at CONTENT
+    // granularity (copy-weighted df, mult riding the rows). A mechanics
+    // change here (df cap bound, partition sizing, hints) must visit
+    // both sites until they share a weight-parameterized core.
     // The row-local hot-set spelling is safe BECAUSE the hot set is
     // bounded by ≤ avg_shingles_per_doc/maxDfFrac members: it collapses
     // to one collect_list row and broadcasts. A tiny maxDfFrac (say
@@ -723,6 +728,13 @@ object TextOps {
     * deterministic oracle ordering. The oracle SQL is untouched.
     */
   def qJaccardTopPairs(s: SparkSession, dir: String): DataFrame = {
+    // TWIN-SITE NOTE (r19 review): the hot-set / posting-join /
+    // pair-aggregate mechanics below mirror jaccardPairs with
+    // sum(copies) standing in for the per-doc COUNT and ca/cb riding
+    // the posting rows; the df cap is the fixed library default (0.5,
+    // inside jaccardPairs' required [0.1, 1] bound). Mechanics edits
+    // must visit both sites until they share a weight-parameterized
+    // core (named r20 candidate).
     graft.functions.GraftFunctions.register(s)
     val (ids, reps) = contentLayer(t(s, dir, "documents"))
     // per-content kept-shingle arrays + copy counts; the r16 row-local
@@ -1979,20 +1991,24 @@ object TextOps {
     // within one. So the quadratic stage stays at rep granularity
     // (simhashRepPairs) and the expansion is row-local source-combo
     // arithmetic over |sources|-bounded lists.
-    val (pairs, _, sigReps) = simhashRepPairs(s, dir)
-    // Per-content source composition, built off the same skinny pass the
-    // content layer takes (md5 + doc_id + source; no text): rep = min
-    // doc_id per content matches contentLayer's representative by
-    // construction. Persisted: both the cross and the same-content
-    // branch read it. |srcs| per row is bounded by the source DOMAIN.
-    val repSrc = t(s, dir, "documents")
-      .select(md5(col("text")).as("cid"), col("doc_id"), col("source"))
-      .groupBy(col("cid"), col("source"))
-      .agg(min(col("doc_id")).as("mn"), count(lit(1)).as("cnt"))
-      .groupBy(col("cid"))
-      .agg(min(col("mn")).as("rep"),
-        collect_list(struct(col("source"), col("cnt"))).as("srcs"))
-      .select(col("rep"), col("srcs"))
+    val (pairs, ids, sigReps) = simhashRepPairs(s, dir)
+    // Per-content source composition, built off the content layer's OWN
+    // persisted ids frame (r19 review): exploding ids and joining the
+    // two-column (doc_id, source) projection replaces a second
+    // full-corpus scan of the TEXT column plus a recomputed per-doc md5 —
+    // at scale the heaviest column is read once, by contentLayer. Every
+    // doc_id lives in exactly one content's list, so per-(rep, source)
+    // counts match the old (cid, source) grouping row for row. Persisted:
+    // both the cross and the same-content branch read it. |srcs| per row
+    // is bounded by the source DOMAIN.
+    val repSrc = ids
+      .select(col("rep"), explode(col("ids")).as("doc_id"))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("rep"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("rep"))
+      .agg(collect_list(struct(col("source"), col("cnt"))).as("srcs"))
       .persist()
     repSrc.count() // eager fill — see minhashCandidates
     // r17 cliff rule, carried over: only the pair KEY SET is

@@ -599,11 +599,6 @@ object TextOps {
     */
   def jaccardPairs(docs: DataFrame, maxDfFrac: Double = 0.5,
       hashShingles: Boolean = false): DataFrame = {
-    // TWIN-SITE NOTE (r19 review): qJaccardTopPairs mirrors this body's
-    // hot-set / posting-join / pair-aggregate mechanics at CONTENT
-    // granularity (copy-weighted df, mult riding the rows). A mechanics
-    // change here (df cap bound, partition sizing, hints) must visit
-    // both sites until they share a weight-parameterized core.
     // The row-local hot-set spelling is safe BECAUSE the hot set is
     // bounded by ≤ avg_shingles_per_doc/maxDfFrac members: it collapses
     // to one collect_list row and broadcasts. A tiny maxDfFrac (say
@@ -615,86 +610,113 @@ object TextOps {
     require(maxDfFrac >= 0.1 && maxDfFrac <= 1.0,
       s"maxDfFrac=$maxDfFrac outside [0.1, 1]: the broadcast hot set is " +
         "only bounded for df caps ≥ 0.1 of the corpus")
-    // NOTE caller contract: the per-doc shingle-array frame is persisted
-    // and eagerly filled here (both the hot-set aggregate and the posting
-    // explode read it); the returned plan references it, so it cannot be
-    // unpersisted before return. Session owners running many queries
-    // should clearCache() between them (Bench/Verify convention).
     // hashShingles is the scale default (bench x49): the posting list and
     // its self-join shuffle carry an 8-byte xxhash64 instead of the raw
     // shingle string; per-doc shingle sets stay distinct modulo ~1/2⁶⁴
     // collisions, so counts (and Jaccard) are unchanged in practice. The
     // gated q49 keeps raw strings so it is spelling-identical to DuckDB.
-    // Per-doc shingle ARRAYS survive to the hot-filter (r16): the retired
-    // spelling exploded first, anti-joined the hot set out, and later
-    // joined a (doc_id, n_sh) sizes table back onto the AGGREGATED pairs
-    // — two joins against the largest frame in the query. At 10x the
-    // sizes side auto-broadcast and the joins were invisible; at the 100x
-    // corpus sizes (500k rows) crossed the broadcast threshold and both
-    // joins became sort-merge over the 113M-pair frame: 2 extra
-    // pair-frame exchanges + sorts, 6.5 GB of spill, ~60% of the query's
-    // wall (R16Probe2 stage ledger, tools/probe100x_r16_spark.log).
-    // Row-local instead: the hot set is BOUNDED (df > maxDfFrac·n_docs ⟹
-    // at most avg_shingles_per_doc/maxDfFrac members), so it collapses to
-    // one collect_list row, broadcasts, and array_except drops it from
-    // each doc's array in place; n_sh = size(ka) is free at the scan and
-    // rides the posting/pair shuffles (+8/+16 bytes), where max() reads
-    // it back after the pair aggregate. Zero joins after the aggregate,
-    // no size-race broadcast→SMJ cliff, and the explode→anti-join pass is
-    // gone too — measured faster than the retired spelling even at 10x
-    // where the broadcast was free (R16Probe3 A/B/C: old 15.5 s, window
-    // n_sh-carry 18.8 s, this 14.5 s; 100x full query 336 → ~107 s).
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val arrRaw = docs.select(col("doc_id"),
       call_function("word_shingles", col("text"), lit(3), lit(true)).as("arr"))
-    val arr = (if (hashShingles)
+    val units = if (hashShingles)
         arrRaw.select(col("doc_id"), expr("transform(arr, s -> xxhash64(s))").as("arr"))
-      else arrRaw).persist()
-    arr.count() // eager fill — see minhashCandidates
+      else arrRaw
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val hotArr = arr.select(explode(col("arr")).as("shingle"))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
+    val kept = keptShingleArrays(units, "doc_id", None, nDocs, maxDfFrac)
+    postingPairAgg(kept, "doc_id", None, "doc_a", "doc_b")
+  }
+
+  /** Hot-capped kept-shingle arrays — the shared head of the posting-join
+    * pair family (per-doc jaccardPairs and the content-granularity q49).
+    * Input `units`: (idCol[, weightCol], arr). Per-unit shingle ARRAYS
+    * survive to the hot-filter (r16): the retired spelling exploded
+    * first, anti-joined the hot set out, and later joined a sizes table
+    * back onto the AGGREGATED pairs — two joins against the largest
+    * frame in the query; at the 100× corpus the sizes side crossed the
+    * broadcast threshold and both joins became sort-merge over the
+    * 113M-pair frame (2 extra pair-frame exchanges + sorts, 6.5 GB of
+    * spill, ~60% of the query's wall — R16Probe2 stage ledger,
+    * tools/probe100x_r16_spark.log). Row-local instead: the hot set is
+    * BOUNDED (df > maxDfFrac·n_docs ⟹ at most avg_shingles/maxDfFrac
+    * members), so it collapses to one collect_list row, broadcasts, and
+    * array_except drops it from each unit's array in place; n_sh =
+    * size(ka) is free at the scan (R16Probe3 A/B/C: old 15.5 s, window
+    * n_sh-carry 18.8 s, this 14.5 s; 100x full query 336 → ~107 s).
+    * With `weightCol` (copy counts), df = sum(weight) — identical to the
+    * per-doc COUNT(*) in exact integers, so the hot set is the same set.
+    *
+    * Caller contract: `units` is persisted and eagerly filled here (the
+    * hot-set aggregate and the posting explode both read it); the
+    * returned plan references it, so it cannot be unpersisted before
+    * return. Session owners running many queries should clearCache()
+    * between them (Bench/Verify convention).
+    */
+  private def keptShingleArrays(units: DataFrame, idCol: String,
+      weightCol: Option[String], nDocs: DataFrame,
+      maxDfFrac: Double): DataFrame = {
+    val arr = units.persist()
+    arr.count() // eager fill — see minhashCandidates
+    val dfAgg = weightCol match {
+      case Some(w) => arr.select(explode(col("arr")).as("shingle"), col(w))
+        .groupBy(col("shingle")).agg(sum(col(w)).as("df"))
+      case None => arr.select(explode(col("arr")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    }
+    val hotArr = dfAgg.crossJoin(broadcast(nDocs))
       .where(col("df") > col("n_docs") * maxDfFrac)
       .agg(collect_list(col("shingle")).as("hot"))
-    val keepN = arr.crossJoin(broadcast(hotArr))
-      .select(col("doc_id"), array_except(col("arr"), col("hot")).as("ka"))
-      .select(col("doc_id"), size(col("ka")).as("n_sh"),
-        explode(col("ka")).as("shingle"))
-    // Partition count sized to the pair EXPANSION, not the input (r15):
-    // the self-join's output is Σ df² — ~100× its input on a 10× corpus —
-    // and the pair groups are near-distinct, so each map-side partial
-    // aggregate holds ~all of its partition's pairs. At the session
-    // default (cores) partitions the partial maps exceed task memory and
-    // thrash through spill-rebuild cycles (measured: ~80% of the query's
-    // CPU); at 4× cores each map fits and the same aggregate runs clean.
-    // Explicit N also pins the join OFF the broadcast path — a size-based
-    // broadcast (the corpus parquet can sit under the 10 MB threshold)
-    // would glue the whole expansion to the stream side's partitioning:
-    // ONE task on a single-split file, measured as a 21-CPU-minute
-    // 5 GB-spill runaway. Partitioning by shingle, sized to the output,
-    // is the only shape that scales.
-    val parts = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    val lead = col(idCol) +: weightCol.map(col).toSeq
+    arr.crossJoin(broadcast(hotArr))
+      .select(lead :+ array_except(col("arr"), col("hot")).as("ka"): _*)
+      .select(lead :+ col("ka") :+ size(col("ka")).as("n_sh"): _*)
+  }
+
+  /** Posting-list self-join + pair aggregate over [[keptShingleArrays]]
+    * output — the shared tail of the pair family. Output: (aName, bName,
+    * common, n_a, n_b[, mult], jaccard), with mult = max(w_a·w_b) when a
+    * weight column rides the rows (the content-granularity doc-pair
+    * multiplicity).
+    *
+    * Partition count sized to the pair EXPANSION, not the input (r15):
+    * the self-join's output is Σ df² — ~100× its input on a 10× corpus —
+    * and the pair groups are near-distinct, so each map-side partial
+    * aggregate holds ~all of its partition's pairs. At the session
+    * default (cores) partitions the partial maps exceed task memory and
+    * thrash through spill-rebuild cycles (measured: ~80% of the query's
+    * CPU); at 4× cores each map fits and the same aggregate runs clean.
+    * Explicit N also pins the join OFF the broadcast path — a size-based
+    * broadcast (the corpus parquet can sit under the 10 MB threshold)
+    * would glue the whole expansion to the stream side's partitioning:
+    * ONE task on a single-split file, measured as a 21-CPU-minute
+    * 5 GB-spill runaway. Partitioning by shingle, sized to the output,
+    * is the only shape that scales. The explicit wide exchange on the
+    * pair key BEFORE the aggregate exists because the session-default
+    * partition count is a ceiling under AQE (it can only coalesce), so
+    * the 113M-group final aggregate would otherwise run at ≤cores
+    * partitions with >100 MB hash maps per task; raw pairs shuffle +22%
+    * more rows, but every aggregate map fits and the useless map-side
+    * partial agg (~1.2 rows/group) disappears below the exchange.
+    */
+  private def postingPairAgg(kept: DataFrame, idCol: String,
+      weightCol: Option[String], aName: String, bName: String): DataFrame = {
+    val parts = 4 * kept.sparkSession.sparkContext.defaultParallelism
+    val lead = col(idCol) +: weightCol.map(col).toSeq
+    val keepN = kept.where(col("n_sh") >= 1)
+      .select(lead ++ Seq(col("n_sh"), explode(col("ka")).as("shingle")): _*)
     val keyed = keepN.repartition(parts, col("shingle"))
-    val a = keyed.select(col("doc_id").as("doc_a"), col("shingle"),
-      col("n_sh").as("n_a"))
-    val b = keyed.select(col("doc_id").as("doc_b"), col("shingle"),
-        col("n_sh").as("n_b"))
+    val a = keyed.select(Seq(col(idCol).as(aName), col("shingle"),
+      col("n_sh").as("n_a")) ++ weightCol.map(w => col(w).as("w_a")): _*)
+    val b = keyed.select(Seq(col(idCol).as(bName), col("shingle"),
+        col("n_sh").as("n_b")) ++ weightCol.map(w => col(w).as("w_b")): _*)
       .hint("merge")
-    a.join(b, Seq("shingle")).where(col("doc_a") < col("doc_b"))
-      // explicit wide exchange on the pair key BEFORE the aggregate: the
-      // session-default partition count is a ceiling under AQE (it can
-      // only coalesce), so the 113M-group final aggregate would otherwise
-      // run at ≤cores partitions with >100 MB hash maps per task; raw
-      // pairs shuffle +22% more rows, but every aggregate map fits and
-      // the map-side partial agg (useless at ~1.2 rows/group) disappears
-      // below the exchange
-      .repartition(parts, col("doc_a"), col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      // n_a/n_b are constant within a (doc_a, doc_b) group — max() reads
-      // them back without widening the 16-byte group key
-      .agg(count(lit(1)).as("common"), max(col("n_a")).as("n_a"),
-        max(col("n_b")).as("n_b"))
+    val aggs = Seq(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b")) ++
+      // n_a/n_b (and w_a/w_b) are constant within a pair group — max()
+      // reads them back without widening the 16-byte group key
+      weightCol.map(_ => max(col("w_a") * col("w_b")).as("mult"))
+    a.join(b, Seq("shingle")).where(col(aName) < col(bName))
+      .repartition(parts, col(aName), col(bName))
+      .groupBy(col(aName), col(bName))
+      .agg(count(lit(1)).as("common"), aggs: _*)
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
   }
@@ -728,54 +750,24 @@ object TextOps {
     * deterministic oracle ordering. The oracle SQL is untouched.
     */
   def qJaccardTopPairs(s: SparkSession, dir: String): DataFrame = {
-    // TWIN-SITE NOTE (r19 review): the hot-set / posting-join /
-    // pair-aggregate mechanics below mirror jaccardPairs with
-    // sum(copies) standing in for the per-doc COUNT and ca/cb riding
-    // the posting rows; the df cap is the fixed library default (0.5,
-    // inside jaccardPairs' required [0.1, 1] bound). Mechanics edits
-    // must visit both sites until they share a weight-parameterized
-    // core (named r20 candidate).
     graft.functions.GraftFunctions.register(s)
     val (ids, reps) = contentLayer(t(s, dir, "documents"))
-    // per-content kept-shingle arrays + copy counts; the r16 row-local
-    // hot-set mechanics (bounded broadcast of ONE collect_list row,
-    // array_except in place, n_sh riding the shuffles) carry over at
-    // content granularity unchanged
+    // per-content kept-shingle arrays + copy counts through the SHARED
+    // posting-pair core (r19 review follow-up): the r15/r16 mechanics
+    // (bounded one-row hot broadcast, array_except in place, n_sh riding
+    // the shuffles, expansion-sized exchanges, pinned-off-broadcast
+    // self-join) live once in keptShingleArrays/postingPairAgg; this
+    // site supplies the copy weights — df = sum(copies) ≡ the per-doc
+    // COUNT(*) in exact integers, mult = max(copies_a·copies_b) — at the
+    // library-default 0.5 df cap (inside jaccardPairs' [0.1, 1] bound).
     val sizes = ids.select(col("rep"), size(col("ids")).cast("long").as("copies"))
-    val arrRaw = reps
+    val units = reps
       .select(col("doc_id").as("rep"),
         call_function("word_shingles", col("text"), lit(3), lit(true)).as("arr"))
       .join(sizes, Seq("rep"))
     val nDocs = ids.select(sum(size(col("ids"))).as("n_docs"))
-    val arr = arrRaw.persist()
-    arr.count() // eager fill — see minhashCandidates
-    val hotArr = arr.select(explode(col("arr")).as("shingle"), col("copies"))
-      .groupBy(col("shingle")).agg(sum(col("copies")).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .where(col("df") > col("n_docs") * 0.5)
-      .agg(collect_list(col("shingle")).as("hot"))
-    val ka = arr.crossJoin(broadcast(hotArr))
-      .select(col("rep"), col("copies"), array_except(col("arr"), col("hot")).as("ka"))
-      .select(col("rep"), col("copies"), col("ka"), size(col("ka")).as("n_sh"))
-    val keepN = ka.where(col("n_sh") >= 1)
-      .select(col("rep"), col("copies"), col("n_sh"), explode(col("ka")).as("shingle"))
-    // pair-expansion-sized exchanges + pinned-off-broadcast self-join —
-    // the r15/r16 q49 mechanics, now on the content universe
-    val parts = 4 * s.sparkContext.defaultParallelism
-    val keyed = keepN.repartition(parts, col("shingle"))
-    val a = keyed.select(col("rep").as("ra"), col("shingle"),
-      col("n_sh").as("n_a"), col("copies").as("ca"))
-    val b = keyed.select(col("rep").as("rb"), col("shingle"),
-        col("n_sh").as("n_b"), col("copies").as("cb"))
-      .hint("merge")
-    val cross = a.join(b, Seq("shingle")).where(col("ra") < col("rb"))
-      .repartition(parts, col("ra"), col("rb"))
-      .groupBy(col("ra"), col("rb"))
-      .agg(count(lit(1)).as("common"), max(col("n_a")).as("n_a"),
-        max(col("n_b")).as("n_b"),
-        max(col("ca") * col("cb")).as("mult"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+    val ka = keptShingleArrays(units, "rep", Some("copies"), nDocs, 0.5)
+    val cross = postingPairAgg(ka, "rep", Some("copies"), "ra", "rb")
       .select(col("ra"), col("rb"), col("common"), col("jaccard"), col("mult"))
     // ≥2-copy contents with a nonempty kept set: all-hot or <3-token
     // contents produced no posting rows per-doc either

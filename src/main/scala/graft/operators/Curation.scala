@@ -572,6 +572,17 @@ object Curation {
     // the self-join, so the semi adds no exchange and the broadcast
     // construction job disappears. Partial aggregation still absorbs hot
     // blocks map-side; no block's rows ever concentrate in one task.
+    // Build-side bound (r20, advisor): `kept` spans every NON-hot block
+    // key — ≤ 3·|distinct shingles| rows, i.e. it grows with corpus
+    // VOCABULARY where the retired anti-join's build side (the hot set)
+    // was output-bounded. The growth is hash-partitioned 8-byte keys
+    // (~24 B/row in the per-task hash map ⟹ ~1 GB per 40M vocab terms
+    // per task at 32 partitions — fine far past the audited scales), and
+    // ShuffledHashJoin's build side spills to disk past
+    // spark.sql.shuffledHashJoin.* memory (Spark's fallback, not ours),
+    // so a web-scale vocabulary degrades to spilled lookups rather than
+    // OOM. At 100 TB, raise the partition count with the vocabulary —
+    // the semi re-partitions with the join it rides.
     val kept = blocked.groupBy(col("bk")).agg(count(lit(1)).as("members"))
       .where(col("members") <= maxBlock).select(col("bk"))
       .hint("shuffle_hash")
@@ -587,7 +598,12 @@ object Curation {
     // 2-subsets of {0,1,2} union to all three positions, i.e. a pair
     // found by two passes would have all three words equal and be
     // excluded by sa < sb — so each pair exits exactly one rotation
-    // pass, once. (Under an xxhash64 block-key collision a pair could
+    // pass, once. PRECONDITION (r20, advisor): the proof counts one
+    // blocked row per (shingle, pass) — that is exactly the
+    // `.distinct()` on `sh` above (corpus-unique shingles). Relaxing
+    // that distinct would emit one row per OCCURRENCE per pass and
+    // duplicate pairs straight into the top-50; CurationSpec pins
+    // count == countDistinct on a corpus with repeated shingles. (Under an xxhash64 block-key collision a pair could
     // exit twice and emit a duplicate row — the same ~|blocks|²/2⁶⁵
     // odds class as the cap divergence above, accepted.)
     keep.select(col("bk"), col("shingle").as("sa"))

@@ -304,6 +304,30 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.fuzzyShinglePairs(docs, maxDist = 2, maxBlock = 100).count() == 3)
   }
 
+  test("fuzzy pairs emit no duplicate rows on a corpus with repeated shingles") {
+    // The r19 no-duplicates proof (each surviving pair exits exactly one
+    // rotation pass) counts one blocked row per (shingle, pass), i.e. it
+    // PRESUPPOSES the vocabulary `.distinct()` at the head of
+    // fuzzyShinglePairs. Pin that precondition mechanically (r20,
+    // advisor): a corpus where the same shingles recur across MANY docs
+    // — each occurrence would emit its own blocked row if the distinct
+    // were relaxed, turning every match into a duplicated output row —
+    // must still produce a duplicate-free pair list.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd"),   // shingles: "aa bb cc", "bb cc dd"
+      (2L, "aa bb cc dd"),   // same shingles again (cross-doc repeats)
+      (3L, "aa bb cc"),      // "aa bb cc" a third time
+      (4L, "aa bb cx dd"),   // pairs with "aa bb cc" (tail sub) + "bb cx dd"
+      (5L, "aa bb cx")       // "aa bb cx" again
+    ).toDF("doc_id", "text")
+    val pairs = Curation.fuzzyShinglePairs(docs)
+    val n = pairs.count()
+    val nDistinct = pairs.distinct().count()
+    assert(n == nDistinct, s"duplicate pair rows: $n total vs $nDistinct distinct")
+    assert(n > 0, "corpus should produce at least one fuzzy pair")
+  }
+
   test("median and MAD are exact on a hand-computed group") {
     // n_chars 10, 20, 100 -> median 20, |x-20| = {10, 0, 80} -> MAD 10
     val dir = docsDir(Seq(

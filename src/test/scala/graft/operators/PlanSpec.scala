@@ -661,10 +661,16 @@ class PlanSpec extends AnyFunSuite {
       assert(nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
         "q116: top-50 must plan as TakeOrderedAndProject (partial top-k " +
           "per partition), not a global sort")
-      // walk root→pair join: no shuffle exchange may intervene
+      // walk root→pair join: no shuffle exchange may intervene. The
+      // terminator must be THE pair join — its equi-keys reference bk —
+      // so a future plan gaining an earlier Inner join above it (e.g. an
+      // attach join) can't silently become the walk's anchor (r20,
+      // advisor).
       def aboveJoin(pl: org.apache.spark.sql.execution.SparkPlan,
           exch: Int): Option[Int] = pl match {
-        case j: BaseJoinExec if j.joinType == Inner => Some(exch)
+        case j: BaseJoinExec if j.joinType == Inner &&
+            j.leftKeys.flatMap(_.references.map(_.name.toLowerCase))
+              .contains("bk") => Some(exch)
         case e: ShuffleExchangeLike =>
           e.children.view.flatMap(aboveJoin(_, exch + 1)).headOption
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>

@@ -953,12 +953,56 @@ object Analytics {
 
   /** Explicit GROUPING SETS with grouping_id — the multi-grain aggregation
     * shape between rollup (q76) and cube (q83): exactly the named grains,
-    * nothing more. Runs as declarative Spark SQL (Expand + one hash
-    * aggregate — each input row fans out only to its listed grains).
-    * grouping_id's bit encoding (left column = high bit) matches DuckDB's
-    * GROUPING(), so the discriminator column compares exactly.
+    * nothing more. grouping_id's bit encoding (left column = high bit)
+    * matches DuckDB's GROUPING(), so the discriminator column compares
+    * exactly.
+    *
+    * r20 partial-reuse rewrite (VERDICT r19 #1 — the suite's largest
+    * un-adjudicated strict-line multiple): Spark's native GROUPING SETS
+    * plans as Expand — every input row fans out to its listed grains, so
+    * the aggregate hash maps (decimal sum buffers riding every copy)
+    * probe 3× the input and the shuffle carries every grain's partials.
+    * COUNT and SUM are decomposable, so the marginal grains are derivable
+    * from the finest grain: aggregate ONCE on (l_returnflag,
+    * l_linestatus) — a ~|flags|·|statuses|-row result — then re-aggregate
+    * that tiny frame for the (flag) and (status) sets and union with the
+    * right grouping_id. The fact side is probed and shuffled once at 1×;
+    * the three union branches share one canonical partial-agg exchange
+    * (ReuseExchange — pinned in PlanSpec), and the marginal re-aggregates
+    * shuffle a dozen rows. Exactness: decimal sums re-aggregate without
+    * rounding (DECIMAL(18,6) → (28,6) → (38,6), all exact at any corpus
+    * the type fits), and both spellings cast the SAME exact decimal to
+    * double last, so results are bit-identical to the Expand plan and to
+    * the untouched oracle (R20Probe exceptAll = 0 at sf0.1, both
+    * directions). A/B same JVM/window at sf0.1, local[16], two windows
+    * (R20Probe): Expand 1.03–1.17 s warm vs this 0.70–0.77 s — ~35%
+    * off the suite's largest un-adjudicated multiple; adopted
+    * (BASELINE r20).
     */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("sq"))
+    val both = base.select(col("l_returnflag"), col("l_linestatus"),
+      lit(0).as("gid"), col("n").as("n_rows"),
+      col("sq").cast("double").as("sum_qty"))
+    val byFlag = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n_rows"), sum(col("sq")).as("sq2"))
+      .select(col("l_returnflag"), lit(null).cast("string").as("l_linestatus"),
+        lit(1).as("gid"), col("n_rows"), col("sq2").cast("double").as("sum_qty"))
+    val byStatus = base.groupBy(col("l_linestatus"))
+      .agg(sum(col("n")).as("n_rows"), sum(col("sq")).as("sq2"))
+      .select(lit(null).cast("string").as("l_returnflag"), col("l_linestatus"),
+        lit(2).as("gid"), col("n_rows"), col("sq2").cast("double").as("sum_qty"))
+    both.unionByName(byFlag).unionByName(byStatus)
+  }
+
+  /** The retired Expand spelling, kept for the r20 A/B ledger (Profile
+    * runs it side-by-side with the adopted partial-reuse plan; never part
+    * of the gated surface).
+    */
+  def qGroupingSetsExpand(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
     s.sql(
       """SELECT l_returnflag, l_linestatus,

@@ -290,8 +290,44 @@ object Relational {
   /** Gold 07 (time series, reference 07_gold_time_series.sql:27-37):
     * per (YEAR, MONTH): COUNT(DISTINCT draw), COUNT(item), SUM. Covers A6
     * (exact distinct inside group), C2.
+    *
+    * r20 pre-aggregation rewrite (VERDICT r19 #1 — the q92-class Expand
+    * question): the mixed distinct/non-distinct aggregate planned as
+    * Expand ×2 — every joined row duplicated into a distinct copy (keyed
+    * year, month, o_orderkey) and a plain copy, double the aggregate
+    * probes with the decimal buffer riding one lane. The distinct key IS
+    * the join key, so aggregate BELOW the join instead (the q02 shape):
+    * collapse lineitem to one row per l_orderkey (COUNT(l_partkey) +
+    * exact decimal partial), broadcast-join orders, and the final
+    * (year, month) aggregate counts ROWS for num_sorteos — each
+    * surviving row is one distinct order by construction — and sums the
+    * decomposable partials (DECIMAL(18,6)→(28,6)→(38,6), exact; the
+    * double cast happens once at the end, so the result is bit-identical
+    * to the Expand plan and the untouched oracle). One 1× fact shuffle
+    * (map-side-combined on a sorted-by-orderkey layout) replaces the 2×
+    * Expand shuffle. A/B same JVM/window at sf0.1, local[16], two
+    * windows (R20Probe, exceptAll = 0 both directions): Expand
+    * 1.44–1.75 s warm vs this 1.09–1.31 s — adopted (BASELINE r20).
     */
   def qTimeSeries(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val perOrder = l.groupBy(col("l_orderkey")).agg(
+      count(col("l_partkey")).as("np"),
+      sum(col("l_extendedprice").cast("decimal(18,6)")).as("sm"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
+      .where(col("o_orderdate").isNotNull)
+      .groupBy(year(col("o_orderdate")).as("year"), month(col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("num_sorteos"),
+        sum(col("np")).as("num_premios"),
+        sum(col("sm")).cast("double").as("total_monto"))
+  }
+
+  /** The retired Expand (mixed-distinct) q08 spelling — r20 A/B ledger
+    * only (R20Probe), never part of the gated surface.
+    */
+  def qTimeSeriesExpand(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     l.join(o, l("l_orderkey") === o("o_orderkey"))

@@ -49,6 +49,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q92 grouping sets: partial-reuse plan — no Expand, marginals ride ReusedExchange") {
+    // r20 adoption pin (VERDICT r19 #1): the three grains derive from ONE
+    // finest-grain aggregate — the fact is scanned and shuffled once (the
+    // union's marginal branches reuse the canonical partial-agg exchange)
+    // and Spark's 3× Expand never appears.
+    // force the DataFrame itself: exchange reuse only materializes in the
+    // FINAL adaptive plan (executedPlan's count() finalizes a different
+    // query), so read the formatted explain after execution
+    val df = SparkEntry.queries("q92_grouping_sets")(spark, dir)
+    graft.Bench.force(df)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Expand"),
+      "q92: the Expand-based GROUPING SETS plan is back — the r20 " +
+        "partial-reuse decomposition shuffles the fact once, not 3x")
+    assert(p.contains("ReusedExchange"),
+      s"q92: the marginal grains no longer reuse the base aggregate's " +
+        s"exchange — the fact side is being re-scanned per grain: $p")
+  }
+
+  test("q08 time series: distinct rides the pre-aggregation — no Expand, agg below the join") {
+    // r20 adoption pin (VERDICT r19 #1): COUNT(DISTINCT join-key) became
+    // count-rows-after-pre-agg (the q02 shape) — lineitem collapses to
+    // one row per l_orderkey BELOW the broadcast join, so the mixed
+    // distinct/plain aggregate's Expand x2 never appears.
+    val p = executedPlan("q08_time_series")
+    assert(!p.contains("Expand"),
+      "q08: the mixed-distinct Expand plan is back — the r20 rewrite " +
+        "pre-aggregates on the join key instead")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate\\(keys=\\[l_orderkey".r.findFirstIn(p).isDefined,
+      s"q08: the per-order pre-aggregate (keys = [l_orderkey]) is gone: $p")
+  }
+
   test("q49_jaccard drops hot shingles row-locally off a persisted array frame, " +
       "and only the thresholded candidate set reaches the expansion joins") {
     val df = SparkEntry.queries("q49_jaccard_top_pairs")(spark, dir)

@@ -288,12 +288,13 @@ object SparkEntry {
     "x180_substring_dedup_xxhash" ->
       ((s, dir) => Curation.substringDupStats(
         graft.Tables.load(s, dir, "documents"), hashGrams = true)),
+    // r20 (VERDICT r19 #5): the twin now rides q49's content-layer
+    // weight-parameterized core — it prices exactly the xxhash64-for-raw-
+    // string shingle swap on the SHIPPED plan, not the retired per-doc
+    // posting join (which had made it the suite's slowest row at ~2.4×
+    // its sibling). Output parity with q49 is pinned in DedupSpec.
     "x49_jaccard_xxhash" ->
-      ((s, dir) => TextOps.jaccardPairs(
-          graft.Tables.load(s, dir, "documents"), hashShingles = true)
-        .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
-        .limit(20)
-        .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))))
+      ((s, dir) => TextOps.jaccardTopPairs(s, dir, hashShingles = true)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -749,7 +749,22 @@ object TextOps {
     * the collect; the final (jaccard DESC, doc_a, doc_b) sort is the
     * deterministic oracle ordering. The oracle SQL is untouched.
     */
-  def qJaccardTopPairs(s: SparkSession, dir: String): DataFrame = {
+  def qJaccardTopPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardTopPairs(s, dir, hashShingles = false)
+
+  /** Parameterized core of q49 / its bench twin x49 (r20, VERDICT r19
+    * #5): `hashShingles = true` is the SCALE DEFAULT — the posting list
+    * and its self-join shuffle carry an 8-byte xxhash64 of each shingle
+    * instead of the raw string (counts, and so Jaccard, unchanged modulo
+    * ~1/2⁶⁴ collisions; decision parity pinned in DedupSpec). The gated
+    * q49 keeps raw strings so it is spelling-identical to DuckDB. Until
+    * r19 the twin still ran the retired PER-DOC posting plan (the
+    * suite's slowest row, ~2.4× its q49 sibling); it now rides the same
+    * content-layer weight-parameterized core, so the twin prices exactly
+    * the hash-family swap and nothing else.
+    */
+  def jaccardTopPairs(s: SparkSession, dir: String,
+      hashShingles: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val (ids, reps) = contentLayer(t(s, dir, "documents"))
     // per-content kept-shingle arrays + copy counts through the SHARED
@@ -761,10 +776,12 @@ object TextOps {
     // COUNT(*) in exact integers, mult = max(copies_a·copies_b) — at the
     // library-default 0.5 df cap (inside jaccardPairs' [0.1, 1] bound).
     val sizes = ids.select(col("rep"), size(col("ids")).cast("long").as("copies"))
-    val units = reps
-      .select(col("doc_id").as("rep"),
-        call_function("word_shingles", col("text"), lit(3), lit(true)).as("arr"))
-      .join(sizes, Seq("rep"))
+    val arrRaw = reps.select(col("doc_id").as("rep"),
+      call_function("word_shingles", col("text"), lit(3), lit(true)).as("arr"))
+    val shingled = if (hashShingles)
+        arrRaw.select(col("rep"), expr("transform(arr, s -> xxhash64(s))").as("arr"))
+      else arrRaw
+    val units = shingled.join(sizes, Seq("rep"))
     val nDocs = ids.select(sum(size(col("ids"))).as("n_docs"))
     val ka = keptShingleArrays(units, "rep", Some("copies"), nDocs, 0.5)
     val cross = postingPairAgg(ka, "rep", Some("copies"), "ra", "rb")

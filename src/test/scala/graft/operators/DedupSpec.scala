@@ -58,6 +58,23 @@ class DedupSpec extends AnyFunSuite {
     assert(hashed == raw) // same pairs, same common counts, same jaccard
   }
 
+  test("x49 end-to-end parity: the hashed-shingle top-pairs twin matches gated q49") {
+    // r20 (VERDICT r19 #5): x49 rides q49's content-layer core with
+    // xxhash64 shingles — the swap changes shingle VALUES but not
+    // per-content distinct counts, document frequencies, the hot set, or
+    // any pair count (modulo ~1/2⁶⁴ collisions), so the full query —
+    // threshold collect, expansion, deterministic (jaccard, doc_a,
+    // doc_b) top-20 — must be row-identical on the real sf0.001 corpus.
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val gated = rows(TextOps.jaccardTopPairs(spark, dir, hashShingles = false))
+    val twin = rows(TextOps.jaccardTopPairs(spark, dir, hashShingles = true))
+    try assert(twin == gated)
+    finally spark.catalog.clearCache() // contentLayer persists per call
+  }
+
   test("jaccard df cap drops planted hot shingles; denominators use the filtered universe") {
     import spark.implicits._
     // Every doc opens with the same 5 tokens → 3 shingles with df = 10

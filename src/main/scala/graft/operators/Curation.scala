@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.PersistTracked
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -546,7 +547,7 @@ object Curation {
         col("text"), lit(3), lit(true))).as("shingle"))
       .distinct()
       .withColumn("w", split(col("shingle"), " "))
-      .persist()
+      .persistTracked()
     // All three rotated blocking passes fused into ONE self-join: each
     // shingle emits its three (pass-tagged) block keys row-locally, so
     // one hot-block cap + one join replace three of each — same

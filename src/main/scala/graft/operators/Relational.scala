@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.PersistTracked
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -446,7 +447,7 @@ object Relational {
     val baskets = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      .persist()
+      .persistTracked()
     // sorted basket ⇒ emitted pairs already satisfy a < b
     val top = baskets
       .select(explode(expr(
@@ -457,14 +458,14 @@ object Relational {
       .agg(count(lit(1)).as("n_ab"))
       .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
-      .persist()
+      .persistTracked()
     val parts = top
       .select(explode(array(col("part_a"), col("part_b"))).as("l_partkey"))
       .distinct()
     val counts = baskets.select(explode(col("ps")).as("l_partkey"))
       .join(broadcast(parts), Seq("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
-      .persist()
+      .persistTracked()
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     top
       .join(broadcast(counts.select(col("l_partkey").as("part_a"), col("n_p").as("n_a"))),

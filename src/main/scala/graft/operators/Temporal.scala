@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.PersistTracked
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -418,7 +419,7 @@ object Temporal {
       .select(col("s_us"), col("e_us"),
         expr(s"s_us DIV $DayUs").as("s_day"),
         expr(s"e_us DIV $DayUs").as("e_day"))
-      .persist()
+      .persistTracked()
     val deltas =
       sess.select(col("s_us").as("ts"), lit(1L).as("d"), col("s_day").as("day_idx"))
         .unionByName(
@@ -639,7 +640,7 @@ object Temporal {
     val daily = Tables.load(s, dir, "events")
       .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
       .agg(dsum(col("value")).as("v"))
-      .persist()
+      .persistTracked()
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
       .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day_idx"))
@@ -844,7 +845,7 @@ object Temporal {
     val daily = Tables.load(s, dir, "events")
       .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
       .agg(dsum(col("value")).as("v"))
-      .persist()
+      .persistTracked()
     // Day-span AND moments in ONE agg over the (persisted, tiny) daily
     // frame (r15, was two passes with the second one re-deriving the
     // grid join): gap days enter both decimal sums as exact zeros and
@@ -947,7 +948,7 @@ object Temporal {
     val daily = Tables.load(s, dir, "events")
       .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
       .agg(dsum(col("value")).as("v"))
-      .persist()
+      .persistTracked()
     // same one-pass span+moment fusion as q164 (gap days are exact zeros
     // in the decimal sum; the grid count is the span)
     val stats = daily.groupBy(col("event_type")).agg(
@@ -1049,7 +1050,7 @@ object Temporal {
     val daily = Tables.load(s, dir, "events")
       .groupBy(col("event_type"), expr(s"ts DIV $DayNs").as("day_idx"))
       .agg(dsum(col("value")).as("v"))
-      .persist()
+      .persistTracked()
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("day_idx")).as("mn"), max(col("day_idx")).as("mx"))
       .select(col("event_type"), explode(expr("sequence(mn, mx)")).as("day_idx"))

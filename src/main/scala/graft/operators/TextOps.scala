@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope.PersistTracked
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -337,7 +338,7 @@ object TextOps {
     val banded = sims
       .select(col("doc_id"), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-      .persist()
+      .persistTracked()
     banded.count() // eager fill — see minhashCandidates
     val a = banded.as("a")
     // shuffle_hash, never broadcast (r15): a banded self-join's OUTPUT is
@@ -384,8 +385,10 @@ object TextOps {
     * them can unpersist before returning without defeating the reuse the
     * persist exists for, so the SESSION OWNER releases them — the
     * Bench/Verify/BenchScale `clearCache()`-between-queries convention.
-    * A long-lived session embedding these builders must do the same or
-    * accumulate one content-sized cache entry per invocation.
+    * r20: embedding API users get the mechanical alternative — run the
+    * query inside [[graft.CacheScope.scoped]] and every builder-persisted
+    * frame (all persists go through `persistTracked()`) is released when
+    * the block exits (CacheHygieneSpec).
     */
   /** CPU-dense doc_id text exchange with a PINNED partition count (r18):
     * AQE's coalescer sizes partitions by BYTES, so a small corpus's text
@@ -410,11 +413,43 @@ object TextOps {
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(col("rep"), col("ids"))
-      .persist()
+      .persistTracked()
     val reps = byDoc(docs.select(col("doc_id"), col("text")))
       .join(ids.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     (ids, reps)
   }
+
+  /** Degeneracy bound for the row-local pair expansions (r20, VERDICT r19
+    * #2 — the one residual the r19 scaladoc documented but did not
+    * enforce): an id list longer than this is sliced into ≤-this-sized
+    * segments and the SEGMENT GRID is redistributed (one round-robin
+    * exchange) before the element explodes, so a boilerplate content
+    * duplicated 10⁵+ times parallelizes its ~10¹⁰-row expansion across
+    * ceil(n/seg)² tasks instead of serializing it on one. Normal corpora
+    * (every audited structure: ≤100 copies/content at 10×/100×
+    * duplication) never exceed the bound — their rows take the original
+    * single-generate path and the degenerate branch stays empty (its
+    * per-task cost is an empty filter; the branch's exchange moves zero
+    * rows).
+    */
+  private[operators] val ExpandSegment = 4096
+
+  /** ≤seg-element contiguous slices of an array column. */
+  private def chunks(c: Column, seg: Int): Column =
+    transform(
+      sequence(lit(0),
+        greatest(ceil(size(c).cast("double") / lit(seg.toDouble)).cast("int"),
+          lit(1)) - lit(1)),
+      i => slice(c, i * lit(seg) + lit(1), lit(seg)))
+
+  /** [[chunks]] tagged with the chunk index (for the i ≤ j same-array
+    * grid). */
+  private def chunkedIdx(c: Column, seg: Int): Column =
+    transform(
+      sequence(lit(0),
+        greatest(ceil(size(c).cast("double") / lit(seg.toDouble)).cast("int"),
+          lit(1)) - lit(1)),
+      i => struct(i.as("i"), slice(c, i * lit(seg) + lit(1), lit(seg)).as("seg")))
 
   /** Doc-pair expansion of a representative-pair frame (r18): attach both
     * sorted id lists and emit one row per (least, greatest) combination —
@@ -424,43 +459,89 @@ object TextOps {
     * content-keyed, both bounded by the query's own output domain — the
     * shuffle-join class the r17b rule allows.
     *
-    * Duplication-degree bound (r19, advisor): the double explode is
-    * row-local, so ONE content pair's |ids_a|·|ids_b| doc pairs
-    * materialize inside a single task. That is the right trade at the
-    * audited structures (10×/100× duplication: ≤100 copies per content
-    * → ≤10⁴ rows per generate, microseconds) but a content duplicated
-    * ~10⁵+ times would serialize ~10¹⁰ pair rows on one unsplittable
-    * task. Consumers whose corpora carry such degenerate contents should
-    * length-cap dup groups upstream (emit the rep + copy COUNT rather
-    * than the pair list — q150's weighted form needs no expansion at
-    * all); parallelizing the expansion itself would need an exchange
-    * between the explodes, a cost every normal corpus would pay.
+    * Duplication-degree bound (r20 — mechanical, was documentation-only
+    * in r19): rows where either id list exceeds [[ExpandSegment]] divert
+    * to a sliced spelling — both lists chunk into ≤seg segments, the
+    * segment grid explodes first (ceil(na/seg)·ceil(nb/seg) rows, each
+    * carrying ≤seg² element pairs), one round-robin exchange spreads the
+    * grid, and only then do the element explodes run — so ONE degenerate
+    * content pair's |ids_a|·|ids_b| doc pairs land on many tasks instead
+    * of one. Normal rows keep the r18 single-generate plan; the
+    * degenerate branch's exchange is empty for every non-degenerate
+    * corpus. Equivalence (exact row multiset) is pinned in
+    * ContentLayerSpec at a tiny segment bound and end-to-end at the
+    * default bound on a 4200-copy content.
     */
-  private def expandRepPairs(pairs: DataFrame, ids: DataFrame,
-      payload: Seq[String]): DataFrame = {
+  private[operators] def expandRepPairs(pairs: DataFrame, ids: DataFrame,
+      payload: Seq[String], seg: Int = ExpandSegment): DataFrame = {
     val p = payload.map(col)
-    pairs
+    val joined = pairs
       .join(ids.select(col("rep").as("ra"), col("ids").as("ids_a")), Seq("ra"))
       .join(ids.select(col("rep").as("rb"), col("ids").as("ids_b")), Seq("rb"))
+    val normal = joined
+      .where(size(col("ids_a")) <= seg && size(col("ids_b")) <= seg)
       .select(p :+ explode(col("ids_a")).as("da") :+ col("ids_b"): _*)
       .select(p :+ col("da") :+ explode(col("ids_b")).as("db"): _*)
+    val parts = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val deg = joined
+      .where(size(col("ids_a")) > seg || size(col("ids_b")) > seg)
+      .select(p ++ Seq(explode(chunks(col("ids_a"), seg)).as("sa"),
+        col("ids_b")): _*)
+      .select(p ++ Seq(col("sa"),
+        explode(chunks(col("ids_b"), seg)).as("sb")): _*)
+      .repartition(parts)
+      .select(p ++ Seq(explode(col("sa")).as("da"), col("sb")): _*)
+      .select(p :+ col("da") :+ explode(col("sb")).as("db"): _*)
+    normal.unionByName(deg)
       .select(least(col("da"), col("db")).as("doc_a") +:
         greatest(col("da"), col("db")).as("doc_b") +: p: _*)
+  }
+
+  /** All ordered (doc_a < doc_b) pairs from each row's SORTED `ids` array,
+    * payload riding — the same-content half of the expansion family.
+    * Shares [[expandRepPairs]]'s mechanical degeneracy bound: arrays
+    * longer than seg chunk into the indexed segment grid (i ≤ j — sound
+    * because `ids` is sorted ascending and doc ids are unique, so chunk
+    * i's elements all precede chunk j's for i < j and the da < db filter
+    * completes the triangle exactly), redistribute, then explode.
+    */
+  private[operators] def sameIdPairs(rows: DataFrame, payload: Seq[String],
+      seg: Int = ExpandSegment): DataFrame = {
+    val p = payload.map(col)
+    val normal = rows.where(size(col("ids")) <= seg)
+      .select(p :+ explode(col("ids")).as("da") :+ col("ids"): _*)
+      .select(p :+ col("da") :+ explode(col("ids")).as("db"): _*)
+      .where(col("da") < col("db"))
+    val parts = rows.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val deg = rows.where(size(col("ids")) > seg)
+      .select(p :+ chunkedIdx(col("ids"), seg).as("cs"): _*)
+      .select(p :+ explode(col("cs")).as("ca") :+ col("cs"): _*)
+      .select(p ++ Seq(col("ca"), explode(col("cs")).as("cb")): _*)
+      .where(col("ca.i") <= col("cb.i"))
+      .repartition(parts)
+      .select(p ++ Seq(explode(col("ca.seg")).as("da"),
+        col("cb.seg").as("sb")): _*)
+      .select(p :+ col("da") :+ explode(col("sb")).as("db"): _*)
+      .where(col("da") < col("db"))
+    normal.unionByName(deg)
+      .select(col("da").as("doc_a") +: col("db").as("doc_b") +: p: _*)
   }
 
   /** Same-content doc pairs (r18): every content with ≥2 copies yields all
     * id-list combinations — duplicates agree on every band/signature
     * component by construction. `withSig` restricts to contents that have
     * a signature (<3-token texts produce no shingles and were never
-    * candidates in the per-doc spellings either).
+    * candidates in the per-doc spellings either). Degeneracy-bounded via
+    * [[sameIdPairs]] (r20).
     */
   private def sameContentPairs(ids: DataFrame, withSig: DataFrame): DataFrame =
-    withSig.select(col("rep"))
-      .join(ids.where(size(col("ids")) >= 2), Seq("rep"))
-      .select(explode(col("ids")).as("da"), col("ids"))
-      .select(col("da"), explode(col("ids")).as("db"))
-      .where(col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"))
+    sameIdPairs(
+      withSig.select(col("rep"))
+        .join(ids.where(size(col("ids")) >= 2), Seq("rep"))
+        .select(col("ids")),
+      Nil)
 
   /** MinHash signatures (k=32) over word-3-gram shingles, plus the 8 banded
     * LSH keys. One explode + one hash-aggregate of 32 codegen'd MINs.
@@ -565,7 +646,7 @@ object TextOps {
       explode(array((0 until MinhashBands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      .persist()
+      .persistTracked()
     // eager fill (q147 cold-build convention): sibling AQE stages that
     // scan an UNFILLED InMemoryRelation concurrently each recompute its
     // child plan — the self-join's two sides would race on a cold cache
@@ -654,7 +735,7 @@ object TextOps {
   private def keptShingleArrays(units: DataFrame, idCol: String,
       weightCol: Option[String], nDocs: DataFrame,
       maxDfFrac: Double): DataFrame = {
-    val arr = units.persist()
+    val arr = units.persistTracked()
     arr.count() // eager fill — see minhashCandidates
     val dfAgg = weightCol match {
       case Some(w) => arr.select(explode(col("arr")).as("shingle"), col(w))
@@ -792,7 +873,7 @@ object TextOps {
       .select(col("rep").as("ra"), col("rep").as("rb"),
         col("n_sh").cast("long").as("common"), lit(1.0).as("jaccard"),
         (col("copies") * (col("copies") - 1) / lit(2)).cast("long").as("mult"))
-    val cand = cross.unionByName(same).persist()
+    val cand = cross.unionByName(same).persistTracked()
     // threshold: smallest jaccard needed to cover 20 doc pairs (collect
     // is ≤20 rows by construction)
     val top = cand.select(col("jaccard"), col("mult"))
@@ -810,14 +891,12 @@ object TextOps {
       keep.where(col("ra") =!= col("rb"))
         .select(col("ra"), col("rb"), col("common"), col("jaccard")),
       ids, Seq("common", "jaccard"))
-    val sameDocs = keep.where(col("ra") === col("rb"))
-      .select(col("ra").as("rep"), col("common"), col("jaccard"))
-      .join(ids, Seq("rep"))
-      .select(col("common"), col("jaccard"), explode(col("ids")).as("da"), col("ids"))
-      .select(col("common"), col("jaccard"), col("da"), explode(col("ids")).as("db"))
-      .where(col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        col("common"), col("jaccard"))
+    val sameDocs = sameIdPairs(
+      keep.where(col("ra") === col("rb"))
+        .select(col("ra").as("rep"), col("common"), col("jaccard"))
+        .join(ids, Seq("rep")),
+      Seq("common", "jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
     crossDocs.select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
       .unionByName(sameDocs)
       .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
@@ -906,7 +985,7 @@ object TextOps {
     val (ids, reps) = contentLayer(t(s, dir, "documents"))
     // persisted: consumed by both self-join sides — without it the 64-vote
     // aggregation over every distinct-text token recomputes per consumer
-    val bands = simhashBandsOf(reps).withColumnRenamed("doc_id", "rep").persist()
+    val bands = simhashBandsOf(reps).withColumnRenamed("doc_id", "rep").persistTracked()
     bands.count() // eager fill — see minhashCandidates
     // Each banded row carries ALL four band values alongside its blocking
     // key, so the exact hamming is computable straight off the self-join
@@ -995,7 +1074,7 @@ object TextOps {
     // signature aggregation over all distinct-text shingles runs twice
     val bands = minhashBandsOf(reps).withColumnRenamed("doc_id", "rep")
       .join(ids.select(col("rep"), size(col("ids")).cast("long").as("n")), Seq("rep"))
-      .persist()
+      .persistTracked()
     bands.count() // eager fill — see minhashCandidates
     val banded = bands.select(col("rep"), col("n"),
       explode(array((0 until MinhashBands).map(b =>
@@ -1065,7 +1144,7 @@ object TextOps {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
+      .distinct().persistTracked()
     // one count: materializes the (often expensive) pair miner into the
     // cache exactly once AND prices the graph for the plan choice
     val nEdges = sym.count()
@@ -2018,7 +2097,7 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("rep"))
       .agg(collect_list(struct(col("source"), col("cnt"))).as("srcs"))
-      .persist()
+      .persistTracked()
     repSrc.count() // eager fill — see minhashCandidates
     // r17 cliff rule, carried over: only the pair KEY SET is
     // output-bounded, so only it broadcasts (the content-pair frame is
@@ -2506,7 +2585,7 @@ object TextOps {
     // one bigram shuffle: total and top-20 both derive from the persisted
     // counts frame (a second corpus scan for N would double the heavy work)
     val bgCounts = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-      .persist()
+      .persistTracked()
     val nBi = bgCounts.agg(sum(col("c_ab")).as("n_bi"))
     val top = bgCounts
       .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
@@ -2528,13 +2607,13 @@ object TextOps {
     // Measured at the 100× independent corpus (R17Probe7): broadcast-uni
     // 4.7 s warm / semi-above-agg pivot 6.3 s / this token-level semi ≈
     // the broadcast spelling, with the hard broadcast ceiling gone.
-    val topC = top.persist()
+    val topC = top.persistTracked()
     val wanted = topC.select(explode(array(col("a"), col("b"))).as("w")).distinct()
     val uniTop = docs.select(explode(toks(col("text"))).as("w"))
       .where(col("w") =!= "")
       .join(broadcast(wanted), Seq("w"), "left_semi")
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      .persist()
+      .persistTracked()
     topC
       .join(broadcast(uniTop.select(col("w").as("a"), col("cw").as("c_a"))), Seq("a"))
       .join(broadcast(uniTop.select(col("w").as("b"), col("cw").as("c_b"))), Seq("b"))
@@ -2677,7 +2756,7 @@ object TextOps {
         .as(s"band$b")
     }
     val sigB = sig.select(col("doc_id").as("rep") +: col("arr") +:
-      ((0 until MinhashK).map(i => col(s"m$i")) ++ bands): _*).persist()
+      ((0 until MinhashK).map(i => col(s"m$i")) ++ bands): _*).persistTracked()
     val banded = sigB.select(col("rep"),
       explode(array((0 until MinhashBands).map(b =>
         struct(lit(b).as("b"), col(s"band$b").as("k"))): _*)).as("bk"))
@@ -2700,7 +2779,7 @@ object TextOps {
     // est/common/jaccard are row-local array arithmetic — zip_with
     // equality count for the estimate, array_intersect size for true
     // overlap.
-    val candB = cand.persist()
+    val candB = cand.persistTracked()
     def side(key: String, sfx: String) = sigB
       .select(col("rep").as(key),
         array((0 until MinhashK).map(i => col(s"m$i")): _*).as(s"sig$sfx"),
@@ -2917,7 +2996,7 @@ object TextOps {
       .groupBy((if (hashShingles) xxhash64(col("shingle"))
                 else col("shingle")).as("sh"))
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
-      .persist()
+      .persistTracked()
     val sizes = bySh.select(explode(col("srcs")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     bySh.where(size(col("srcs")) >= 2)
@@ -2984,7 +3063,7 @@ object TextOps {
       .where(col("token") =!= "")
     val counts = posTok.groupBy(col("pos"), col("token"))
       .agg(count(lit(1)).as("c"))
-      .persist()
+      .persistTracked()
     val w = Window.partitionBy(col("pos"))
       .orderBy(col("c").desc, col("token").asc)
     counts
@@ -3046,7 +3125,7 @@ object TextOps {
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
       .select(col("source"), col("token"),
         (col("c").cast("double") / col("n")).as("p"))
-      .persist()
+      .persistTracked()
     val scalars = p.groupBy(col("source")).agg(
       sum(round(col("p") * log(col("p")), 9).cast(DecimalType(28, 9)))
         .cast("double").as("e"),
@@ -3233,7 +3312,7 @@ object TextOps {
     val tok = t(s, dir, "documents")
       .select(col("source"), explode(toks(col("text"))).as("token"))
     val cst = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
-      .persist()
+      .persistTracked()
     val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     val top = cst.groupBy(col("token")).agg(sum(col("c")).as("c_tot"))
       .orderBy(col("c_tot").desc, col("token").asc).limit(30)
@@ -3257,7 +3336,7 @@ object TextOps {
     val z = grid.join(broadcast(stats), Seq("token"))
       .select(col("source"), col("token"),
         round((col("f") - col("mu")) / sqrt(col("variance")), 6).as("z"))
-      .persist()
+      .persistTracked()
     z.as("a").join(z.as("b"),
         col("a.token") === col("b.token") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

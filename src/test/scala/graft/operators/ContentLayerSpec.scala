@@ -131,4 +131,61 @@ class ContentLayerSpec extends AnyFunSuite {
     // the empty-text copies were never candidates → each its own cluster
     assert(got.filter(_._1 >= 500L).forall(t => t._2 == t._1))
   }
+
+  test("expansion degeneracy guard: sliced spelling equals single-generate exactly (tiny seg)") {
+    // r20 (VERDICT r19 #2): id lists past ExpandSegment divert to a
+    // chunk-grid spelling with a redistribution exchange between the
+    // explodes. Pin the EXACT row-multiset equivalence of the two
+    // spellings at a tiny segment bound where both the cross grid and the
+    // i ≤ j same-array triangle exercise multi-chunk paths, including
+    // uneven tail chunks.
+    import spark.implicits._
+    val idsA = (0L until 100L).toArray
+    val idsB = (200L until 237L).toArray
+    val ids = Seq((0L, idsA), (200L, idsB)).toDF("rep", "ids")
+    val pairs = Seq((0L, 200L)).toDF("ra", "rb").withColumn("x", lit(7))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val sliced = key(TextOps.expandRepPairs(pairs, ids, Seq("x"), seg = 8))
+    val single = key(TextOps.expandRepPairs(pairs, ids, Seq("x"), seg = 1 << 20))
+    assert(sliced.size == 100 * 37)
+    assert(sliced == single)
+
+    val rows = Seq(Tuple1((0L until 100L).toArray)).toDF("ids")
+      .withColumn("y", lit(3))
+    val sameSliced = key(TextOps.sameIdPairs(rows, Seq("y"), seg = 8))
+    val sameSingle = key(TextOps.sameIdPairs(rows, Seq("y"), seg = 1 << 20))
+    assert(sameSliced.size == 100 * 99 / 2)
+    assert(sameSliced == sameSingle)
+  }
+
+  test("a 4200-copy degenerate content expands correctly at the DEFAULT segment bound") {
+    // End-to-end through q55 on a corpus whose duplication degree crosses
+    // ExpandSegment (4096): one content duplicated 4201× must emit
+    // exactly C(4201,2) hamming-0 pairs, duplicate-free — through the
+    // chunk-grid path, not one unsplittable task. (The r19 spelling
+    // would also produce these rows, serially; this pins the r20 slicing
+    // didn't change a single row at the default bound.)
+    import spark.implicits._
+    val text = (0 until 40).map(i => vocab(i % vocab.length)).mkString(" ")
+    val rnd = new scala.util.Random(11)
+    val others = (10000L until 10050L).map(i =>
+      (i, (0 until 40).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val corpus = ((0L until 4201L).map(i => (i, text)) ++ others)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val d = java.nio.file.Files.createTempDirectory("graft_degenerate").toString
+    corpus.write.parquet(s"$d/documents.parquet")
+    try {
+      val pairs = graft.SparkEntry.queries("q55_simhash_near_dups")(spark, d)
+        .where(col("doc_a") < 4201L && col("doc_b") < 4201L).persist()
+      val n = pairs.count()
+      assert(n == 4201L * 4200L / 2,
+        s"expected C(4201,2)=${4201L * 4200L / 2} same-content pairs, got $n")
+      assert(pairs.distinct().count() == n, "duplicate pair rows from the chunk grid")
+      assert(pairs.where(col("hamming") =!= 0).count() == 0)
+    } finally spark.catalog.clearCache()
+  }
 }

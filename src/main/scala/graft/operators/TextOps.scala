@@ -466,25 +466,41 @@ object TextOps {
     * carrying ≤seg² element pairs), one round-robin exchange spreads the
     * grid, and only then do the element explodes run — so ONE degenerate
     * content pair's |ids_a|·|ids_b| doc pairs land on many tasks instead
-    * of one. Normal rows keep the r18 single-generate plan; the
-    * degenerate branch's exchange is empty for every non-degenerate
-    * corpus. Equivalence (exact row multiset) is pinned in
+    * of one. Normal rows keep the r18 single-generate plan; on corpora
+    * with NO degenerate rows the branch is elided from the plan entirely
+    * (the fork-cache eager fill doubles as the driver-side probe — r20b).
+    * Equivalence (exact row multiset) is pinned in
     * ContentLayerSpec at a tiny segment bound and end-to-end at the
     * default bound on a 4200-copy content.
     */
   private[operators] def expandRepPairs(pairs: DataFrame, ids: DataFrame,
       payload: Seq[String], seg: Int = ExpandSegment): DataFrame = {
     val p = payload.map(col)
+    // Fork-point cache (r20b): normal/degenerate are COMPLEMENTARY filters
+    // over this frame — without a cache here each branch re-executes the
+    // whole pair pipeline above it (the banded self-join + verify +
+    // distinct), which read +52%/+63% on the q55/q56 gate rows the day the
+    // fork landed (tools/scale_r20_dev1.json; A/B in BASELINE.md r20).
+    // The frame is bounded by the query's own pair-output domain.
     val joined = pairs
       .join(ids.select(col("rep").as("ra"), col("ids").as("ids_a")), Seq("ra"))
       .join(ids.select(col("rep").as("rb"), col("ids").as("ids_b")), Seq("rb"))
+      .persistTracked()
+    // Eager fill (see minhashCandidates) doubling as the DEGENERACY PROBE:
+    // when no row exceeds the bound — every audited corpus — the degenerate
+    // branch is elided from the plan entirely (no empty exchange stage, no
+    // union), so normal corpora pay exactly the r18 single-generate plan
+    // plus this count. Driver-side adaptivity, same pattern as q49's
+    // threshold collect.
+    val nDeg = joined
+      .where(size(col("ids_a")) > seg || size(col("ids_b")) > seg).count()
     val normal = joined
       .where(size(col("ids_a")) <= seg && size(col("ids_b")) <= seg)
       .select(p :+ explode(col("ids_a")).as("da") :+ col("ids_b"): _*)
       .select(p :+ col("da") :+ explode(col("ids_b")).as("db"): _*)
     val parts = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val deg = joined
+    def deg = joined
       .where(size(col("ids_a")) > seg || size(col("ids_b")) > seg)
       .select(p ++ Seq(explode(chunks(col("ids_a"), seg)).as("sa"),
         col("ids_b")): _*)
@@ -493,7 +509,7 @@ object TextOps {
       .repartition(parts)
       .select(p ++ Seq(explode(col("sa")).as("da"), col("sb")): _*)
       .select(p :+ col("da") :+ explode(col("sb")).as("db"): _*)
-    normal.unionByName(deg)
+    (if (nDeg == 0) normal else normal.unionByName(deg))
       .select(least(col("da"), col("db")).as("doc_a") +:
         greatest(col("da"), col("db")).as("doc_b") +: p: _*)
   }
@@ -509,13 +525,18 @@ object TextOps {
   private[operators] def sameIdPairs(rows: DataFrame, payload: Seq[String],
       seg: Int = ExpandSegment): DataFrame = {
     val p = payload.map(col)
-    val normal = rows.where(size(col("ids")) <= seg)
+    // Fork-point cache + degeneracy probe — same rule as expandRepPairs
+    // (r20b): the probe fills the cache AND elides the degenerate branch
+    // when it is empty.
+    val r = rows.persistTracked()
+    val nDeg = r.where(size(col("ids")) > seg).count()
+    val normal = r.where(size(col("ids")) <= seg)
       .select(p :+ explode(col("ids")).as("da") :+ col("ids"): _*)
       .select(p :+ col("da") :+ explode(col("ids")).as("db"): _*)
       .where(col("da") < col("db"))
     val parts = rows.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val deg = rows.where(size(col("ids")) > seg)
+    def deg = r.where(size(col("ids")) > seg)
       .select(p :+ chunkedIdx(col("ids"), seg).as("cs"): _*)
       .select(p :+ explode(col("cs")).as("ca") :+ col("cs"): _*)
       .select(p ++ Seq(col("ca"), explode(col("cs")).as("cb")): _*)
@@ -525,7 +546,7 @@ object TextOps {
         col("cb.seg").as("sb")): _*)
       .select(p :+ col("da") :+ explode(col("sb")).as("db"): _*)
       .where(col("da") < col("db"))
-    normal.unionByName(deg)
+    (if (nDeg == 0) normal else normal.unionByName(deg))
       .select(col("da").as("doc_a") +: col("db").as("doc_b") +: p: _*)
   }
 

@@ -1028,6 +1028,15 @@ object TextOps {
       .where(col("hamming") <= 3)
       .select(col("ra"), col("rb"), col("hamming"))
       .distinct()
+      // Persisted (r20): the verified pair set is bounded by the query's
+      // own pair-output domain (the r17b broadcast rule's bound), and two
+      // consumers otherwise re-run the banded self-join's map stages per
+      // run — q85's CC symmetrize reads it once-per-run after sym's
+      // unpersist, and q105's pair broadcast rebuilds per run (broadcast
+      // exchanges are never cache entries). Lazy: the first consumer
+      // fills it, so single-consumer callers (q55/q56 ride their own
+      // fork-point cache above this) pay one memory write, no extra job.
+      .persistTracked()
     (pairs, ids, bands.select(col("rep")))
   }
 
@@ -1163,8 +1172,16 @@ object TextOps {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 20, driverBudget: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    // Symmetrize with ONE row-local explode, not a two-branch union (r20):
+    // a union's branches are separate consumers of the edge frame, so an
+    // uncached (often expensive — q85 hands the banded pair miner straight
+    // in) edge pipeline executed TWICE per run; the exploded array emits
+    // the same (a,b)/(b,a) multiset from a single pass. Measured on q85:
+    // the four banded-self-join map stages in the timed run became two.
+    val sym = edges.select(explode(array(
+        struct(col("a").as("a"), col("b").as("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().persistTracked()
     // one count: materializes the (often expensive) pair miner into the
     // cache exactly once AND prices the graph for the plan choice

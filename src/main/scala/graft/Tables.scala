@@ -194,4 +194,42 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` queries work. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Adaptive scan widening (r20; optimization guide §2.5 "input skew: one
+    * huge unsplittable file — repartition immediately after the read").
+    *
+    * The bench tables are single-row-group parquet files, so their scan
+    * stages have effective parallelism 1 regardless of cores — parquet
+    * cannot split inside a row group — and every row-dense operator the
+    * planner fuses into the scan stage (Expand fan-outs, posexplode ×
+    * broadcast-join pipelines, decimal partial aggregation) runs serial
+    * (measured: q118's whole 1.1 s CPU pipeline in ONE task; q12's Expand
+    * map stage 0.7 s serial). When the PLANNED scan parallelism is below
+    * the session default, hash-repartition on xxhash64 of the given key
+    * columns (default: every projected column) — deterministic in row
+    * values, the guide's retry-safe synthetic-key construction, 2⁶⁴
+    * distinct hash values so the spread is uniform at any partition count.
+    *
+    * Scale adaptivity: on any input whose scan already yields ≥ cores
+    * splits — every real multi-row-group/multi-file table, 100 TB
+    * included — this is a NO-OP (no exchange enters the plan), so it is
+    * driver-side adaptivity like the q85 CC budget switch, not a
+    * local-mode tuning constant.
+    *
+    * Call it on a NARROW projection: the added exchange then moves only
+    * the columns the query needs, and the partition probe (`df.rdd` —
+    * plans the scan, runs no job) never sees an exchange-bearing subtree.
+    * Only correct for consumers whose results are partitioning-independent
+    * (exact decimal sums, counts, min/max — the engine's determinism
+    * contract); do not feed order-sensitive collectors through it.
+    */
+  def widenScan(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val ks = if (keys.nonEmpty) keys else df.columns.toSeq.map(col)
+      df.repartition(p, xxhash64(ks: _*))
+    }
+  }
 }

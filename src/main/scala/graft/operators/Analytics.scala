@@ -59,6 +59,12 @@ object Analytics {
     * sellers per departamento).
     */
   def qNuniquePerGroup(s: SparkSession, dir: String): DataFrame =
+    // r20 A/B note: widenScan was tried here (the ×2 Expand is fused into
+    // the 1-task scan stage, 0.7 s CPU serial) and REVERTED — the query's
+    // real cost is the 4-key distinct partial aggregate over the 1.2M
+    // expanded rows (5–7 s summed CPU, already 32-way after the first
+    // exchange), so the extra repartition only added a stage (1.15 s →
+    // 1.27 s same-window). The standard multi-distinct Expand plan stays.
     t(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(countDistinct(col("l_partkey")).as("n_parts"),
@@ -912,13 +918,25 @@ object Analytics {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val x = col("l_quantity").cast(dec)
     val y = col("l_extendedprice").cast(dec)
+    // r20: the whole moment pass ran as ~1.0 s of CPU in ONE scan task
+    // (single row group) — and the CPU itself was the decimal(37,12)
+    // product path: a JavaBigDecimal multiply per row plus the non-compact
+    // sum buffer's per-update reserialization (the R17Probe8 class). The
+    // product sums now ride DecProdSum (long-limb split of the two
+    // unscaled (18,6) values — exact same rational, bit-identical double,
+    // DecProdSumSpec) and the plain sums ride dsum; all-primitive buffers,
+    // codegen'd long ALU per row. The plan keeps the 100 TB-ideal shape:
+    // scan → map-side partial agg → one 6-row exchange.
+    import graft.functions.DecProdSum
+    import Relational.dsum
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).cast("double").as("n"),
-        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
-        sum(x * y).cast("double").as("sxy"))
+        dsum(col("l_quantity")).as("sx"), dsum(col("l_extendedprice")).as("sy"),
+        DecProdSum.column(x, x).cast("double").as("sxx"),
+        DecProdSum.column(y, y).cast("double").as("syy"),
+        DecProdSum.column(x, y).cast("double").as("sxy"))
       .select(col("l_returnflag"), col("n").cast("bigint").as("n_rows"),
         expr("sx / n").as("mean_qty"), expr("sy / n").as("mean_price"),
         expr("(n * sxy - sx * sy) / (n * n)").as("cov_pop"),

@@ -667,7 +667,13 @@ object Similarity {
     */
   def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = t(s, dir, "embeddings")
+    // r20: the posexplode ×64 → broadcast sign join ×8 → decimal partial
+    // aggregate pipeline all planned into the 1-task scan stage (1.1 s CPU
+    // in ONE task — R20Prof). widenScan on the unique vec_id spreads it;
+    // decimal-exact sums keep the result partitioning-independent.
+    val emb = graft.Tables.widenScan(
+      t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding")),
+      col("vec_id"))
     val r = Seq.tabulate(rpDims, 64)((k, j) => (j, k, rpSign(k, j)))
       .flatten.toDF("pos", "k", "sign")
     val proj = emb

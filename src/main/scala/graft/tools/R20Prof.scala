@@ -49,13 +49,18 @@ object R20Prof {
       // reuse the warmup-filled persists (clearCache happens after the
       // triple), so the steady-state run is what its numbers show
       if (!cold) Bench.force(fn(spark, dir))
-      jobs.clear(); stageLines.clear()
-      val t0 = System.nanoTime()
-      spark.sparkContext.setJobDescription(name)
-      Bench.force(fn(spark, dir))
-      val el = (System.nanoTime() - t0) / 1e9
+      // best-of-3 like Bench, so readings are bench-comparable; the
+      // job/stage dump is from the LAST run
+      val els = (1 to (if (cold) 1 else 3)).map { _ =>
+        jobs.clear(); stageLines.clear()
+        val t0 = System.nanoTime()
+        spark.sparkContext.setJobDescription(name)
+        Bench.force(fn(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val el = els.min
       Thread.sleep(300) // let listener drain
-      println(f"== $name total ${el}%6.3f s, ${jobs.size} jobs")
+      println(f"== $name best ${el}%6.3f s of ${els.map(e => f"$e%.3f").mkString("/")}, ${jobs.size} jobs")
       jobs.values.foreach { j =>
         println(f"  job ${j.id}%3d ${(j.end - j.start) / 1e3}%7.3f s  ${j.desc.take(80)}")
       }

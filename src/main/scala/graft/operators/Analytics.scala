@@ -781,12 +781,48 @@ object Analytics {
        |  ROUND(${dsumSql("value")} / COUNT(*), 6) AS mean_v
        |FROM m GROUP BY 1, 2""".stripMargin
 
-  /** ROLLUP: totals at (flag, status), per-flag, and grand-total levels in
-    * one pass — partial aggregation covers every grouping set, so the cost
-    * is one shuffle, not one scan per level. grouping_id disambiguates
-    * NULL-as-subtotal from NULL-as-data.
+  /** ROLLUP: totals at (flag, status), per-flag, and grand-total levels.
+    * grouping_id disambiguates NULL-as-subtotal from NULL-as-data.
+    *
+    * r20 partial-reuse rewrite (the adopted q92 pattern — PLANS.md
+    * PARTIAL-REUSE RULE): Spark plans ROLLUP as Expand — every input row
+    * fans out to its 3 grains, so the partial aggregate probes 3× the
+    * input with decimal buffers riding every copy. COUNT/SUM are
+    * decomposable: aggregate ONCE at the finest grain (flag, status) —
+    * ~|flags|·|statuses| rows — then derive the (flag) and grand-total
+    * grains by re-aggregating that tiny frame, with rollup's gid encoding
+    * (0/1/3). Exactness: decimal sums re-aggregate without rounding
+    * ((18,6)→(28,6)→(38,6), exact at any corpus the type fits) and both
+    * spellings cast the SAME exact decimal to double last — bit-identical
+    * to the Expand plan (R20Probe exceptAll = 0 at sf0.1, both
+    * directions) and to the untouched oracle. A/B same window at sf0.1:
+    * Expand 0.55–0.89 s vs this — see OPTIMIZATION_r20.md.
     */
-  def qRollup(s: SparkSession, dir: String): DataFrame =
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("sq"))
+    val both = base.select(col("l_returnflag"), col("l_linestatus"),
+      col("n").as("n_rows"), col("sq").cast("double").as("sum_qty"),
+      lit(0).as("gid"))
+    val byFlag = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n_rows"), sum(col("sq")).as("sq2"))
+      .select(col("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), col("n_rows"),
+        col("sq2").cast("double").as("sum_qty"), lit(1).as("gid"))
+    val total = base
+      .agg(sum(col("n")).as("n_rows"), sum(col("sq")).as("sq2"))
+      .select(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), col("n_rows"),
+        col("sq2").cast("double").as("sum_qty"), lit(3).as("gid"))
+    both.unionByName(byFlag).unionByName(total)
+  }
+
+  /** The retired Expand ROLLUP spelling, kept for the r20 A/B ledger
+    * (never part of the gated surface).
+    */
+  def qRollupExpand(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"),
@@ -856,6 +892,16 @@ object Analytics {
     * with ROLLUP (q76) and pivot (q75) this completes the grouping-sets
     * family. Same single-shuffle property: partial aggregation expands
     * the sets map-side.
+    *
+    * r20 A/B run and REJECTED for a measured reason (the q118
+    * convention): the q92/q76 partial-reuse decomposition was built
+    * (below, kept for the ledger) and measured SLOWER here — 0.358 s vs
+    * 0.328 s same-window at sf0.1 — because CUBE's four grains need
+    * THREE marginal re-aggregate jobs + a 4-way union against an Expand
+    * whose ×4 rows are orders (150k), a quarter of lineitem; the
+    * partial-agg shuffle stays tiny either way. q76/q92 won the same A/B
+    * because their base table is 4× larger and the grain count smaller.
+    * Keep the standard Expand plan.
     */
   def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -863,6 +909,36 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("sum_price"),
         grouping_id().cast("int").as("gid"))
+
+  /** The REJECTED partial-reuse CUBE spelling — r20 A/B ledger only
+    * (row-identical to [[qCube]]; R20Probe exceptAll = 0).
+    */
+  def qCubePartialReuse(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("sp"))
+    def grain(keys: Seq[String], gid: Int) = {
+      val g = if (keys.isEmpty) base.agg(sum(col("n")).as("n_orders"),
+          sum(col("sp")).as("sp2"))
+        else base.groupBy(keys.map(col): _*)
+          .agg(sum(col("n")).as("n_orders"), sum(col("sp")).as("sp2"))
+      g.select(
+        (if (keys.contains("o_orderpriority")) col("o_orderpriority")
+         else lit(null).cast("string").as("o_orderpriority")) ::
+        (if (keys.contains("o_orderstatus")) col("o_orderstatus")
+         else lit(null).cast("string").as("o_orderstatus")) ::
+        col("n_orders") :: col("sp2").cast("double").as("sum_price") ::
+        lit(gid).as("gid") :: Nil: _*)
+    }
+    base.select(col("o_orderpriority"), col("o_orderstatus"),
+        col("n").as("n_orders"), col("sp").cast("double").as("sum_price"),
+        lit(0).as("gid"))
+      .unionByName(grain(Seq("o_orderpriority"), 1))
+      .unionByName(grain(Seq("o_orderstatus"), 2))
+      .unionByName(grain(Nil, 3))
+  }
+
 
   val qCubeSql: String =
     s"""SELECT o_orderpriority, o_orderstatus,

@@ -724,8 +724,8 @@ object TextOps {
         arrRaw.select(col("doc_id"), expr("transform(arr, s -> xxhash64(s))").as("arr"))
       else arrRaw
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val kept = keptShingleArrays(units, "doc_id", None, nDocs, maxDfFrac)
-    postingPairAgg(kept, "doc_id", None, "doc_a", "doc_b")
+    val (kept, pairRows) = keptShingleArrays(units, "doc_id", None, nDocs, maxDfFrac)
+    postingPairAgg(kept, pairRows, "doc_id", None, "doc_a", "doc_b")
   }
 
   /** Hot-capped kept-shingle arrays — the shared head of the posting-join
@@ -755,22 +755,47 @@ object TextOps {
     */
   private def keptShingleArrays(units: DataFrame, idCol: String,
       weightCol: Option[String], nDocs: DataFrame,
-      maxDfFrac: Double): DataFrame = {
+      maxDfFrac: Double): (DataFrame, Long) = {
     val arr = units.persistTracked()
     arr.count() // eager fill — see minhashCandidates
     val dfAgg = weightCol match {
       case Some(w) => arr.select(explode(col("arr")).as("shingle"), col(w))
-        .groupBy(col("shingle")).agg(sum(col(w)).as("df"))
+        .groupBy(col("shingle"))
+        .agg(sum(col(w)).as("df"), count(lit(1)).as("cnt"))
       case None => arr.select(explode(col("arr")).as("shingle"))
-        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"), count(lit(1)).as("cnt"))
     }
-    val hotArr = dfAgg.crossJoin(broadcast(nDocs))
-      .where(col("df") > col("n_docs") * maxDfFrac)
-      .agg(collect_list(col("shingle")).as("hot"))
+    // ONE driver-side pass over the df aggregate returns BOTH plan inputs
+    // (r20): the bounded hot set (≤ avg_shingles/maxDfFrac members — the
+    // r16 broadcast-rule bound, now a driver value instead of a lazy
+    // BroadcastExchange subplan) and the EXACT posting-join output size
+    // Σ cnt·(cnt−1)/2 over the kept shingles, which sizes the pair
+    // exchanges to the data (postingPairAgg) instead of a 4×cores
+    // constant. `cnt` counts UNITS per shingle — the self-join's row
+    // expansion — independent of the copy weights that define hotness.
+    // One collect job replaces one broadcast-build job; doubling it as
+    // the sizing probe is the q49 threshold-collect convention.
+    val stat = dfAgg.crossJoin(broadcast(nDocs)).agg(
+      collect_list(when(col("df") > col("n_docs") * maxDfFrac,
+        col("shingle"))).as("hot"),
+      sum(when(col("df") <= col("n_docs") * maxDfFrac,
+        col("cnt") * (col("cnt") - lit(1L)))).as("pairs2")).head()
+    val pairRows = if (stat.isNullAt(1)) 0L else stat.getLong(1) / 2
+    // the collected hot set re-enters the plan as a one-row LocalRelation
+    // broadcast (no build job, no per-task literal bloat)
+    val hotDf = units.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        stat.getSeq[Any](0))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hot",
+          org.apache.spark.sql.types.ArrayType(
+            dfAgg.schema("shingle").dataType), nullable = false))))
     val lead = col(idCol) +: weightCol.map(col).toSeq
-    arr.crossJoin(broadcast(hotArr))
+    val kept = arr.crossJoin(broadcast(hotDf))
       .select(lead :+ array_except(col("arr"), col("hot")).as("ka"): _*)
       .select(lead :+ col("ka") :+ size(col("ka")).as("n_sh"): _*)
+    (kept, pairRows)
   }
 
   /** Posting-list self-join + pair aggregate over [[keptShingleArrays]]
@@ -799,13 +824,35 @@ object TextOps {
     * more rows, but every aggregate map fits and the useless map-side
     * partial agg (~1.2 rows/group) disappears below the exchange.
     */
-  private def postingPairAgg(kept: DataFrame, idCol: String,
+  private def postingPairAgg(kept: DataFrame, pairRows: Long, idCol: String,
       weightCol: Option[String], aName: String, bName: String): DataFrame = {
-    val parts = 4 * kept.sparkSession.sparkContext.defaultParallelism
+    // Pair exchanges sized to the EXACT expansion (r20; was a flat
+    // 4×cores): Σ cnt·(cnt−1)/2 is known from the hot-set collect, so
+    // partitions = expansion / 2²⁰ rows — the r15 operating point (113M
+    // pairs ran clean at 128 partitions ≈ 880k/map and thrashed at 32 ≈
+    // 3.5M/map) — floored at the session parallelism and capped at 2¹⁵
+    // (past ~34G pairs, raise the session parallelism with the cluster;
+    // the cap only guards the driver against absurd task counts). At
+    // bench SF the estimate reads ~1.3M pairs → cores partitions,
+    // retiring the 128-task deser-bound stages (R20Prof: ~68 ms/task
+    // deserialization, 10.9 s summed on a 21 MB stage).
+    val parts = math.min(math.max(
+      kept.sparkSession.sparkContext.defaultParallelism.toLong,
+      (pairRows + (1L << 20) - 1) / (1L << 20)), 1L << 15).toInt
     val lead = col(idCol) +: weightCol.map(col).toSeq
     val keepN = kept.where(col("n_sh") >= 1)
       .select(lead ++ Seq(col("n_sh"), explode(col("ka")).as("shingle")): _*)
-    val keyed = keepN.repartition(parts, col("shingle"))
+    // The posting table is persisted POST-exchange and eagerly filled:
+    // both self-join sides scan the cache — AQE's exchange reuse misses
+    // the two canonically-identical repartitions (the q49 before-plan ran
+    // Exchange(93) AND Exchange(135), the same explode+shuffle twice;
+    // plans/r20/q49_jaccard_top_pairs_before.txt, zero ReusedExchange) —
+    // and InMemoryTableScan preserves the cached exchange's
+    // HashPartitioning(shingle), so neither side re-shuffles. Bounded by
+    // Σ postings (the same class as the `arr` cache above it); the
+    // session owner / CacheScope releases it.
+    val keyed = keepN.repartition(parts, col("shingle")).persistTracked()
+    keyed.count() // eager fill — sibling AQE stages must not race it cold
     val a = keyed.select(Seq(col(idCol).as(aName), col("shingle"),
       col("n_sh").as("n_a")) ++ weightCol.map(w => col(w).as("w_a")): _*)
     val b = keyed.select(Seq(col(idCol).as(bName), col("shingle"),
@@ -885,8 +932,8 @@ object TextOps {
       else arrRaw
     val units = shingled.join(sizes, Seq("rep"))
     val nDocs = ids.select(sum(size(col("ids"))).as("n_docs"))
-    val ka = keptShingleArrays(units, "rep", Some("copies"), nDocs, 0.5)
-    val cross = postingPairAgg(ka, "rep", Some("copies"), "ra", "rb")
+    val (ka, pairRows) = keptShingleArrays(units, "rep", Some("copies"), nDocs, 0.5)
+    val cross = postingPairAgg(ka, pairRows, "rep", Some("copies"), "ra", "rb")
       .select(col("ra"), col("rb"), col("common"), col("jaccard"), col("mult"))
     // ≥2-copy contents with a nonempty kept set: all-hot or <3-token
     // contents produced no posting rows per-doc either

@@ -55,6 +55,30 @@ object R20Probe {
     ProbeTiming.time("q08 expand (retired)") {
       Bench.force(graft.operators.Relational.qTimeSeriesExpand(spark, sfDir))
     }
+
+    // r20 second batch: ROLLUP (q76) and CUBE (q83) partial-reuse
+    val e = Analytics.qRollup(spark, sfDir)
+    val f = Analytics.qRollupExpand(spark, sfDir)
+    val diff76 = e.exceptAll(f).count() + f.exceptAll(e).count()
+    println(s"== q76 partial-reuse vs expand exceptAll diff: $diff76")
+    require(diff76 == 0, "q76 spellings diverge")
+    ProbeTiming.time("q76 partial-reuse (adopted)") {
+      Bench.force(Analytics.qRollup(spark, sfDir))
+    }
+    ProbeTiming.time("q76 rollup-expand (retired)") {
+      Bench.force(Analytics.qRollupExpand(spark, sfDir))
+    }
+    val g = Analytics.qCubePartialReuse(spark, sfDir)
+    val h = Analytics.qCube(spark, sfDir)
+    val diff83 = g.exceptAll(h).count() + h.exceptAll(g).count()
+    println(s"== q83 partial-reuse vs expand exceptAll diff: $diff83")
+    require(diff83 == 0, "q83 spellings diverge")
+    ProbeTiming.time("q83 partial-reuse (REJECTED)") {
+      Bench.force(Analytics.qCubePartialReuse(spark, sfDir))
+    }
+    ProbeTiming.time("q83 cube-expand (shipped)") {
+      Bench.force(Analytics.qCube(spark, sfDir))
+    }
     spark.stop()
   }
 }

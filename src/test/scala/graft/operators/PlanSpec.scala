@@ -69,6 +69,26 @@ class PlanSpec extends AnyFunSuite {
         s"exchange — the fact side is being re-scanned per grain: $p")
   }
 
+  test("q76 rollup: partial-reuse plan — no Expand, marginals ride ReusedExchange") {
+    // r20 adoption pin (the q92 pattern, second batch): ROLLUP's three
+    // grains derive from ONE finest-grain aggregate — lineitem is scanned
+    // and shuffled once; the (flag) and grand-total branches re-aggregate
+    // the ~|flags|·|statuses|-row base via the reused exchange. A/B at
+    // sf0.1: Expand 0.49–0.89 s vs 0.45 s (R20Probe; exceptAll = 0 both
+    // directions). q83's CUBE ran the same A/B and was REJECTED — its
+    // Expand spelling stays pinned by its own test below.
+    val df = SparkEntry.queries("q76_rollup")(spark, dir)
+    graft.Bench.force(df)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Expand"),
+      "q76: the Expand-based ROLLUP plan is back — the r20 partial-reuse " +
+        "decomposition shuffles the fact once, not 3x")
+    assert(p.contains("ReusedExchange"),
+      s"q76: the marginal grains no longer reuse the base aggregate's " +
+        s"exchange — the fact side is being re-scanned per grain: $p")
+  }
+
   test("q08 time series: distinct rides the pre-aggregation — no Expand, agg below the join") {
     // r20 adoption pin (VERDICT r19 #1): COUNT(DISTINCT join-key) became
     // count-rows-after-pre-agg (the q02 shape) — lineitem collapses to

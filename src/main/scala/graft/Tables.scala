@@ -232,4 +232,19 @@ object Tables {
       df.repartition(p, xxhash64(ks: _*))
     }
   }
+
+  /** [[widenScan]] on the RAW key columns instead of their xxhash64 —
+    * for consumers that aggregate/join on exactly `keys`: the exchange it
+    * inserts IS the partitioning the downstream operator requires, so the
+    * aggregate's own exchange disappears (one exchange total, placed
+    * where it parallelizes the scan-fused work). Needs `keys` with enough
+    * distinct values to spread (guide §2.5) — group-by keys in the
+    * 10⁴+-cardinality class, not enum columns. Same no-op-at-scale
+    * property as [[widenScan]].
+    */
+  def widenScanOn(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, keys: _*)
+  }
 }

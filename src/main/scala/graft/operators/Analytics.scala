@@ -760,7 +760,15 @@ object Analytics {
     * not an explode over a built array.
     */
   def qUnpivot(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    // widenScan (r20, guide §2.5): the ×4 stack fan-out + 8 decimal-sum
+    // partial aggregates fused into the 3-row-group scan stage, near-serial
+    // (R20Prof: 746 ms CPU in 3 tasks — the whole query). The group key is
+    // a 6-value enum, so spread on the row hash, not the key. A/B same
+    // window: 0.65–0.66 → 0.48 s (R20Probe3, exceptAll = 0). No-op at any
+    // real multi-row-group scale.
+    graft.Tables.widenScan(t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax")))
       .selectExpr("l_returnflag",
         "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
           "'discount', l_discount, 'tax', l_tax) AS (measure, value)")
@@ -852,6 +860,12 @@ object Analytics {
     * certificates, so the driver's hash-match verifies real data AND
     * enforces the sketch bound — closing the r13 `no_oracle` row
     * without pretending sketch internals are portable.
+    *
+    * r20 A/B run and REJECTED (the q12/q86 class): widenScan on both
+    * passes read best 0.61 vs 0.65–0.69 s with WORSE medians (0.77 vs
+    * 0.66–0.72) — window noise, no adoption case; the certificate
+    * columns are merge-order-free so the variant stays runnable in
+    * R20Probe3 if a wider box changes the answer.
     */
   def qKllQuantiles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

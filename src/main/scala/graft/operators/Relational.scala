@@ -125,11 +125,19 @@ object Relational {
   def qDrawSummary(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
-    val l = t(s, dir, "lineitem")
+    // widenScanOn (r20, guide §2.5): the 7-aggregate per-order partial agg
+    // fused into the 3-row-group scan stage and ran near-serial (R20Prof:
+    // 616 ms CPU in 3 tasks). Repartitioning on the GROUP key parallelizes
+    // it AND is the aggregate's required partitioning, so the agg's own
+    // exchange disappears — one exchange total, now placed below the CPU.
+    // A/B same window: 0.81–0.88 → 0.76 s (R20Probe3, exceptAll = 0).
+    // No-op on any input whose scan already yields ≥ cores splits.
+    val l = graft.Tables.widenScanOn(t(s, dir, "lineitem")
       // nullable "prize number": NULL when linenumber = 1 — exercises the
       // COUNT(col)-skips-nulls half of A2 (the testdata has no native nulls).
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"),
-        nullif(col("l_linenumber"), lit(1)).as("item_id"))
+        nullif(col("l_linenumber"), lit(1)).as("item_id")),
+      col("l_orderkey"))
     val flagged = col("l_returnflag") =!= "N"
     // Aggregate BELOW the join: the group keys contain the join key and the
     // dim columns are functionally dependent on it, so the fact side

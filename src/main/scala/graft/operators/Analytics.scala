@@ -58,13 +58,30 @@ object Analytics {
   /** A9: countDistinct per group (reference EDA_premios.ipynb cell 44,
     * sellers per departamento).
     */
-  def qNuniquePerGroup(s: SparkSession, dir: String): DataFrame =
-    // r20 A/B note: widenScan was tried here (the ×2 Expand is fused into
-    // the 1-task scan stage, 0.7 s CPU serial) and REVERTED — the query's
-    // real cost is the 4-key distinct partial aggregate over the 1.2M
-    // expanded rows (5–7 s summed CPU, already 32-way after the first
-    // exchange), so the extra repartition only added a stage (1.15 s →
-    // 1.27 s same-window). The standard multi-distinct Expand plan stays.
+  def qNuniquePerGroup(s: SparkSession, dir: String): DataFrame = {
+    // r20 two-branch rewrite (after the widenScan A/B was rejected —
+    // the cost was never scan parallelism but the multi-distinct Expand:
+    // one 4-col(+gid) distinct partial aggregate over 2× the rows, 5–7 s
+    // summed CPU). Each COUNT(DISTINCT x) becomes its own narrow 2-col
+    // dedup + count — map-side dedup actually bites on the narrower keys
+    // and the Expand never exists; the two ~|suppkey|-row branch results
+    // join at the end. A/B same window at sf0.1: 1.14–1.15 → 0.70 s
+    // (R20Probe3, exceptAll = 0 both directions). Exactness precondition:
+    // lineitem's keys are non-null (TPC-H NOT NULL) — countDistinct
+    // skips nulls, so the isNotNull filters make the branch dedup
+    // null-identical; a supplier with rows appears in both branches.
+    val l = t(s, dir, "lineitem")
+    val np = l.where(col("l_partkey").isNotNull)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+    val no = l.where(col("l_orderkey").isNotNull)
+      .select(col("l_suppkey"), col("l_orderkey")).distinct()
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_orders"))
+    np.join(no, Seq("l_suppkey"))
+  }
+
+  /** The retired multi-distinct Expand q12 spelling — r20 A/B ledger. */
+  def qNuniquePerGroupExpand(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
       .agg(countDistinct(col("l_partkey")).as("n_parts"),

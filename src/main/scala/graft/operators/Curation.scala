@@ -587,7 +587,16 @@ object Curation {
     val kept = blocked.groupBy(col("bk")).agg(count(lit(1)).as("members"))
       .where(col("members") <= maxBlock).select(col("bk"))
       .hint("shuffle_hash")
-    val keep = blocked.join(kept, Seq("bk"), "left_semi")
+    // Persisted post-semi (r20, the q49 posting-cache rule): AQE's
+    // exchange reuse misses the self-join's two canonically-identical
+    // sides, so each run re-ran the blocked explode + bk exchange + semi
+    // TWICE (R20Prof: twin 8.0/4.7 s and 6.3/3.7 s runMs stage pairs).
+    // Both sides now scan this cache, whose preserved hashpartitioning(bk)
+    // also satisfies the shuffled-hash join — no exchange above the cache.
+    // Bounded by 3·|distinct shingles| blocked rows (the semi build-side
+    // bound above); eager fill per the fork-cache rule.
+    val keep = blocked.join(kept, Seq("bk"), "left_semi").persistTracked()
+    keep.count()
     // Thresholded levenshtein (banded O(k·n) with early exit, returns -1
     // past the bound) screens every in-block candidate — the hot loop —
     // instead of the full O(n²) DP; the bounded call returns the EXACT

@@ -1162,6 +1162,13 @@ object TextOps {
           col("x.rep") < col("y.rep"))
       .groupBy(col("x.rep").as("ra"), col("y.rep").as("rb"))
       .agg(count(lit(1)).as("n_bands"), max(col("x.n") * col("y.n")).as("mult"))
+      // Persisted (r20, the simhashRepPairs rule): bounded by the query's
+      // own pair-output domain. q150 consumes the pair aggregate directly
+      // (no fork-point cache above it), so without this every steady-state
+      // run re-ran the banded self-join's BOTH map sides (R20Prof: twin
+      // 8.0 s + 4.2 s runMs stages per run). Lazy — q56 rides its
+      // expandRepPairs fork cache and just pays one memory write.
+      .persistTracked()
     (pairs, ids, bands.select(col("rep")))
   }
 

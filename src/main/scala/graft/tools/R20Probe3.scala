@@ -119,7 +119,11 @@ object R20Probe3 {
     val abs = Seq[(String, (SparkSession, String) => DataFrame)](
       "q02_draw_summary" -> (q02Widened _),
       "q156_unpivot" -> (q156Widened _),
-      "q81_kll_quantiles" -> (q81Widened _))
+      "q81_kll_quantiles" -> (q81Widened _),
+      // ADOPTED two-branch spelling vs the retired Expand (ledger)
+      "q12_nunique_per_group" ->
+        ((s: SparkSession, d: String) =>
+          graft.operators.Analytics.qNuniquePerGroupExpand(s, d)))
     for ((name, widened) <- abs) {
       val shipped = SparkEntry.queries(name)
       val a = shipped(spark, sfDir)

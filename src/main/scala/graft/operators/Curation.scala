@@ -882,6 +882,12 @@ object Curation {
     // no corpus-sized cache); the doc rollup sums cnt under the nd≥2
     // flag. Three decreasing shuffles, zero persists, exact integer
     // counts — identical results by construction.
+    // r20 A/B note: widenScanOn(doc_id) before the explode (trading the
+    // 21 MB gram exchange for a 0.6 MB text exchange with the explode
+    // parallel) measured a WASH — 0.685 vs 0.658–0.697 s same-window
+    // (R20Probe3): the serial explode map is only ~250 ms and the first
+    // aggregate's exchange already carries deduped partials. Rejected;
+    // variant kept runnable in the probe.
     val perDocGram = keyed.groupBy(col("gkey"), col("doc_id"))
       .agg(count(lit(1)).as("cnt"))
     val flagged = perDocGram.withColumn("nd",

@@ -319,7 +319,14 @@ object Relational {
     * 1.44–1.75 s warm vs this 1.09–1.31 s — adopted (BASELINE r20).
     */
   def qTimeSeries(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem")
+    // widenScanOn (r20, the q02 shape): the per-order pre-aggregate ran
+    // fused into the 3-task scan stage, near-serial (R20Prof: 562 ms CPU
+    // writing 147k partials). Repartitioning on the group key is also the
+    // aggregate's required partitioning. A/B same window: 0.81–0.88 →
+    // 0.74 s (R20Probe3, exceptAll = 0). No-op at real scan parallelism.
+    val l = graft.Tables.widenScanOn(t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice")),
+      col("l_orderkey"))
     val o = t(s, dir, "orders")
     val perOrder = l.groupBy(col("l_orderkey")).agg(
       count(col("l_partkey")).as("np"),

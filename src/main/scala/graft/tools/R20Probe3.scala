@@ -116,7 +116,57 @@ object R20Probe3 {
       return
     }
 
+    // ---- q08 variant: widenScanOn(l_orderkey) before the per-order
+    // pre-aggregate — the q02 shape exactly (562 ms serial partial agg in
+    // the 3-task scan stage).
+    def q08Widened(s: SparkSession, dir: String): DataFrame = {
+      val l = Tables.widenScanOn(Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice")),
+        col("l_orderkey"))
+      val o = Tables.load(s, dir, "orders")
+      val perOrder = l.groupBy(col("l_orderkey")).agg(
+        count(col("l_partkey")).as("np"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).as("sm"))
+      perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
+        .where(col("o_orderdate").isNotNull)
+        .groupBy(year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("num_sorteos"),
+          sum(col("np")).as("num_premios"),
+          sum(col("sm")).cast("double").as("total_monto"))
+    }
+
+    // ---- q180 variant: widenScanOn(doc_id) on the TEXTS before the
+    // k-gram explode — the explode + (gkey, doc_id) partial agg ran fused
+    // into the 1-split documents scan (249 ms serial writing 225k gram
+    // rows); partitioning by doc_id satisfies the aggregate's clustered
+    // distribution, so the 21 MB gram exchange disappears and a 0.6 MB
+    // text exchange takes its place below the CPU.
+    def q180Widened(s: SparkSession, dir: String): DataFrame = {
+      graft.functions.GraftFunctions.register(spark)
+      val docs = Tables.widenScanOn(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
+      val grams = docs.select(col("doc_id"),
+        explode(call_function("word_shingles",
+          col("text"), lit(10), lit(false))).as("gram"))
+      val perDocGram = grams.select(col("doc_id"), col("gram").as("gkey"))
+        .groupBy(col("gkey"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+      val flagged = perDocGram.withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gkey"))))
+      flagged.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_grams"),
+          coalesce(sum(when(col("nd") >= 2, col("cnt"))), lit(0L))
+            .as("n_dup_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+          round(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+            .as("dup_frac"),
+          when(col("n_dup_grams").cast("double") / col("n_grams") >= 0.5, 1)
+            .otherwise(0).as("drop_doc"))
+    }
+
     val abs = Seq[(String, (SparkSession, String) => DataFrame)](
+      "q08_time_series" -> (q08Widened _),
+      "q180_substring_dedup" -> (q180Widened _),
       "q02_draw_summary" -> (q02Widened _),
       "q156_unpivot" -> (q156Widened _),
       "q81_kll_quantiles" -> (q81Widened _),

@@ -2103,7 +2103,21 @@ object TextOps {
     */
   def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    t(s, dir, "documents")
+    // widenScan (r20, guide §2.5): the per-shingle md5 transform — the
+    // query's dominant term — is row-local and ran fused into the 1-split
+    // documents scan. Spreading the texts first (0.6 MB exchange) halves
+    // the query: 0.57 → 0.29 s same-window (R20Probe3, exceptAll = 0).
+    // No-op at real scan parallelism.
+    winnowFingerprintOf(Tables.widenScan(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      col("doc_id")))
+  }
+
+  /** Builder core of q101 over any (doc_id, text) frame (r20: split out
+    * so the widenScan A/B can feed it a repartitioned input).
+    */
+  private[graft] def winnowFingerprintOf(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("toks", toks(col("text")))
       .where(size(col("toks")) >= 6) // ≥4 shingles → ≥1 full window
       // r12: shingle generation through the fused zero-copy expression;

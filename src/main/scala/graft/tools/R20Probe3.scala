@@ -164,7 +164,22 @@ object R20Probe3 {
             .otherwise(0).as("drop_doc"))
     }
 
+    // ---- q120 / q101 variants: row-local heavy per-doc CPU (6 regex
+    // passes; per-shingle md5 transform) fused into the 1-split documents
+    // scan — widenScan spreads the texts (0.6 MB exchange) before the CPU.
+    def q120Widened(s: SparkSession, dir: String): DataFrame =
+      graft.operators.Privacy.piiRedactOf(
+        Tables.widenScan(Tables.load(s, dir, "documents"), col("doc_id")))
+    def q101Widened(s: SparkSession, dir: String): DataFrame = {
+      graft.functions.GraftFunctions.register(s)
+      graft.operators.TextOps.winnowFingerprintOf(
+        Tables.widenScan(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")), col("doc_id")))
+    }
+
     val abs = Seq[(String, (SparkSession, String) => DataFrame)](
+      "q120_pii_redact" -> (q120Widened _),
+      "q101_winnow_fingerprint" -> (q101Widened _),
       "q08_time_series" -> (q08Widened _),
       "q180_substring_dedup" -> (q180Widened _),
       "q02_draw_summary" -> (q02Widened _),
